@@ -1,0 +1,67 @@
+"""Text Column helpers — Catalyst built-ins only (SURVEY.md §2.11 policy:
+no row-level Python UDFs anywhere on the hot path; everything here is
+JVM-side and whole-stage-codegen friendly).
+
+Re-expresses the reference's string semantics:
+- whitespace normalization ``' '.join(s.strip().split())``
+  (scripts/search_artist_id_and_name.py:21)
+- blank-line filtering (scripts/create_artist_batches.py:15-16)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_whitespace(col: Column | str) -> Column:
+    """Collapse runs of whitespace to single spaces and trim the ends."""
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+def is_nonblank(col: Column | str) -> Column:
+    return F.length(F.trim(col)) > 0
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization -> array<string> (empty array for blank text)."""
+    base = normalize_whitespace(col)
+    if lowercase:
+        base = F.lower(base)
+    return F.when(F.length(base) > 0, F.split(base, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(tokens_col: Column, k: int = 3) -> Column:
+    """k-token shingles (space-joined) from a token array.
+
+    Pure higher-order-function composition — `sequence` + `transform` +
+    `slice` — so it stays inside codegen; no explode needed until the
+    caller chooses to.
+    """
+    n = F.size(tokens_col)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, k)),
+        ),
+    ).otherwise(
+        # shorter than k tokens: the whole text is the single shingle
+        F.when(n > 0, F.array(F.concat_ws(" ", tokens_col))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Approximate subword token count with a BPE-ish regex:
+    words, numbers, and single non-space punctuation each count as one.
+    """
+    return F.size(
+        F.filter(
+            F.split(F.col(col) if isinstance(col, str) else col, r"(?=[^\w])|(?<=[^\w])"),
+            lambda t: F.length(F.trim(t)) > 0,
+        )
+    ).cast("long")

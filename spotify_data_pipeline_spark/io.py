@@ -1,0 +1,60 @@
+"""Readers for the driver testdata tables (TESTDATA.md).
+
+Primary scan path of the engine (SURVEY.md §2.1 S14): columnar parquet
+with Catalyst predicate pushdown / column pruning. ``load_table`` is
+deliberately a thin `spark.read.parquet` so every declared query keeps
+the scan declarative — filters and projections stated downstream reach
+the parquet reader as PushedFilters/ReadSchema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which the Spark
+    vectorized parquet reader rejects. Read nanos as long (legacy conf)
+    and convert with *integer* division — ts/1000 in double arithmetic
+    would lose precision at 1.7e18 — to the microsecond timestamps every
+    other engine (incl. the DuckDB oracle) sees."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register all testdata tables as temp views (for SQL-form queries)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(prefix + t)

@@ -1,0 +1,113 @@
+"""As-of join (SURVEY.md §2.3 J6 — an operator Spark lacks natively).
+
+``asof_join(left, right, on, by)``: for each left row, the most recent
+right row with ``right.on <= left.on`` within the same ``by`` group
+(backward direction, like pandas ``merge_asof``).
+
+Two implementations:
+
+- ``asof_join``: pure DataFrame — union both sides tagged, one window
+  pass carrying the last right value forward (`F.last(ignorenulls=True)`).
+  One shuffle on the `by` key; linear, no pairwise blow-up; this is the
+  100 TB path.
+- ``asof_join_pandas``: ``applyInPandas`` + ``pd.merge_asof`` per group —
+  kept as a cross-check implementation and for semantics Spark built-ins
+  can't express (tolerance windows, nearest direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join via tagged union + running ``last`` window.
+
+    Ties on the `on` column: a right row at exactly left.on is matched
+    (<=), achieved by sorting right rows before left rows at equal keys.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
+
+    l_tag = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_side"),  # left sorts after right at equal _on
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"),
+    )
+    r_tag = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(F.struct(*left.columns)).schema[0].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(on).alias("_r_on"),
+    )
+
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_by")
+        .orderBy("_on", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_by",
+        "_side",
+        "_lrow",
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}") for c in value_cols],
+        F.last("_r_on", ignorenulls=True).over(w).alias(f"{on}{suffix}"),
+    ).where(F.col("_side") == 1)
+
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    out_cols += [F.col(f"{on}{suffix}")]
+    return carried.select(*out_cols)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join via cogrouped ``applyInPandas`` + ``pd.merge_asof``.
+
+    Arrow-batched; one shuffle on the `by` key; per-group pandas sort.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
+    right_sel = right.select(by, on, *value_cols)
+
+    out_schema_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+    rs = right_sel.schema
+    out_schema_fields += [f"{c}{suffix} {rs[c].dataType.simpleString()}" for c in value_cols]
+    out_schema_fields += [f"{on}{suffix} {rs[on].dataType.simpleString()}"]
+    out_schema = ", ".join(out_schema_fields)
+
+    l_cols, r_on, r_by = list(left.columns), on, by
+    vcols, sfx = list(value_cols), suffix
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=l_cols + [f"{c}{sfx}" for c in vcols] + [f"{r_on}{sfx}"])
+        lpdf = lpdf.sort_values(r_on, kind="mergesort")
+        rpdf = rpdf.sort_values(r_on, kind="mergesort")
+        rpdf = rpdf.rename(columns={c: f"{c}{sfx}" for c in vcols})
+        rpdf[f"{r_on}{sfx}"] = rpdf[r_on]
+        rpdf = rpdf.drop(columns=[r_by])
+        merged = pd.merge_asof(lpdf, rpdf, on=r_on, direction="backward")
+        return merged[l_cols + [f"{c}{sfx}" for c in vcols] + [f"{r_on}{sfx}"]]
+
+    return left.groupBy(by).cogroup(right_sel.groupBy(by)).applyInPandas(merge, out_schema)

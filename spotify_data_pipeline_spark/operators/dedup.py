@@ -1,0 +1,363 @@
+"""Deduplication operators (SURVEY.md §2.8 — the reference's signature
+operation, plus the LLM-data-pipeline near-dup family).
+
+Exact dedup in the reference is an in-memory Python set gate
+(spotify_etl_v2.py:143-144,225-226) — first occurrence wins, per-run
+scope. That does not scale past one process; here:
+
+- ``exact_dedup``       → shuffle-based dropDuplicates (arbitrary row —
+                          correct when duplicate rows are identical,
+                          which holds for the reference's payloads)
+- ``first_wins_dedup``  → row_number window when arrival order matters
+- ``minhash_lsh_dedup`` → near-dup candidate pairs via MinHash banding
+- ``simhash_dedup``     → near-dup pairs via SimHash + chunk banding
+- ``ngram_jaccard_pairs``→ exact n-gram Jaccard similarity join
+- ``embedding_neardup`` → near-dup pairs by embedding cosine
+
+All are pure DataFrame compositions (explode/groupBy/join) — no Python
+row UDFs — so they distribute and survive a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.functions.text import shingles, tokens
+from spotify_data_pipeline_spark.plans.parity import rnd
+
+
+def exact_dedup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Exact dedup by key — keeps one arbitrary row per key group.
+
+    Scale: hash-partition shuffle on the key; AQE coalesces the output.
+    Equivalent to the reference's set-gate when duplicates are identical.
+    """
+    return df.dropDuplicates(list(keys))
+
+
+def first_wins_dedup(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]
+) -> DataFrame:
+    """First-wins dedup: keep the first row per key under an explicit
+    order (the reference's insertion-order semantics made deterministic).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        df.select(id_col, F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document as ``array<bigint>`` of length
+    ``num_hashes``; hash family is xxhash64 seeded by the function index.
+
+    Plan shape: explode shingles → single hash-aggregate computing all
+    num_hashes mins at once (one shuffle on doc id, map-side partials).
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash banding for candidates, exact
+    shingle-set Jaccard for verification.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
+
+    Scale path (100 TB): candidate generation is a self-join *within LSH
+    buckets only* — the classic band trick keeps the join linear-ish in
+    corpus size for bounded bucket width; verification joins only the
+    candidate pairs back to their shingle sets. Hot buckets (boilerplate
+    docs) are the skew risk — AQE skew-join handles moderate skew, and a
+    bucket-width cap can be added for adversarial corpora.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).cache()
+
+    # band hash = xxhash64 over the slice of the signature for that band
+    band_entries = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    jac = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_k)
+    return jac.where(F.col("jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,  # (id_a, id_b)
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs.
+
+    |A ∩ B| via a join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    # |A ∩ B|: attach A's shingles to each pair, then equi-join on B's
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            rnd(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity join via sparse shingle
+    self-join (no LSH — exact). Output (id_a, id_b, jaccard ≥ threshold).
+
+    Scale: the self-join on shingle is the standard sparse similarity
+    join; document-frequency capping of ubiquitous shingles (stopword
+    shingles) is the lever when a shingle's posting list explodes —
+    see the `max_df` filter below.
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_k)
+    # drop shingles appearing in >10% of the corpus (they blow up the
+    # self-join and contribute mostly-noise matches)
+    n_docs = df.count()
+    max_df = max(int(n_docs * 0.10), 100)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    sh = sh.join(df_counts.where(F.col("_df") <= max_df), "shingle").select(id_col, "shingle")
+
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            rnd(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_bits(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 64
+) -> DataFrame:
+    """SimHash per document as ``array<int>`` of 0/1 bits (length n_bits).
+
+    token hash → per-bit ±1 votes → sign. One explode + one aggregate.
+    """
+    tok = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(n_bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    bits = F.array(
+        *[F.when(F.col(f"_b{i}") > 0, 1).otherwise(0).cast("int") for i in range(n_bits)]
+    )
+    return agg.select(id_col, bits.alias("simhash_bits"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    n_chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole banding on n_chunks bit
+    chunks (hamming ≤ n_chunks−1 ⟹ at least one chunk identical), then
+    exact Hamming verification. Output (id_a, id_b, hamming)."""
+    if max_hamming >= n_chunks:
+        raise ValueError("banding guarantee requires max_hamming < n_chunks")
+    chunk = n_bits // n_chunks
+    sig = simhash_bits(df, id_col, text_col, n_bits).cache()
+
+    chunks = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash_bits"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.struct(
+                    c.alias("chunk_id"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.slice(F.col("simhash_bits"), c * chunk + 1, chunk),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("chunk_val"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("_id", "simhash_bits", F.col("cc.chunk_id").alias("chunk_id"), F.col("cc.chunk_val").alias("chunk_val"))
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash_bits").alias("bits_a"),
+            F.col("b.simhash_bits").alias("bits_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (brute-force).
+
+    Output (id_a, id_b, cos) with id_a < id_b, cos rounded 4dp.
+    Scale path: replace the cross join with LSH bucketing
+    (operators/similarity.py `random_projection_buckets`) and run this
+    verification within buckets only.
+    """
+    from spotify_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", rnd(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

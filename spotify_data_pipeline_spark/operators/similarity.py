@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+- ``cosine_topk_bruteforce``: exact top-k by cosine — broadcast the
+  (small) query set against the full corpus; per-query window top-k.
+  This is the correctness anchor; it is also the right *plan* at scale
+  when |queries| is small: the corpus is scanned once, map-side only,
+  and the top-k per query uses a bounded heap (window after a
+  broadcast join — no corpus shuffle).
+- ``random_projection_buckets`` + ``cosine_topk_lsh``: the scale path
+  for query sets too large to broadcast — sign-random-projection LSH
+  buckets co-partition corpus and queries so the candidate join is
+  bucket-local; exact re-rank inside buckets. Recall < 1 by design;
+  multiple hash tables raise it (probe several rotations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.functions.vectors import cosine_similarity, dot
+from spotify_data_pipeline_spark.plans.parity import rnd
+from spotify_data_pipeline_spark.operators.topk import topk_per_group
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos, rn) — cos rounded 4dp and used
+    as the ranking key (with neighbor_id tiebreak) so results are
+    deterministic across engines and partitionings.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", rnd(cosine_similarity(F.col("_qv"), F.col("_cv")), 4))
+    )
+    top = topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+    )
+    return top.select("query_id", "neighbor_id", "cos", F.col("rn").cast("long").alias("rn"))
+
+
+def _projection_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (hash-based, no RNG state)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def random_projection_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-random-projection (SimHash-for-vectors) bucket id per row.
+
+    The bucket id is the n_planes sign bits packed into a long. Cosine-
+    close vectors collide with high probability (collision prob =
+    1 − θ/π per plane).
+    """
+    planes = _projection_planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(F.col(vec_col), plane_col) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn(bucket_col, bucket)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: union of n_tables independent LSH bucketings,
+    bucket-equi-join, exact cosine re-rank within candidates.
+
+    Output schema matches ``cosine_topk_bruteforce`` (query_id,
+    neighbor_id, cos, rn); recall measured against it in tests.
+    """
+    parts = []
+    for t in range(n_tables):
+        qb = random_projection_buckets(queries, vec_col, dim, n_planes, seed=1000 + t)
+        cb = random_projection_buckets(corpus, vec_col, dim, n_planes, seed=1000 + t)
+        q = qb.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "lsh_bucket"
+        )
+        c = cb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "lsh_bucket"
+        )
+        parts.append(q.join(c, "lsh_bucket").drop("lsh_bucket"))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cand.withColumn("cos", rnd(cosine_similarity(F.col("_qv"), F.col("_cv")), 4))
+    top = topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+    )
+    return top.select("query_id", "neighbor_id", "cos", F.col("rn").cast("long").alias("rn"))

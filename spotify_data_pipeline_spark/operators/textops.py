@@ -1,0 +1,130 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.12):
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything is Catalyst built-ins (split/filter/transform/aggregate/
+xxhash64/md5) — JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.functions.text import (
+    bpe_ish_token_count,
+    normalize_whitespace,
+    tokens,
+)
+from spotify_data_pipeline_spark.plans.parity import rnd
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language identifier. Public-knowledge word lists.
+_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "für"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "avec", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "no", "para", "con", "una", "en"),
+    "zh": ("的", "是", "不", "了", "在", "有", "我", "他", "这", "中"),
+}
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(text_col)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features:
+
+    - n_chars_norm: chars after whitespace normalization
+    - n_tokens / n_uniq_tokens and uniq_ratio (repetition signal)
+    - avg_token_len
+    - punct_ratio: non-alphanumeric-non-space chars / chars
+    - stopword_ratio: english stopword fraction (fluency-ish signal)
+    All ratios rounded 4dp.
+    """
+    toks = tokens(F.col(text_col))
+    norm = normalize_whitespace(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length(norm)
+    punct = F.length(F.regexp_replace(norm, r"[\w\s]", ""))
+    sw = F.array(*[F.lit(s) for s in _LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return (
+        df.withColumn("n_chars_norm", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_uniq_tokens", n_uniq.cast("long"))
+        .withColumn("uniq_ratio", rnd(n_uniq / safe_tokens, 4))
+        .withColumn("avg_token_len", rnd((n_chars - (n_tokens - 1)) / safe_tokens, 4))
+        .withColumn("punct_ratio", rnd(punct / safe_chars, 4))
+        .withColumn("stopword_ratio", rnd(n_stop / safe_tokens, 4))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Heuristic language ID: score each language by stopword hits per
+    token, pick the argmax (ties → lexicographically first language,
+    deterministic). 'und' (undetermined) when no profile matches.
+
+    Pure expression tree: one pass, no shuffle, no UDF — at 100 TB this
+    is a map-only operator.
+    """
+    toks = tokens(F.col(text_col))
+    def _hits(stopwords: tuple[str, ...]) -> Column:
+        sw = F.array(*[F.lit(s) for s in stopwords])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    scores = []
+    for lang in sorted(_LANG_STOPWORDS):
+        scores.append(F.struct(_hits(_LANG_STOPWORDS[lang]).alias("hits"), F.lit(lang).alias("lang")))
+    # argmax by (hits asc, lang desc) -> take array_max on (hits, negated lang)
+    # simpler: sort structs descending by hits then ascending lang via array_sort comparator
+    arr = F.array(*scores)
+    best = F.array_sort(
+        arr,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Canonical-content fingerprint: md5 of lowercased, whitespace-
+    normalized text. Exact-dup detection key; md5 matches across engines
+    (DuckDB md5() on the same normalization)."""
+    return df.withColumn(out_col, F.md5(F.lower(normalize_whitespace(F.col(text_col)))))
+
+
+def fingerprint_rolling(
+    df: DataFrame, text_col: str = "text", window: int = 8, out_col: str = "winnow_fp"
+) -> DataFrame:
+    """Winnowing-style fingerprint: min xxhash64 over each sliding window
+    of token shingles, collected as a sorted distinct array. Robust to
+    small edits (used for near-dup candidate keys).
+    """
+    from spotify_data_pipeline_spark.functions.text import shingles
+
+    sh = shingles(tokens(F.col(text_col)), 3)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+    win_mins = F.when(
+        n >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(window - 1)),
+                lambda i: F.array_min(F.slice(hashes, i, window)),
+            )
+        ),
+    ).otherwise(F.when(n > 0, F.array(F.array_min(hashes))).otherwise(F.array().cast("array<bigint>")))
+    return df.withColumn(out_col, F.array_sort(win_mins))
+
+
+def token_count_bpe_ish(df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens") -> DataFrame:
+    return df.withColumn(out_col, bpe_ish_token_count(F.col(text_col)))

@@ -1,0 +1,85 @@
+"""Query registry.
+
+Conventions that keep the DuckDB oracle hash-stable (driver contract,
+__spark_entry__.py):
+
+- **Column names match exactly** between the Spark plan and the oracle
+  SQL: every computed/aggregate column is aliased on both sides.
+- **Integer-like outputs are BIGINT on both sides** (Spark ``long``;
+  DuckDB ``CAST(... AS BIGINT)`` — DuckDB's SUM(int) is HUGEINT and
+  ntile/datediff widths differ, so we cast explicitly).
+- **Float outputs are rounded** (money → 2 dp, ratios/similarities →
+  4 dp) on both sides; running/cumulative money sums are computed in
+  integer *cents* so the result is exact regardless of summation order.
+- **Ties are always broken** by a unique key before any LIMIT / window
+  rank, so the selected row *set* is deterministic on both engines.
+- **Timestamps** rely on the UTC session timezone set in session.py.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Modules that register queries on import.
+_QUERY_MODULES = (
+    "spotify_data_pipeline_spark.plans.relational",
+    "spotify_data_pipeline_spark.plans.aggregates",
+    "spotify_data_pipeline_spark.plans.windows",
+    "spotify_data_pipeline_spark.plans.dedup_queries",
+    "spotify_data_pipeline_spark.plans.text_queries",
+    "spotify_data_pipeline_spark.plans.similarity_queries",
+    "spotify_data_pipeline_spark.plans.events_queries",
+)
+
+
+@dataclass(frozen=True)
+class DeclaredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # DuckDB SQL; None => driver's rows-only check
+    headline: bool = False  # included in bench.py
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, DeclaredQuery] = {}
+_LOADED = False
+
+
+def declare(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as a declared query under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = DeclaredQuery(name=name, fn=fn, oracle=oracle, headline=headline, tags=tags)
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _LOADED
+    if not _LOADED:
+        for mod in _QUERY_MODULES:
+            importlib.import_module(mod)
+        _LOADED = True
+
+
+def all_queries() -> dict[str, DeclaredQuery]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def headline_queries() -> dict[str, DeclaredQuery]:
+    return {k: q for k, q in all_queries().items() if q.headline}

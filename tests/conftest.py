@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import pytest
+
+from spotify_data_pipeline_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        driver_memory="8g",
+    )
+    yield s
