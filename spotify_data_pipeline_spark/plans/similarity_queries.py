@@ -62,9 +62,16 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via sign-random-projection LSH (4 tables ×
-    8 planes), exact re-rank within candidate buckets — the 100 TB path
-    when the query set itself is too large to broadcast."""
+    """Approximate top-5 via sign-random-projection LSH, exact re-rank
+    within candidate buckets — the 100 TB path when the query set itself
+    is too large to broadcast.
+
+    Parameter note: the testdata embeddings are near-uniform (top-5
+    neighbor angle ≈ 71°), so recall needs shallow buckets and several
+    tables (3 planes × 8 tables ⇒ ~0.86 expected recall). Clustered
+    real-world embeddings support more planes (deeper buckets, fewer
+    candidates) at the same recall — tune per corpus.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERY_VECS)
-    return cosine_topk_lsh(queries, emb, k=_TOP_K, dim=64, n_planes=8, n_tables=4)
+    return cosine_topk_lsh(queries, emb, k=_TOP_K, dim=64, n_planes=3, n_tables=8)

@@ -1,0 +1,90 @@
+"""Hand-computed fixture tests for the dedup operator family — the
+rows-only queries' correctness anchor (SURVEY.md §5.2 item 2/3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    first_wins_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+
+DOCS = [
+    # two exact duplicates (0, 1), one near-dup with a single word changed (2),
+    # one unrelated (3), one short doc (4)
+    (0, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2, "the quick brown fox jumps over the lazy cat and runs far away home"),
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_one_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    out = exact_dedup(df, ["k"]).collect()
+    assert sorted(r.k for r in out) == [1, 2, 3]
+
+
+def test_first_wins_dedup_explicit_order(spark):
+    df = spark.createDataFrame(
+        [(1, 3, "third"), (1, 1, "first"), (1, 2, "second"), (2, 9, "only")],
+        "k long, seq long, v string",
+    )
+    out = first_wins_dedup(df, ["k"], [F.col("seq").asc()]).collect()
+    got = {r.k: r.v for r in out}
+    assert got == {1: "first", 2: "only"}
+
+
+def test_ngram_jaccard_exact_values(spark, docs_df):
+    # doc0 vs doc1 identical -> jaccard 1.0; doc0 vs doc2: 14 tokens,
+    # 12 shingles each (k=3), one word changed at position 8 -> 3 shingles
+    # differ per side: common = 9, union = 12 + 12 - 9 = 15 -> 0.6
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(docs_df, threshold=0.1).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == pytest.approx(0.6, abs=1e-4)
+    assert (0, 3) not in pairs  # unrelated
+    assert (1, 2) in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_df):
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           minhash_lsh_dedup(docs_df, jaccard_threshold=0.5).collect()}
+    assert out[(0, 1)] == 1.0  # exact dup always collides in every band
+    assert (0, 2) in out  # near-dup at jaccard 0.6 should be caught
+    assert all(j >= 0.5 for j in out.values())
+    assert not any({a, b} & {3} for a, b in out)  # unrelated doc never pairs
+
+
+def test_simhash_exact_dups_hamming_zero(spark, docs_df):
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_dedup(docs_df).collect()}
+    assert out.get((0, 1)) == 0
+    # near-dup doc2 shares almost all tokens -> low hamming, usually <= 3
+    assert all(h <= 3 for h in out.values())
+
+
+def test_embedding_neardup_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),  # nearly identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {(r.id_a, r.id_b): r.cos for r in embedding_neardup(df, threshold=0.95).collect()}
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)] >= 0.999

@@ -1,0 +1,141 @@
+"""Fixture tests: deterministic sampling, batching, as-of join, LSH
+recall, language ID, approx-distinct accuracy (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.operators.asof import asof_join, asof_join_pandas
+from spotify_data_pipeline_spark.operators.batching import (
+    assign_batch_ids,
+    assign_batch_ids_scalable,
+)
+from spotify_data_pipeline_spark.operators.sampling import deterministic_sample
+from spotify_data_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from spotify_data_pipeline_spark.operators.textops import language_id
+
+
+def test_deterministic_sample_stable_across_runs_and_partitionings(spark):
+    """SURVEY §2.6 O3: same seed ⇒ same sample — the reference relies on
+    this as an inter-task contract (no XCom; extract_albums re-derives)."""
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    s1 = sorted(r.k for r in deterministic_sample(df, ["k"], 20, seed=20250901).collect())
+    s2 = sorted(r.k for r in deterministic_sample(df, ["k"], 20, seed=20250901).collect())
+    assert s1 == s2 and len(s1) == 20
+    # stable under a different partitioning (df.sample(seed=) is NOT)
+    s3 = sorted(
+        r.k
+        for r in deterministic_sample(df.repartition(17), ["k"], 20, seed=20250901).collect()
+    )
+    assert s1 == s3
+    # different seed (different day) ⇒ different sample
+    s4 = sorted(r.k for r in deterministic_sample(df, ["k"], 20, seed=20250902).collect())
+    assert s1 != s4
+    # cap-or-all semantics
+    small = spark.range(5).withColumnRenamed("id", "k")
+    assert deterministic_sample(small, ["k"], 20, seed=1).count() == 5
+
+
+def test_batch_ids_dense_and_bounded(spark):
+    """SURVEY §2.5: replicate create_artist_batches semantics — 1100 rows,
+    batch_size 500 ⇒ batches 1,2,3 of sizes 500/500/100."""
+    df = spark.range(1100).withColumnRenamed("id", "k")
+    out = assign_batch_ids(df, ["k"], 500).groupBy("batch_id").count().collect()
+    got = {r.batch_id: r["count"] for r in out}
+    assert got == {1: 500, 2: 500, 3: 100}
+
+
+def test_batch_ids_scalable_matches_window_variant(spark):
+    df = spark.range(1100).withColumnRenamed("id", "k")
+    a = {(r.k, r.batch_id) for r in assign_batch_ids(df, ["k"], 500).collect()}
+    b = {(r.k, r.batch_id) for r in assign_batch_ids_scalable(df, ["k"], 500, partitions=7).collect()}
+    assert a == b
+
+
+_TS = dt.datetime
+
+
+def _events_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _TS(2024, 1, 1, 10, 0)),
+            (2, 10, _TS(2024, 1, 1, 11, 0)),
+            (3, 20, _TS(2024, 1, 1, 9, 0)),  # no prior right row
+            (4, 30, _TS(2024, 1, 1, 12, 0)),  # user with no right rows at all
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _TS(2024, 1, 1, 9, 30), 1.0),
+            (10, _TS(2024, 1, 1, 10, 0), 2.0),  # ties with left event 1 (<= matches)
+            (10, _TS(2024, 1, 1, 10, 45), 3.0),
+            (20, _TS(2024, 1, 1, 9, 30), 4.0),  # after left event 3
+        ],
+        "user_id long, ts timestamp, px double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_semantics(spark):
+    left, right = _events_fixture(spark)
+    out = {r.event_id: (r.ts_right, r.px_right) for r in
+           asof_join(left, right, on="ts", by="user_id", value_cols=["px"]).collect()}
+    assert out[1] == (_TS(2024, 1, 1, 10, 0), 2.0)  # <= tie matches
+    assert out[2] == (_TS(2024, 1, 1, 10, 45), 3.0)
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+
+
+def test_asof_join_pandas_agrees(spark):
+    left, right = _events_fixture(spark)
+    a = {(r.event_id, r.ts_right, r.px_right) for r in
+         asof_join(left, right, on="ts", by="user_id", value_cols=["px"]).collect()}
+    b = {(r.event_id, r.ts_right, r.px_right) for r in
+         asof_join_pandas(left, right, on="ts", by="user_id", value_cols=["px"]).collect()}
+    assert a == b
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk_bruteforce(queries, emb, k=5).collect()}
+    # testdata embeddings are near-uniform (top-5 angle ~71 deg) — use
+    # shallow buckets + more tables; expected recall ~0.86
+    approx = {(r.query_id, r.neighbor_id) for r in
+              cosine_topk_lsh(queries, emb, k=5, dim=64, n_planes=3, n_tables=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} too low"
+
+
+def test_language_id_deterministic_and_sane(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and the dog is with a friend"),
+            (2, "der hund ist nicht mit der katze und das haus ist zu"),
+            (3, "le chat est dans la maison et les chiens pour une personne"),
+            (4, "el gato es no para los perros y una casa en madrid"),
+            (5, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+    out2 = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert out == out2
+
+
+def test_approx_distinct_within_rsd(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_orderkey").alias("n")).collect()[0].n
+    approx = li.select(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n")
+    ).collect()[0].n
+    assert abs(approx - exact) / exact < 0.1
