@@ -1,0 +1,80 @@
+"""Declared multimodal queries (SURVEY.md §2.12).
+
+The testdata has no binary media column, so the declared queries
+synthesize one deterministically (encode(text) → binary) and exercise
+the real plumbing: JVM-side metadata/checksum, Arrow-batched feature
+extraction with the deterministic fake decoder, frame sampling.
+The metadata pass is exact-SQL-expressible → DuckDB oracle; the
+mapInPandas feature pass is rows-only + pytest-covered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.multimodal import (
+    attach_media_metadata,
+    extract_media_features,
+    fake_decoder,
+    sample_frames,
+)
+from spotify_data_pipeline_spark.plans.registry import declare
+
+
+def _with_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+
+
+@declare(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free media triage (byte length + checksum), JVM-side —
+    the pass that runs over ALL blobs at 100 TB before any decode."""
+    media = _with_media(spark, sf_dir)
+    return attach_media_metadata(media).select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@declare(
+    "multimodal_features",
+    oracle=None,  # Arrow/mapInPandas feature extraction → rows-only + pytest
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the Arrow batch path (deterministic
+    fake decoder standing in for the media library)."""
+    media = _with_media(spark, sf_dir)
+    out = extract_media_features(media, decoder=fake_decoder, feature_dim=8)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        "feature",
+    )
+
+
+@declare(
+    "multimodal_frame_sample",
+    oracle=None,  # byte-slicing stand-in for keyframe extraction → rows-only
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: explode each blob into n sampled chunks."""
+    media = _with_media(spark, sf_dir)
+    frames = sample_frames(media, n_frames=4, frame_bytes=32)
+    return frames.select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))

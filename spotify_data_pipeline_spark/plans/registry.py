@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "spotify_data_pipeline_spark.plans.text_queries",
     "spotify_data_pipeline_spark.plans.similarity_queries",
     "spotify_data_pipeline_spark.plans.events_queries",
+    "spotify_data_pipeline_spark.plans.multimodal_queries",
 )
 
 

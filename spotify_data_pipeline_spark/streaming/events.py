@@ -1,0 +1,77 @@
+"""Streaming event pipelines (SURVEY.md §2.10).
+
+Each builder takes an *unbounded* events DataFrame (``readStream``) and
+returns the transformed streaming DataFrame; the caller attaches a sink.
+The SAME transformations run in batch mode (plans/events_queries.py) —
+that is how their semantics are DuckDB-hash-checked; these streaming
+twins add watermarking/state and are validated by the synchronous
+memory-sink tests in tests/test_streaming.py.
+
+Scale notes: streaming state is keyed by (window, event_type) /
+(session, user) / event_id respectively; watermarks bound state size —
+without them windowed state grows forever at 100 TB/day. Shuffle
+partitions size the state store; AQE does not apply to streaming, so
+``spark.sql.shuffle.partitions`` matters at stream start.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.plans.parity import rnd
+
+
+def read_events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
+    """File-source stream over the events parquet directory.
+
+    maxFilesPerTrigger=1 keeps micro-batches small in tests. The NANOS
+    timestamp issue (io.py) applies here too: read ts as long and
+    convert with integer division.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}")
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
+def tumbling_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of events_tumbling_window: watermarked tumbling
+    aggregate. Late rows beyond the watermark are dropped; state for a
+    window is freed once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), rnd(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization via session_window — the stateful twin of
+    the batch lag+cumsum plan (plans/events_queries.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup by event_id: duplicates arriving within
+    the watermark horizon are suppressed, and state is bounded by it
+    (SURVEY §2.10 'stateful dedup')."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, and the
+stubbed-decoder contract (SURVEY.md §2.12 multimodal columns)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_image,
+    extract_media_features,
+    fake_decoder,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, bytes(range(200))),
+        (2, b"\x00" * 50),
+        (3, bytes(range(200))),  # exact duplicate of 1
+        (4, b""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, media binary")
+
+
+def test_metadata_is_jvm_side_and_dedupable(spark, media_df):
+    out = attach_media_metadata(media_df).select("doc_id", "media_meta.*")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_bytes == 200 and rows[2].n_bytes == 50
+    assert rows[1].checksum == rows[3].checksum  # dup detection pre-decode
+    assert rows[1].checksum != rows[2].checksum
+
+
+def test_extract_features_with_fake_decoder(spark, media_df):
+    out = extract_media_features(media_df, decoder=fake_decoder, feature_dim=8)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "media_meta", "feature"]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert len(rows[1].feature) == 8
+    assert rows[1].feature == rows[3].feature  # deterministic
+    assert abs(sum(rows[1].feature) - 1.0) < 1e-6  # normalized histogram
+    assert rows[1].media_meta.width is not None
+    # stable under repartitioning (map-only operator)
+    out2 = extract_media_features(media_df.repartition(3), decoder=fake_decoder, feature_dim=8)
+    rows2 = {r.doc_id: list(r.feature) for r in out2.collect()}
+    assert rows2[1] == list(rows[1].feature)
+
+
+def test_decode_stub_raises_clearly(spark, media_df):
+    out = extract_media_features(media_df, decoder=decode_image)
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        out.collect()
+
+
+def test_sample_frames_shape(spark, media_df):
+    frames = sample_frames(media_df, n_frames=4, frame_bytes=32)
+    rows = frames.where(F.col("doc_id") == 1).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    assert all(1 <= len(r.frame) <= 32 for r in rows)
+    # empty blob yields no frames
+    assert frames.where(F.col("doc_id") == 4).count() == 0

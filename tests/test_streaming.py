@@ -1,0 +1,102 @@
+"""Streaming tests: drive each streaming pipeline synchronously with the
+memory sink (processAllAvailable) and check against the batch twin —
+the §2.10 'no DuckDB oracle' test rig (SURVEY §7.2 hard-point 3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.streaming.events import (
+    dedup_within_watermark,
+    session_aggregate,
+    tumbling_counts,
+)
+
+_TS = dt.datetime
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """A small on-disk parquet events table the file-source stream reads.
+    Two files => two micro-batches with maxFilesPerTrigger=1."""
+    rows1 = [
+        (1, _TS(2024, 1, 1, 10, 1), 10, "click", 1.0),
+        (2, _TS(2024, 1, 1, 10, 4), 10, "click", 2.0),
+        (3, _TS(2024, 1, 1, 10, 12), 11, "view", 3.0),
+        (3, _TS(2024, 1, 1, 10, 12), 11, "view", 3.0),  # duplicate event_id
+    ]
+    rows2 = [
+        (4, _TS(2024, 1, 1, 10, 14), 10, "click", 4.0),
+        (5, _TS(2024, 1, 1, 11, 30), 10, "click", 5.0),  # new session (>30m gap)
+        (3, _TS(2024, 1, 1, 10, 12), 11, "view", 3.0),  # dup again, later batch
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = tmp_path / "events_stream"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(str(d / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(d / "f1"))
+    return str(d / "f1")
+
+
+def _run_stream(spark, stream_df, name: str, mode: str) -> list:
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"/tmp/ckpt_{name}_{uuid.uuid4().hex}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _read_stream(spark, path: str):
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+
+def test_tumbling_counts_matches_batch(spark, events_dir):
+    stream = tumbling_counts(_read_stream(spark, events_dir))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in _run_stream(spark, stream, "t_tumble", "complete")
+    }
+    batch = spark.read.parquet(events_dir)
+    expect = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in (
+            batch.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        ).collect()
+    }
+    assert got == expect
+    # sanity: the 10:00-10:10 click window holds events 1,2
+    w0 = _TS(2024, 1, 1, 10, 0)
+    assert got[(w0, "click")][0] == 2
+
+
+def test_session_aggregate_splits_on_gap(spark, events_dir):
+    stream = session_aggregate(_read_stream(spark, events_dir))
+    rows = _run_stream(spark, stream, "t_sess", "complete")
+    u10 = sorted(
+        [(r.session_start, r.n_events) for r in rows if r.user_id == 10]
+    )
+    # user 10: events at 10:01,10:04,10:14 chain into one session
+    # (each gap < 30m); 11:30 starts a new one
+    assert len(u10) == 2
+    assert u10[0][1] == 3 and u10[1][1] == 1
+
+
+def test_dedup_within_watermark_suppresses_dups(spark, events_dir):
+    stream = dedup_within_watermark(_read_stream(spark, events_dir))
+    rows = _run_stream(spark, stream, "t_dedup", "append")
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3, 4, 5]  # event 3 emitted exactly once
