@@ -113,16 +113,25 @@ def fingerprint_rolling(
 
     sh = shingles(tokens(F.col(text_col)), 3)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    n = F.size(hashes)
-    win_mins = F.when(
-        n >= window,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(window - 1)),
-                lambda i: F.array_min(F.slice(hashes, i, window)),
-            )
-        ),
-    ).otherwise(F.when(n > 0, F.array(F.array_min(hashes))).otherwise(F.array().cast("array<bigint>")))
+
+    # bind the hash array to a lambda variable so the shingle/hash tree
+    # is evaluated once per row, not once per window position (see
+    # functions/text.shingles for the same pattern + measurement)
+    def _winnow(h: Column) -> Column:
+        n = F.size(h)
+        return F.when(
+            n >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(window - 1)),
+                    lambda i: F.array_min(F.slice(h, i, window)),
+                )
+            ),
+        ).otherwise(
+            F.when(n > 0, F.array(F.array_min(h))).otherwise(F.array().cast("array<bigint>"))
+        )
+
+    win_mins = F.element_at(F.transform(F.array(hashes), _winnow), 1)
     return df.withColumn(out_col, F.array_sort(win_mins))
 
 

@@ -1,0 +1,73 @@
+"""Physical-plan checks (the 100 TB discipline, SURVEY.md §4.3):
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, global top-k avoids a total sort. These assert on
+``explain`` output so a plan regression fails CI, not just a benchmark.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    q = all_queries()["scan_pruned_projection"]
+    plan = plan_of(q.fn(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # ReadSchema carries only the needed columns — price comes from
+    # l_extendedprice; the other 8 lineitem columns must be absent
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"):
+        assert col in read_schema
+    for col in ("l_partkey", "l_suppkey", "l_quantity", "l_discount", "l_tax"):
+        assert col not in read_schema
+
+
+def test_flagship_filter_pushed(spark):
+    q = all_queries()["agg_pricing_summary"]
+    plan = plan_of(q.fn(spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    assert "HashAggregate" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    q = all_queries()["join_inner_denormalize"]
+    plan = plan_of(q.fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region both broadcast
+    assert "SortMergeJoin" not in plan  # fact side never shuffles
+
+
+def test_global_topk_no_total_sort(spark):
+    q = all_queries()["topk_global"]
+    plan = plan_of(q.fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, not a global Sort+Limit
+
+
+def test_semi_anti_plan_shapes(spark):
+    qs = all_queries()
+    semi = plan_of(qs["join_semi_exists"].fn(spark, SF))
+    anti = plan_of(qs["join_anti_not_exists"].fn(spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_events_scan_prunes_columns(spark):
+    q = all_queries()["events_json_extract"]
+    plan = plan_of(q.fn(spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" in read_schema and "event_type" in read_schema
+    assert "user_id" not in read_schema and "value" not in read_schema
