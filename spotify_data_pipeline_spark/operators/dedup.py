@@ -157,7 +157,24 @@ def minhash_lsh_dedup(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # ONE tokenization pass: the hashed shingle sets feed both the
+    # signature computation (explode + affine mins, y derived from x by
+    # an integer re-hash — no second pass over the strings) and the
+    # exact-Jaccard verification at the end.
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_k).cache()
+    ex = hs.select(id_col, F.explode("hset").alias("_x")).select(
+        id_col,
+        F.col("_x"),
+        F.xxhash64("_x").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_y"),
+    )
+    mins = [
+        F.min(F.col("_x") + i * F.col("_y")).alias(f"_h{i}")
+        for i in range(1, num_hashes + 1)
+    ]
+    sig = ex.groupBy(id_col).agg(*mins).select(
+        id_col,
+        F.array(*[F.col(f"_h{i}") for i in range(1, num_hashes + 1)]).alias("signature"),
+    )
 
     # band hash = xxhash64 over the slice of the signature for that band
     band_entries = sig.select(
@@ -194,7 +211,9 @@ def minhash_lsh_dedup(
         .distinct()
     )
 
-    jac = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_k)
+    hs_a = hs.select(F.col(id_col).alias("id_a"), F.col("hset").alias("hset_a"))
+    hs_b = hs.select(F.col(id_col).alias("id_b"), F.col("hset").alias("hset_b"))
+    jac = _jaccard_from_hsets(candidates.join(hs_a, "id_a").join(hs_b, "id_b"))
     return jac.where(F.col("jaccard") >= jaccard_threshold)
 
 

@@ -436,3 +436,81 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("o_totalprice", 2).alias("total_price"),
         )
     )
+
+
+@declare(
+    "setop_union_all",
+    oracle="""
+    SELECT nation_id, CAST(count(*) AS BIGINT) AS n_rows FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation_id FROM customer
+      UNION ALL
+      SELECT CAST(s_nationkey AS BIGINT) AS nation_id FROM supplier
+    ) GROUP BY nation_id
+    """,
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all preserving multiplicity (SURVEY §2.7 U1 — the
+    reference's accumulating union over per-batch blobs,
+    spotify_etl_v2.py:76-87), aggregated so the oracle hash is stable."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation_id")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nation_id")
+    )
+    return c.unionByName(s).groupBy("nation_id").agg(F.count("*").alias("n_rows"))
+
+
+@declare(
+    "join_large_sort_merge",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+    headline=True,
+    tags=("join", "sort_merge"),
+)
+def join_large_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join (orders ⋈ lineitem) — the shuffle join the
+    engine must get right at 100 TB: sort-merge by default, both sides
+    hash-partitioned on the key, AQE free to switch strategy or split
+    skewed partitions at runtime. The orderdate filter is pushed to the
+    orders scan so the join's build of shuffled rows is pre-reduced."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_lines"), rnd(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+@declare(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "shuffle_hash"),
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same join planned as a shuffled hash join via hint (SURVEY J6:
+    the engine exposes all three equi-join strategies; SHUFFLE_HASH
+    avoids the sort when one side fits a per-partition hash map)."""
+    o = load_table(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n_lines"))
+    )

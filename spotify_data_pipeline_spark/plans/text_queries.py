@@ -251,3 +251,18 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (doc_id, lang, pred_lang) for offline accuracy inspection."""
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs, "text").select("doc_id", "lang", "pred_lang")
+
+
+@declare(
+    "text_bpe_token_count",
+    oracle=None,  # lookaround-split semantics differ across engines → rows-only
+    tags=("text", "tokens"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting (SURVEY §2.12): words, numbers, and
+    punctuation marks each count — the cheap stand-in for a real
+    tokenizer when budgeting LLM training data."""
+    from spotify_data_pipeline_spark.operators.textops import token_count_bpe_ish
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_count_bpe_ish(docs).select("doc_id", "n_bpe_tokens")

@@ -207,3 +207,34 @@ def sample_seeded_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(c, key_cols=["c_custkey"], n=20, seed=20250901).select(
         F.col("c_custkey").alias("customer_id"), F.col("c_name").alias("customer_name")
     )
+
+
+@declare(
+    "window_first_last",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_nationkey AS nation_id,
+           first_value(c_custkey) OVER w AS richest_id,
+           last_value(c_custkey) OVER w AS poorest_id,
+           floor((max(c_acctbal) OVER w - c_acctbal) * 100 + 0.5) / 100 AS gap_to_top
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last analytic functions over an unbounded frame plus an
+    aggregate-over-frame (SURVEY §2.5)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_nationkey").alias("nation_id"),
+        F.first("c_custkey").over(w).alias("richest_id"),
+        F.last("c_custkey").over(w).alias("poorest_id"),
+        rnd(F.max("c_acctbal").over(w) - F.col("c_acctbal"), 2).alias("gap_to_top"),
+    )

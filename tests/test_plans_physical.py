@@ -71,3 +71,9 @@ def test_events_scan_prunes_columns(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "props" in read_schema and "event_type" in read_schema
     assert "user_id" not in read_schema and "value" not in read_schema
+
+
+def test_shuffle_hash_hint_respected(spark):
+    q = all_queries()["join_shuffle_hash_hint"]
+    plan = plan_of(q.fn(spark, SF))
+    assert "ShuffledHashJoin" in plan
