@@ -35,6 +35,14 @@ def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
     the cluster's parallelism when the input is under-split; a no-op on
     well-partitioned (large-scale) inputs."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    # inputFiles() is a metadata call (~4ms); .rdd.getNumPartitions()
+    # forces plan-to-RDD conversion (~250ms) — only fall back to it for
+    # non-file-backed plans.
+    files = df.inputFiles()
+    if files:
+        if len(files) >= target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
