@@ -284,3 +284,62 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(rnd(F.sum("l_quantity"), 2))
     )
     return piv.select("l_returnflag", F.col("O").alias("O"), F.col("F").alias("F"))
+
+
+@declare(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT c.c_custkey AS customer_id,
+           floor((c.c_acctbal) * 100 + 0.5) / 100 AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+    tags=("subquery",),
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SURVEY §4.1 'subquery handling'):
+    customers above their own nation's average balance. Catalyst
+    decorrelates this into an aggregate + join — asserted healthy by the
+    oracle match rather than hand-built, which is the point: declare the
+    semantics, let the optimizer pick the plan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS customer_id,
+               floor(c.c_acctbal * 100 + 0.5) / 100 AS acctbal
+        FROM customer_sq c
+        WHERE c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer_sq c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@declare(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           floor((quantile_cont(c_acctbal, 0.5)) * 100 + 0.5) / 100 AS median_bal,
+           floor((quantile_cont(c_acctbal, 0.9)) * 100 + 0.5) / 100 AS p90_bal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per group — Spark `percentile`
+    and DuckDB `quantile_cont` share linear-interpolation semantics.
+    Scale note: exact percentiles sort each group's values; for 100 TB
+    hot paths prefer `approx_percentile` (see agg_approx_distinct for
+    the approx-sketch pattern)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        rnd(F.expr("percentile(c_acctbal, 0.5)"), 2).alias("median_bal"),
+        rnd(F.expr("percentile(c_acctbal, 0.9)"), 2).alias("p90_bal"),
+        F.count("*").alias("n"),
+    )

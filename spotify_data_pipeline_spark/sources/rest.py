@@ -49,6 +49,11 @@ class ApiClient(Protocol):
         """One page of tracks (:228-268)."""
         ...
 
+    def search_artists(self, query: str, limit: int) -> list[dict[str, Any]]:
+        """Top-k artist search: name → ≤limit (id, name) candidates
+        (search_artist_id_and_name.py:37-46, SURVEY S8)."""
+        ...
+
 
 @dataclass
 class FakeSpotifyClient:
@@ -59,6 +64,7 @@ class FakeSpotifyClient:
     artists_by_id: dict[str, dict[str, Any]] = field(default_factory=dict)
     albums_by_artist: dict[str, list[dict[str, Any]]] = field(default_factory=dict)
     tracks_by_album: dict[str, list[dict[str, Any]]] = field(default_factory=dict)
+    search_index: dict[str, list[dict[str, Any]]] = field(default_factory=dict)
 
     def artists(self, ids: list[str]) -> list[dict[str, Any]]:
         return [self.artists_by_id[i] for i in ids if i in self.artists_by_id]
@@ -73,6 +79,9 @@ class FakeSpotifyClient:
 
     def album_tracks(self, album_id: str, limit: int, offset: int) -> dict[str, Any]:
         return self._page(self.tracks_by_album.get(album_id, []), limit, offset)
+
+    def search_artists(self, query: str, limit: int) -> list[dict[str, Any]]:
+        return self.search_index.get(query, [])[:limit]
 
 
 class TokenBucket:
