@@ -1,0 +1,91 @@
+"""Upsert / MERGE emulation without a table format (SURVEY.md §2.1 S12,
+§4.2 'gold should be idempotent MERGE or partition-replace').
+
+The reference's gold zone is BigQuery WRITE_APPEND — retried loads
+double-append. With Delta/Iceberg absent (not in this environment), the
+engine provides the two safe patterns:
+
+- partition replace: pipeline/etl.py (dynamic per-date overwrite);
+- key-level MERGE: ``merge_upsert`` below — the classic
+  anti-join + union rewrite, plus ``scd2_apply`` for slowly-changing
+  history. Each produces a NEW dataframe to write out atomically
+  (write-temp-then-swap at the storage layer).
+
+Scale: one shuffle on the merge key each for the anti-join and the
+dedup of updates; both sides prunable if the target is partitioned and
+the updates carry partition predicates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column] | None = None,
+) -> DataFrame:
+    """MERGE: rows from ``updates`` win over ``target`` on key match;
+    unmatched target rows pass through (upsert semantics).
+
+    If ``updates`` itself carries duplicate keys, ``order_by`` picks the
+    winner (first under that order); without it an arbitrary row wins.
+    """
+    if order_by is not None:
+        w = Window.partitionBy(*keys).orderBy(*order_by)
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        updates = updates.dropDuplicates(list(keys))
+    keep = target.join(updates.select(*keys), on=list(keys), how="left_anti")
+    return keep.unionByName(updates)
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    effective_col: str,
+    end_col: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out the current version of
+    each updated key (set ``valid_to`` / drop the current flag) and
+    append the update as the new current version.
+
+    ``current`` must carry ``end_col`` (nullable timestamp) and
+    ``current_flag`` (boolean); ``updates`` carries the business columns
+    + ``effective_col``.
+    """
+    upd_keys = updates.select(*keys).distinct()
+    eff = updates.select(*keys, F.col(effective_col).alias("_new_eff"))
+
+    # rows of unchanged keys pass through untouched
+    untouched = current.join(upd_keys, on=list(keys), how="left_anti")
+
+    # current versions of changed keys are closed out at the update's
+    # effective time
+    closed = (
+        current.join(upd_keys, on=list(keys), how="left_semi")
+        .join(eff, on=list(keys))
+        .withColumn(
+            end_col,
+            F.when(F.col(current_flag), F.col("_new_eff")).otherwise(F.col(end_col)),
+        )
+        .withColumn(current_flag, F.lit(False))
+        .drop("_new_eff")
+    )
+
+    new_rows = (
+        updates.withColumn(end_col, F.lit(None).cast(current.schema[end_col].dataType))
+        .withColumn(current_flag, F.lit(True))
+    )
+    return untouched.unionByName(closed).unionByName(new_rows.select(*untouched.columns))

@@ -170,3 +170,27 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.col("ts_right").alias("last_click_ts"),
     )
+
+
+@declare(
+    "events_props_map",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_props
+    FROM events
+    """,
+    tags=("events", "map", "json"),
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function surface (SURVEY §2.9 F8: map_keys / element_at /
+    size) over the JSON props column parsed into map<string,bigint>."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).cast("long").alias("n_props"),
+    )

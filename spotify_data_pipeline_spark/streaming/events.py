@@ -75,3 +75,37 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     the watermark horizon are suppressed, and state is bounded by it
     (SURVEY §2.10 'stateful dedup')."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
+    §2.10): per-user lifetime running totals (event count + value sum),
+    emitted once per micro-batch per active user.
+
+    This is the escape hatch for stateful semantics the built-in
+    windowed aggregates can't express (cross-window lifetime state,
+    custom eviction). State is one small tuple per user — bounded by
+    |users|, not by stream length; pair with a timeout policy for
+    unbounded key spaces.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -100,3 +100,27 @@ def test_dedup_within_watermark_suppresses_dups(spark, events_dir):
     rows = _run_stream(spark, stream, "t_dedup", "append")
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3, 4, 5]  # event 3 emitted exactly once
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    from spotify_data_pipeline_spark.streaming.events import running_user_totals
+
+    stream = running_user_totals(_read_stream(spark, events_dir))
+    rows = _run_stream(spark, stream, "t_state", "update")
+    # memory sink keeps one row per (micro-batch, user) emission; the
+    # LAST emission per user must equal the batch ground truth
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n_events, r.total_value)
+    batch = spark.read.parquet(events_dir)
+    expect = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert last == expect
+    # state accumulated ACROSS micro-batches: user 10 appears in both
+    # files, so some emission for user 10 must show a partial count
+    u10_counts = sorted({r.n_events for r in rows if r.user_id == 10})
+    assert u10_counts[-1] == 4 and len(u10_counts) >= 2

@@ -1,0 +1,56 @@
+"""MERGE-emulation tests: upsert semantics, update-dedup, SCD2 history."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.operators.upsert import merge_upsert, scd2_apply
+
+_TS = dt.datetime
+
+
+def test_merge_upsert_updates_win_and_inserts_append(spark):
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "k long, v string"
+    )
+    updates = spark.createDataFrame([(2, "new2"), (4, "new4")], "k long, v string")
+    out = {r.k: r.v for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {1: "old1", 2: "new2", 3: "old3", 4: "new4"}
+
+
+def test_merge_upsert_dedups_updates_by_order(spark):
+    target = spark.createDataFrame([(1, "old", 0)], "k long, v string, seq long")
+    updates = spark.createDataFrame(
+        [(1, "late", 9), (1, "early", 5)], "k long, v string, seq long"
+    )
+    out = merge_upsert(target, updates, ["k"], order_by=[F.col("seq").desc()]).collect()
+    assert len(out) == 1 and out[0].v == "late"
+
+
+def test_scd2_closes_and_appends(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "addr_a", _TS(2020, 1, 1), None, True),
+            (1, "addr_old", _TS(2010, 1, 1), _TS(2020, 1, 1), False),
+            (2, "addr_b", _TS(2021, 1, 1), None, True),
+        ],
+        "k long, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "addr_new", _TS(2024, 6, 1))], "k long, addr string, valid_from timestamp"
+    )
+    out = scd2_apply(current, updates, ["k"], effective_col="valid_from")
+    rows = sorted(
+        [(r.k, r.addr, r.valid_to, r.is_current) for r in out.collect()],
+        key=lambda t: (t[0], str(t[1])),
+    )
+    # key 1: old history row untouched-but-flagged-false, previous current
+    # closed at 2024-06-01, new current appended; key 2 untouched
+    by_addr = {(k, a): (vt, cur) for k, a, vt, cur in rows}
+    assert by_addr[(1, "addr_a")] == (_TS(2024, 6, 1), False)
+    assert by_addr[(1, "addr_old")] == (_TS(2020, 1, 1), False)
+    assert by_addr[(1, "addr_new")] == (None, True)
+    assert by_addr[(2, "addr_b")] == (None, True)
+    assert len(rows) == 4
