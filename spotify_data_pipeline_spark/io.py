@@ -40,13 +40,28 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized parquet reader rejects. Read nanos as long (legacy conf)
     and convert with *integer* division — ts/1000 in double arithmetic
     would lose precision at 1.7e18 — to the microsecond timestamps every
-    other engine (incl. the DuckDB oracle) sees."""
+    other engine (incl. the DuckDB oracle) sees.
+
+    The legacy conf is SCOPED: set for the read call and restored right
+    after. The scan's hadoop conf is captured at analysis time, so the
+    returned DataFrame executes correctly later while co-resident
+    queries reading other nanos parquet see an unchanged session
+    (verified by the execute-after-restore test in tests).
+    """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    finally:
+        if prior is None:
+            spark.conf.set(key, "false")
+        else:
+            spark.conf.set(key, prior)
     return raw
 
 

@@ -25,8 +25,28 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import weakref
+
 from spotify_data_pipeline_spark.functions.text import shingles, tokens
 from spotify_data_pipeline_spark.plans.parity import rnd
+
+
+def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Free ``cached``'s blocks when ``result`` is garbage-collected.
+
+    cache() entries live in the session's CacheManager until unpersist —
+    a returned lazy plan can't unpersist eagerly, so without this a
+    long-lived session (bench loop, driver verify) pins the cached
+    shingle sets/signatures across query invocations."""
+
+    def _cleanup(df: DataFrame = cached) -> None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+    weakref.finalize(result, _cleanup)
+    return result
 
 
 def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
@@ -222,7 +242,7 @@ def minhash_lsh_dedup(
     hs_a = hs.select(F.col(id_col).alias("id_a"), F.col("hset").alias("hset_a"))
     hs_b = hs.select(F.col(id_col).alias("id_b"), F.col("hset").alias("hset_b"))
     jac = _jaccard_from_hsets(candidates.join(hs_a, "id_a").join(hs_b, "id_b"))
-    return jac.where(F.col("jaccard") >= jaccard_threshold)
+    return _unpersist_with(jac.where(F.col("jaccard") >= jaccard_threshold), hs)
 
 
 def _jaccard_from_hsets(pairs_with_sets: DataFrame) -> DataFrame:
@@ -266,27 +286,41 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard similarity join via sparse shingle
-    self-join (no LSH — exact). Output (id_a, id_b, jaccard ≥ threshold).
+    """n-gram Jaccard similarity join via sparse shingle self-join
+    (no LSH). Output (id_a, id_b, jaccard ≥ threshold).
+
+    Semantics: per-document shingle-set sizes are the TRUE (uncapped)
+    sizes; the intersection count is computed over posting lists with
+    ubiquitous shingles (document frequency > max(100, 10% of corpus))
+    dropped. The reported jaccard is therefore exact while no shingle
+    exceeds the cap, and a *lower bound* once the cap bites — the cap
+    only ever removes common shingles from the numerator.
 
     Scale: the self-join on shingle is the standard sparse similarity
-    join; document-frequency capping of ubiquitous shingles (stopword
-    shingles) is the lever when a shingle's posting list explodes —
-    see the `max_df` filter below.
+    join; the document-frequency cap is what keeps hot posting lists
+    (stopword shingles) from exploding the join. The cap itself is
+    computed IN-PLAN (corpus count as a 1-row broadcast aggregate
+    cross-joined onto the shingle DF counts) — the operator builds one
+    lineage with no eager driver-side action.
     """
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_k)
+    # true set sizes, before any document-frequency capping
+    sizes = hs.select(id_col, F.size("hset").alias("n_shingles"))
     # posting list of hashed shingles (8-byte keys shuffle far lighter
     # than the shingle strings themselves)
-    sh = shingle_hash_sets(df, id_col, text_col, shingle_k).select(
-        id_col, F.explode("hset").alias("shingle")
-    )
+    sh = hs.select(id_col, F.explode("hset").alias("shingle"))
     # drop shingles appearing in >10% of the corpus (they blow up the
-    # self-join and contribute mostly-noise matches)
-    n_docs = df.count()
-    max_df = max(int(n_docs * 0.10), 100)
+    # self-join and contribute mostly-noise matches); the corpus size
+    # enters the plan as a broadcast 1-row aggregate, not df.count()
+    n_docs = df.agg(F.count("*").alias("_n_docs"))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    sh = sh.join(df_counts.where(F.col("_df") <= max_df), "shingle").select(id_col, "shingle")
+    keep = (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") <= F.greatest(F.lit(100), (F.col("_n_docs") * 0.10).cast("long")))
+        .select("shingle")
+    )
+    sh = sh.join(keep, "shingle").select(id_col, "shingle")
 
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -398,10 +432,11 @@ def simhash_dedup(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return (
+    return _unpersist_with(
         cand.withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        sig,
     )
 
 
@@ -419,9 +454,9 @@ def embedding_neardup(
     """Near-dup pairs by embedding cosine ≥ threshold (brute-force).
 
     Output (id_a, id_b, cos) with id_a < id_b, cos rounded 4dp.
-    Scale path: replace the cross join with LSH bucketing
-    (operators/similarity.py `random_projection_buckets`) and run this
-    verification within buckets only.
+    EXACT but O(n²) — the correctness anchor for tests only; the
+    declared/scale path is ``embedding_neardup_lsh`` below (bucketed
+    candidates, equi-join, no nested-loop join).
     """
     from spotify_data_pipeline_spark.functions.vectors import cosine_similarity
 
@@ -430,6 +465,60 @@ def embedding_neardup(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", rnd(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed_base: int = 7000,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold, candidates from
+    sign-random-projection LSH buckets (the 100 TB path).
+
+    Candidate generation is a *bucket equi-join* per hash table —
+    vectors meet only within their LSH bucket, never all-pairs — then
+    exact cosine verification on the candidate set. Output matches
+    ``embedding_neardup``: (id_a, id_b, cos 4dp), id_a < id_b, but is a
+    SUBSET of it (pairs colliding in no table are missed — that's the
+    LSH recall trade; raise n_tables / lower n_planes to raise recall).
+
+    Scale: shuffle key is the bucket id; n_planes sizes the bucket count
+    (2^n_planes) and should grow with the corpus (≈ log2(n_rows /
+    target_bucket_width)). Hyperplanes are deterministic (seeded), so
+    the result is reproducible and an external oracle can replicate the
+    exact bucketing (see plans/dedup_queries.py).
+    """
+    from spotify_data_pipeline_spark.functions.vectors import cosine_similarity
+    from spotify_data_pipeline_spark.operators.similarity import random_projection_buckets
+
+    parts = []
+    for t in range(n_tables):
+        bucketed = random_projection_buckets(
+            df, vec_col, dim, n_planes, seed=seed_base + t
+        )
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "lsh_bucket"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "lsh_bucket"
+        )
+        parts.append(
+            a.join(b, "lsh_bucket").where(F.col("id_a") < F.col("id_b")).drop("lsh_bucket")
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    return (
+        cand.withColumn("cos", rnd(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

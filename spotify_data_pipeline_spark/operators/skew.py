@@ -69,7 +69,17 @@ def salted_join(
     fact key's rows spread over salt_factor reducers. Worth it exactly
     when the dim is small relative to the hot key's row count but too
     big to broadcast.
+
+    Only ``inner`` and ``left`` (outer) joins are supported: the dim
+    side is replicated salt_factor×, so right/full joins would emit one
+    row per salt replica for unmatched dim keys, and semi/anti
+    membership would be evaluated against replicas.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left' only, got {how!r} "
+            "(dim replication breaks right/full/semi/anti semantics)"
+        )
     fact_cols = [c for c in facts.columns]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]), F.lit(salt_factor))
     f = facts.withColumn("_salt", salt)

@@ -64,28 +64,40 @@ def scd2_apply(
     ``current`` must carry ``end_col`` (nullable timestamp) and
     ``current_flag`` (boolean); ``updates`` carries the business columns
     + ``effective_col``.
+
+    Multiple updates per key in one batch CHAIN correctly: updates are
+    ordered by ``effective_col`` per key, each version is closed by the
+    next one's effective time (``lead``), only the last is current, and
+    the previously-current target row closes at the EARLIEST update's
+    effective time. Ties on ``effective_col`` within a key are broken
+    arbitrarily — pre-dedup updates if ties are possible.
     """
+    end_type = current.schema[end_col].dataType
     upd_keys = updates.select(*keys).distinct()
-    eff = updates.select(*keys, F.col(effective_col).alias("_new_eff"))
+    # earliest effective time per key closes the previously-current row
+    eff = updates.groupBy(*keys).agg(F.min(effective_col).alias("_new_eff"))
 
     # rows of unchanged keys pass through untouched
     untouched = current.join(upd_keys, on=list(keys), how="left_anti")
 
-    # current versions of changed keys are closed out at the update's
-    # effective time
+    # current versions of changed keys are closed out at the first
+    # update's effective time
     closed = (
-        current.join(upd_keys, on=list(keys), how="left_semi")
-        .join(eff, on=list(keys))
+        current.join(eff, on=list(keys), how="inner")
         .withColumn(
             end_col,
-            F.when(F.col(current_flag), F.col("_new_eff")).otherwise(F.col(end_col)),
+            F.when(F.col(current_flag), F.col("_new_eff").cast(end_type)).otherwise(
+                F.col(end_col)
+            ),
         )
         .withColumn(current_flag, F.lit(False))
         .drop("_new_eff")
     )
 
+    # chain the updates themselves: each closed by the next, last wins
+    w = Window.partitionBy(*keys).orderBy(F.col(effective_col).asc())
     new_rows = (
-        updates.withColumn(end_col, F.lit(None).cast(current.schema[end_col].dataType))
-        .withColumn(current_flag, F.lit(True))
+        updates.withColumn(end_col, F.lead(effective_col).over(w).cast(end_type))
+        .withColumn(current_flag, F.col(end_col).isNull())
     )
     return untouched.unionByName(closed).unionByName(new_rows.select(*untouched.columns))

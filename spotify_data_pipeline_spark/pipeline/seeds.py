@@ -56,8 +56,12 @@ def batch_names(spark: SparkSession, text_path: str, batch_size: int = 500) -> D
         normalize_whitespace(F.col("line")).alias("artist_name")
     )
     batched = assign_batch_ids(lines, order_by=["artist_name"], batch_size=batch_size)
-    return batched.groupBy("batch_id").agg(
-        F.sort_array(F.collect_list("artist_name")).alias("artist_names")
+    return (
+        batched.groupBy("batch_id")
+        .agg(F.sort_array(F.collect_list("artist_name")).alias("artist_names"))
+        # zero-padded blob name (F3: f'batch_{id:06d}.json',
+        # create_artist_batches.py:34)
+        .withColumn("blob_name", F.format_string("batch_%06d.json", "batch_id"))
     )
 
 

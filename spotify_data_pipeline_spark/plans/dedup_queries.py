@@ -13,12 +13,13 @@ from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
 from spotify_data_pipeline_spark.operators.dedup import (
-    embedding_neardup,
+    embedding_neardup_lsh,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash_dedup,
 )
+from spotify_data_pipeline_spark.operators.similarity import _projection_planes
 from spotify_data_pipeline_spark.plans.registry import declare
 
 
@@ -96,28 +97,69 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard", "text"),
 )
 def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard ≥ 0.5 via sparse shingle self-join."""
+    """3-gram Jaccard ≥ 0.5 via sparse shingle self-join (exact until the
+    document-frequency cap bites; then a lower bound — see operator)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text", threshold=0.5)
 
 
+_LSH_DIM, _LSH_PLANES, _LSH_TABLES, _LSH_SEED, _LSH_THRESHOLD = 64, 6, 4, 7000, 0.4
+
+
+def _embedding_lsh_oracle() -> str:
+    """DuckDB SQL replicating the EXACT LSH bucketing of
+    ``embedding_neardup_lsh`` — same deterministic hyperplanes (seeded
+    numpy, see similarity._projection_planes), same sign → bucket-id
+    packing, same OR-across-tables candidate rule, same 4dp rounded
+    cosine. Both engines sum dot products sequentially in float64, so
+    the bucket ids and cosines are bit-identical and the hash matches
+    non-trivially (≈15 rows at sf0.01 vs 0 for the old 0.95 threshold).
+    """
+    buckets = []
+    for t in range(_LSH_TABLES):
+        planes = _projection_planes(_LSH_DIM, _LSH_PLANES, _LSH_SEED + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, CAST([{', '.join(repr(x) for x in plane)}] AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        buckets.append(f"({bits}) AS b{t}")
+    bucket_cols = ",\n           ".join(buckets)
+    same_bucket = " OR ".join(f"a.b{t} = c.b{t}" for t in range(_LSH_TABLES))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, e,
+           {bucket_cols}
+          FROM v),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             floor(list_dot_product(a.e, c.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e)))
+               * 10000 + 0.5) / 10000 AS cos
+      FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({same_bucket})
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= {_LSH_THRESHOLD}
+    """
+
+
 @declare(
     "dedup_embedding_cosine",
-    oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           floor((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 10000 + 0.5) / 10000 AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE floor((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 10000 + 0.5) / 10000 >= 0.95
-    """,
-    tags=("dedup", "embedding"),
+    oracle=_embedding_lsh_oracle(),
+    tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.95 (brute force — the exact
-    anchor; the LSH-bucketed variant is the 100 TB path, see
-    operators/similarity.py)."""
+    """Embedding-cosine near-dup pairs ≥ 0.4 with LSH-bucketed candidate
+    generation (SURVEY §2.12) — bucket equi-joins, no all-pairs
+    nested-loop join (plan-asserted in tests/test_plans_physical.py).
+    The DuckDB oracle replicates the deterministic bucketing, so the
+    approximate operator still gets an exact hash-match; the brute-force
+    twin ``embedding_neardup`` is the recall anchor in
+    tests/test_operators_dedup.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup(emb, threshold=0.95)
+    return embedding_neardup_lsh(
+        emb,
+        threshold=_LSH_THRESHOLD,
+        dim=_LSH_DIM,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+        seed_base=_LSH_SEED,
+    )

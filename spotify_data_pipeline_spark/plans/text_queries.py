@@ -32,14 +32,18 @@ from spotify_data_pipeline_spark.plans.registry import declare
       concat(p_brand, ':', p_type)                AS brand_type,
       CAST(length(p_name) AS BIGINT)              AS name_len,
       CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold,
-      array_to_string(string_split(p_type, ' '), '|') AS type_words
+      array_to_string(string_split(p_type, ' '), '|') AS type_words,
+      printf('batch_%06d', p_partkey)               AS batch_label,
+      lpad(CAST(p_partkey AS VARCHAR), 9, '0')      AS key_padded
     FROM part
     """,
     tags=("functions", "string"),
 )
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function parity: substr/upper/lower/concat/like/split/length
-    (SURVEY §2.9 F8)."""
+    (SURVEY §2.9 F8) + zero-padded formatting (F3 — the reference's
+    `f'batch_{id:06d}'`, create_artist_batches.py:34,
+    search_artist_id_and_name.py:48) via format_string and lpad."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         F.col("p_partkey").alias("part_id"),
@@ -50,6 +54,8 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").cast("long").alias("name_len"),
         F.when(F.col("p_name").like("%gold%"), 1).otherwise(0).cast("int").alias("has_gold"),
         F.array_join(F.split("p_type", " "), "|").alias("type_words"),
+        F.format_string("batch_%06d", "p_partkey").alias("batch_label"),
+        F.lpad(F.col("p_partkey").cast("string"), 9, "0").alias("key_padded"),
     )
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
-from spotify_data_pipeline_spark.operators.batching import assign_batch_ids
+from spotify_data_pipeline_spark.operators.batching import assign_batch_ids_scalable
 from spotify_data_pipeline_spark.operators.dedup import first_wins_dedup
 from spotify_data_pipeline_spark.operators.sampling import deterministic_sample
 from spotify_data_pipeline_spark.operators.topk import topk_per_group
@@ -149,9 +149,12 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_batch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size batch-id assignment — the reference's seed batching
     (create_artist_batches.py:12-23 assigns batch 1,2,... to consecutive
-    500-line groups; SURVEY §2.5/§2.6 O5)."""
+    500-line groups; SURVEY §2.5/§2.6 O5). Uses the two-phase numbering
+    (range partition → local rank → broadcast offsets) so the declared
+    query is the plan that survives a 100× fact table — the single-task
+    global window never sees the data (plan-asserted)."""
     c = load_table(spark, sf_dir, "customer")
-    return assign_batch_ids(c, order_by=["c_custkey"], batch_size=500).select(
+    return assign_batch_ids_scalable(c, order_by=["c_custkey"], batch_size=500).select(
         F.col("c_custkey").alias("customer_id"), F.col("batch_id").cast("long").alias("batch_id")
     )
 

@@ -23,20 +23,30 @@ from spotify_data_pipeline_spark.plans.parity import rnd
 
 
 def read_events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
-    """File-source stream over the events parquet directory.
+    """File-source stream over the events parquet files (and ONLY the
+    events files — streaming the parent sf_dir would ingest the other
+    nine tables' parquet under the events schema).
 
     maxFilesPerTrigger=1 keeps micro-batches small in tests. The NANOS
     timestamp issue (io.py) applies here too: read ts as long and
-    convert with integer division.
+    convert with integer division. NOTE: the legacy nanosAsLong conf
+    stays set for the session — a streaming query re-reads it per
+    micro-batch, so it cannot be scoped the way io._load_events scopes
+    its batch read.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}")
-    )
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    events_path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(events_path):
+        raw = reader.parquet(events_path)
+    else:
+        # single-file layout: the file-source needs a directory, so
+        # stream the parent restricted to exactly the events file
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw

@@ -139,3 +139,17 @@ def test_approx_distinct_within_rsd(spark):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n")
     ).collect()[0].n
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_load_events_scopes_nanos_conf(spark):
+    """Round-1 verdict item 7: loading events must not leave the global
+    nanosAsLong conf mutated for co-resident queries — and the returned
+    plan must still execute after the conf is restored."""
+    from spotify_data_pipeline_spark.io import load_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "false")
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.conf.get(key) == "false"  # conf restored, not leaked
+    assert df.count() > 0  # and the read still executes correctly
+    assert dict(df.dtypes)["ts"] == "timestamp"

@@ -74,3 +74,12 @@ def test_salted_join_left_keeps_unmatched(spark, skewed):
     plain = skewed.join(dim, "k", "left").count()
     salted = salted_join(skewed, dim, "k", salt_factor=4, how="left").count()
     assert plain == salted
+
+
+def test_salted_join_rejects_unsupported_how(spark, skewed):
+    import pytest
+
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("k_name"))
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(skewed, dim, "k", salt_factor=4, how=how)

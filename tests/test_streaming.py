@@ -102,6 +102,22 @@ def test_dedup_within_watermark_suppresses_dups(spark, events_dir):
     assert ids == [1, 2, 3, 4, 5]  # event 3 emitted exactly once
 
 
+def test_read_events_stream_reads_only_events_files(spark):
+    """Round-1 ADVICE regression: read_events_stream must stream from
+    {sf_dir}/events.parquet, not the parent sf_dir — streaming the
+    parent would ingest all ten tables' parquet under the events
+    schema."""
+    from spotify_data_pipeline_spark.streaming.events import read_events_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, sf_dir)
+    rows = _run_stream(
+        spark, stream.groupBy().count(), "t_events_src", "complete"
+    )
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert rows[0][0] == n_events  # exactly the events rows, nothing else
+
+
 def test_running_user_totals_stateful(spark, events_dir):
     from spotify_data_pipeline_spark.streaming.events import running_user_totals
 

@@ -54,3 +54,24 @@ def test_scd2_closes_and_appends(spark):
     assert by_addr[(1, "addr_new")] == (None, True)
     assert by_addr[(2, "addr_b")] == (None, True)
     assert len(rows) == 4
+
+
+def test_scd2_chains_multiple_updates_per_key(spark):
+    """Round-1 ADVICE regression: a batch carrying several updates for
+    one key must chain them (each closed by the next, one current),
+    not fan out the closed row or mark every update current."""
+    current = spark.createDataFrame(
+        [(1, "v0", _TS(2020, 1, 1), None, True)],
+        "k long, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "v2", _TS(2024, 6, 1)), (1, "v1", _TS(2022, 3, 1))],
+        "k long, addr string, valid_from timestamp",
+    )
+    out = scd2_apply(current, updates, ["k"], effective_col="valid_from")
+    rows = {r.addr: (r.valid_to, r.is_current) for r in out.collect()}
+    assert out.count() == 3  # v0 closed once (no fan-out), v1 closed, v2 current
+    assert rows["v0"] == (_TS(2022, 3, 1), False)  # closed at EARLIEST update
+    assert rows["v1"] == (_TS(2024, 6, 1), False)  # closed by the next update
+    assert rows["v2"] == (None, True)  # single current version
+    assert out.where("is_current").count() == 1
