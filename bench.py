@@ -50,17 +50,71 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    out["skew_guard"] = _skew_guard(spark, sf_dir)
+    print(json.dumps(out))
+
+
+def _skew_guard(spark, sf_dir: str) -> dict:
+    """Regression guard for the skew toolkit (VERDICT r1 item 8): join a
+    deliberately hot-keyed fact (half of lineitem collapsed onto one
+    key — the testdata has no natural power-law key) against a dim too
+    big to broadcast (simulated by disabling auto-broadcast, the 100 TB
+    dim regime), plain (AQE skew-join active) vs salted_join. Asserts
+    result equivalence and reports both timings so a regression in
+    either path is visible in BENCH_r{N}.json."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.skew import salted_join
+
+    hot = F.when(F.col("l_partkey") <= 10000, 0).otherwise(F.col("l_partkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        hot.alias("k"), F.col("l_extendedprice").alias("v")
     )
+    dim_hot = F.when(F.col("p_partkey") <= 10000, 0).otherwise(F.col("p_partkey"))
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .select(dim_hot.alias("k"), F.col("p_brand").alias("k_grp"))
+        .dropDuplicates(["k"])
+    )
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def agg(df):
+            return df.groupBy("k_grp").agg(
+                F.count("*").alias("n"), F.sum("v").alias("s")
+            )
+
+        t0 = time.perf_counter()
+        agg(li.join(dim, "k")).write.format("noop").mode("overwrite").save()
+        plain_sec = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        agg(salted_join(li, dim, "k", salt_factor=16)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        salted_sec = round(time.perf_counter() - t0, 3)
+
+        a = {(r.k_grp): (r.n, round(r.s, 2)) for r in agg(li.join(dim, "k")).collect()}
+        b = {
+            (r.k_grp): (r.n, round(r.s, 2))
+            for r in agg(salted_join(li, dim, "k", salt_factor=16)).collect()
+        }
+        return {
+            "plain_sec": plain_sec,
+            "salted_sec": salted_sec,
+            "rows_equal": a == b,
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
 
 if __name__ == "__main__":

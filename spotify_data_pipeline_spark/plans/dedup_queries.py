@@ -73,10 +73,12 @@ def dedup_exact_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding + exact Jaccard
-    verification (SURVEY D4). Output (id_a, id_b, jaccard ≥ 0.6)."""
+    verification (SURVEY D4). Output (id_a, id_b, jaccard ≥ 0.6).
+    32 hashes / 16 bands: recall ≈0.999 at j=0.6 at half the signature
+    compute of 64/16 (see operator docstring)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_dedup(
-        docs, id_col="doc_id", text_col="text", num_hashes=64, bands=16, jaccard_threshold=0.6
+        docs, id_col="doc_id", text_col="text", num_hashes=32, bands=16, jaccard_threshold=0.6
     )
 
 
