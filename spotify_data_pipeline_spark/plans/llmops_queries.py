@@ -1,0 +1,208 @@
+"""Declared LLM-training-data-pipeline queries (SURVEY.md §2.12 /
+BASELINE north star) beyond dedup & similarity: sequence packing,
+stratified sampling, IVF centroid assignment, repetition scoring.
+
+Every query here is Catalyst-only (no Python UDFs) and carries an exact
+DuckDB oracle — tokenization parity is the lower/trim/collapse-
+whitespace/split pipeline written identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.functions.text import is_nonblank, tokens
+from spotify_data_pipeline_spark.functions.vectors import cosine_similarity
+from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.plans.parity import rnd
+from spotify_data_pipeline_spark.plans.registry import declare
+
+# DuckDB twin of functions.text.tokens(): trim → collapse whitespace →
+# lower → split on single space
+_TOKENS_SQL = "string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')"
+
+_PACK_BUDGET = 512  # tokens per training sequence
+
+
+@declare(
+    "llm_sequence_packing",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+    FROM (
+      SELECT doc_id, source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    """,
+    tags=("llmops", "packing", "text"),
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document the id of
+    the ~{budget}-token training sequence it starts in, per source, in
+    deterministic doc_id order (the standard "pack documents into fixed
+    context windows" step of an LLM data pipeline).
+
+    seq_id = floor(exclusive-running-token-count / budget) — one window
+    cumsum per source partition; integer arithmetic end-to-end so the
+    oracle hash is exact. Scale: the window shuffles on source (20-ish
+    groups here; date+source in production) — no global ordering, no
+    single-task stage.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    n_tokens = F.size(tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "seq_id",
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET).cast(
+                "long"
+            ),
+        )
+    )
+
+
+@declare(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('seed42:', CAST(doc_id AS VARCHAR))), doc_id
+             ) AS BIGINT) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 10
+    """,
+    tags=("llmops", "sample"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 10 documents per source, chosen
+    by md5(seed, doc_id) hash order — re-run- and repartition-stable
+    (the O3 xxhash trick, but with md5 so an external engine can
+    replicate the exact sample; both engines emit identical hex).
+
+    Scale: one shuffle on source + per-partition top-k heap; no global
+    sort, sample size per stratum is O(k) memory.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    order = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(order, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= 10)
+    )
+
+
+@declare(
+    "llm_ivf_assign",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), ex AS (
+      SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v
+    ), cent AS (
+      SELECT label AS c_label, list(cx ORDER BY pos) AS c
+      FROM (SELECT label, pos, avg(x) AS cx FROM ex GROUP BY 1, 2)
+      GROUP BY 1
+    ), scored AS (
+      SELECT v.vec_id, cent.c_label,
+             floor(list_dot_product(v.e, cent.c)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.c, cent.c)))
+               * 10000 + 0.5) / 10000 AS cos
+      FROM v CROSS JOIN cent
+    )
+    SELECT vec_id, c_label AS assigned_label, cos FROM (
+      SELECT vec_id, c_label, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    tags=("llmops", "similarity", "ivf"),
+)
+def llm_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization — the other ANN scale path next to LSH
+    (similarity.py): compute one centroid per label partition and assign
+    every vector to its nearest centroid by cosine. At 100 TB the
+    centroid table stays tiny (broadcast) and the corpus is scored
+    map-side in one pass — the inverted-list build for IVF search.
+
+    Centroids: posexplode → (label, pos) avg → rebuild ordered arrays.
+    Assignment: broadcast cross join (|centroids| rows) → window argmin
+    with label tiebreak so both engines pick the same centroid on 4dp
+    ties.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("c")
+        )
+        .select(F.col("label").alias("c_label"), "c")
+    )
+    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "c_label",
+        rnd(cosine_similarity(F.col("embedding"), F.col("c")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_label").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("assigned_label"), "cos")
+    )
+
+
+@declare(
+    "llm_repetition_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), cnt AS (
+      SELECT doc_id, t, count(*) AS n FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           floor((1 - count(*) / CAST(sum(n) AS DOUBLE)) * 10000 + 0.5) / 10000 AS rep_ratio,
+           floor((max(n) / CAST(sum(n) AS DOUBLE)) * 10000 + 0.5) / 10000 AS top_tok_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("llmops", "text", "quality"),
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for quality filtering (Gopher-style): token
+    repetition ratio (1 − distinct/total) and most-frequent-token share
+    per document. Highly repetitive documents are the classic
+    low-quality / boilerplate marker in LLM corpus curation.
+
+    Shape: explode tokens → two stacked hash aggregates (doc,token then
+    doc) — all map-side-combinable; the shuffle carries counts, never
+    text.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count("*").alias("n"))
+    total = F.sum("n")
+    distinct_n = F.count("*")
+    return cnt.groupBy("doc_id").agg(
+        total.cast("long").alias("n_tokens"),
+        distinct_n.cast("long").alias("n_distinct"),
+        rnd(1 - distinct_n / total.cast("double"), 4).alias("rep_ratio"),
+        rnd(F.max("n") / total.cast("double"), 4).alias("top_tok_ratio"),
+    )

@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "spotify_data_pipeline_spark.plans.similarity_queries",
     "spotify_data_pipeline_spark.plans.events_queries",
     "spotify_data_pipeline_spark.plans.multimodal_queries",
+    "spotify_data_pipeline_spark.plans.llmops_queries",
     "spotify_data_pipeline_spark.plans.dedup_queries",
     "spotify_data_pipeline_spark.plans.windows",
     "spotify_data_pipeline_spark.plans.aggregates",

@@ -79,6 +79,23 @@ def test_shuffle_hash_hint_respected(spark):
     assert "ShuffledHashJoin" in plan
 
 
+def test_llmops_windows_are_partitioned(spark):
+    """Sequence packing and stratified sampling must window per source
+    partition — a global (SinglePartition) window over documents would
+    serialize the corpus through one task."""
+    qs = all_queries()
+    for name in ("llm_sequence_packing", "llm_stratified_sample"):
+        plan = plan_of(qs[name].fn(spark, SF))
+        assert "SinglePartition" not in plan, name
+
+
+def test_ivf_centroids_broadcast(spark):
+    """IVF assignment must broadcast the tiny centroid table over the
+    corpus scan — the corpus itself never shuffles for scoring."""
+    plan = plan_of(all_queries()["llm_ivf_assign"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_embedding_neardup_is_bucketed_not_allpairs(spark):
     """The declared embedding near-dup must generate candidates via LSH
     bucket equi-joins — an all-pairs BroadcastNestedLoopJoin is the
