@@ -190,6 +190,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.6,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash banding for candidates, exact
     shingle-set Jaccard for verification.
@@ -208,8 +209,12 @@ def minhash_lsh_dedup(
     buckets only* — the classic band trick keeps the join linear-ish in
     corpus size for bounded bucket width; verification joins only the
     candidate pairs back to their shingle sets. Hot buckets (boilerplate
-    docs) are the skew risk — AQE skew-join handles moderate skew, and a
-    bucket-width cap can be added for adversarial corpora.
+    docs) are the skew risk — AQE skew-join handles moderate skew;
+    ``max_bucket_width`` drops pathological buckets outright (a bucket
+    of w near-identical boilerplate docs contributes w²/2 candidate
+    pairs — at adversarial w you cap it and let exact hash-dedup handle
+    the identical cluster instead). Capping trades recall on the capped
+    clusters for a hard bound on join fan-out.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -250,6 +255,13 @@ def minhash_lsh_dedup(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_width is not None:
+        widths = band_entries.groupBy("band", "bucket").agg(F.count("*").alias("_w"))
+        band_entries = band_entries.join(
+            widths.where(F.col("_w") <= max_bucket_width).select("band", "bucket"),
+            ["band", "bucket"],
+        )
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")

@@ -59,15 +59,52 @@ def attach_media_metadata(df: DataFrame, binary_col: str = "media") -> DataFrame
 
 
 def decode_image(data: bytes) -> dict:
-    """Stub decoder — the container ships no imaging libraries.
-
-    Replace with e.g. Pillow:  ``img = PIL.Image.open(io.BytesIO(data));
-    return {"width": img.width, "height": img.height, ...}``.
+    """Image decoder. Netpbm binary formats (P5 grayscale / P6 RGB) are
+    decoded natively — pure header parse, no libraries. Anything else
+    (JPEG/PNG/...) needs an imaging library this container doesn't
+    ship: replace or wrap with e.g. Pillow (``img = PIL.Image.open(
+    io.BytesIO(data)); return {"width": img.width, ...}``) via
+    ``extract_media_features(decoder=...)``.
     """
+    if data[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(data)
     raise NotImplementedError(
-        "media decoding requires an imaging library not present in this "
-        "environment; inject a decoder via extract_media_features(decoder=...)"
+        "only netpbm (P5/P6) decodes natively; other formats require an "
+        "imaging library not present in this environment — inject a "
+        "decoder via extract_media_features(decoder=...)"
     )
+
+
+def _decode_netpbm(data: bytes) -> dict:
+    """Parse a binary netpbm header: magic, then width/height/maxval
+    tokens separated by whitespace, '#' comments allowed."""
+    magic = data[:2].decode("ascii")
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+    if len(tokens) < 3:
+        raise ValueError("truncated netpbm header")
+    width, height, maxval = tokens
+    channels = 3 if magic == "P6" else 1
+    expected = width * height * channels * (2 if maxval > 255 else 1)
+    if len(data) - pos - 1 < expected:
+        raise ValueError("truncated netpbm pixel data")
+    return {
+        "media_type": f"image/x-portable-{'pixmap' if magic == 'P6' else 'graymap'}",
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+    }
 
 
 def fake_decoder(data: bytes) -> dict:

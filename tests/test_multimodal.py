@@ -62,3 +62,27 @@ def test_sample_frames_shape(spark, media_df):
     assert all(1 <= len(r.frame) <= 32 for r in rows)
     # empty blob yields no frames
     assert frames.where(F.col("doc_id") == 4).count() == 0
+
+
+def test_decode_image_parses_netpbm_natively(spark):
+    """decode_image is a REAL decoder for netpbm (P5/P6) — header parse,
+    no libraries — exercised end-to-end through the Arrow batch path."""
+    from spotify_data_pipeline_spark.operators.multimodal import decode_image
+
+    p6 = b"P6\n# a comment\n4 3\n255\n" + bytes(4 * 3 * 3)
+    p5 = b"P5 2 2 255 " + bytes(4)
+    meta = decode_image(p6)
+    assert (meta["width"], meta["height"]) == (4, 3)
+    assert meta["media_type"] == "image/x-portable-pixmap"
+    assert decode_image(p5)["media_type"] == "image/x-portable-graymap"
+
+    df = spark.createDataFrame([(1, bytearray(p6)), (2, bytearray(p5))], "doc_id long, media binary")
+    out = {r.doc_id: r.media_meta for r in
+           extract_media_features(df, decoder=decode_image).collect()}
+    assert (out[1].width, out[1].height) == (4, 3)
+    assert (out[2].width, out[2].height) == (2, 2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")

@@ -88,3 +88,21 @@ def test_embedding_neardup_pairs(spark):
     out = {(r.id_a, r.id_b): r.cos for r in embedding_neardup(df, threshold=0.95).collect()}
     assert set(out) == {(0, 1)}
     assert out[(0, 1)] >= 0.999
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket_width drops pathological buckets: a cluster of
+    identical boilerplate docs lands in one bucket per band; capping
+    below the cluster size suppresses its quadratic candidate fan-out,
+    while distinct near-dup pairs elsewhere are unaffected."""
+    boiler = [(i, "identical boilerplate text repeated across the corpus many times over") for i in range(20)]
+    other = [(100, "the quick brown fox jumps over the lazy dog and runs far away home"),
+             (101, "the quick brown fox jumps over the lazy dog and runs far away home")]
+    df = spark.createDataFrame(boiler + other, "doc_id long, text string")
+    uncapped = minhash_lsh_dedup(df, jaccard_threshold=0.5)
+    capped = minhash_lsh_dedup(df, jaccard_threshold=0.5, max_bucket_width=10)
+    un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp  # small cluster survives the cap
+    assert sum(1 for a, b in un if a < 100) == 20 * 19 // 2  # quadratic blow-up uncapped
+    assert not any(a < 100 for a, b in cp)  # hot cluster suppressed
