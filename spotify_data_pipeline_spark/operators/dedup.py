@@ -49,23 +49,9 @@ def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     return result
 
 
-def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
-    """Small parquet inputs arrive as one file-split → one task, which
-    serializes the whole per-document hash pipeline. Repartition up to
-    the cluster's parallelism when the input is under-split; a no-op on
-    well-partitioned (large-scale) inputs."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # inputFiles() is a metadata call (~4ms); .rdd.getNumPartitions()
-    # forces plan-to-RDD conversion (~250ms) — only fall back to it for
-    # non-file-backed plans.
-    files = df.inputFiles()
-    if files:
-        if len(files) >= target:
-            return df
-        return df.repartition(target)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from spotify_data_pipeline_spark.operators.parallelism import (
+    ensure_min_parallelism as _ensure_min_parallelism,
+)
 
 
 def exact_dedup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -536,6 +522,7 @@ def embedding_neardup_lsh(
     from spotify_data_pipeline_spark.functions.vectors import cosine_similarity
     from spotify_data_pipeline_spark.operators.similarity import random_projection_buckets
 
+    df = _ensure_min_parallelism(df)
     parts = []
     for t in range(n_tables):
         bucketed = random_projection_buckets(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.functions.vectors import cosine_similarity, dot
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from spotify_data_pipeline_spark.plans.parity import rnd
 from spotify_data_pipeline_spark.operators.topk import topk_per_group
 
@@ -37,7 +38,11 @@ def cosine_topk_bruteforce(
     deterministic across engines and partitionings.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # scoring is compute-dense interpreted HOF math — make sure an
+    # under-split corpus doesn't serialize it through one task
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -100,6 +105,7 @@ def cosine_topk_lsh(
     Output schema matches ``cosine_topk_bruteforce`` (query_id,
     neighbor_id, cos, rn); recall measured against it in tests.
     """
+    corpus = ensure_min_parallelism(corpus)
     parts = []
     for t in range(n_tables):
         qb = random_projection_buckets(queries, vec_col, dim, n_planes, seed=1000 + t)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from spotify_data_pipeline_spark.functions.text import is_nonblank, tokens
 from spotify_data_pipeline_spark.functions.vectors import cosine_similarity
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from spotify_data_pipeline_spark.plans.parity import rnd
 from spotify_data_pipeline_spark.plans.registry import declare
 
@@ -154,7 +155,9 @@ def llm_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "c")
     )
-    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+    scored = ensure_min_parallelism(emb.select("vec_id", "embedding")).crossJoin(
+        F.broadcast(cent)
+    ).select(
         "vec_id",
         "c_label",
         rnd(cosine_similarity(F.col("embedding"), F.col("c")), 4).alias("cos"),
