@@ -35,6 +35,10 @@ def merge_upsert(
 
     If ``updates`` itself carries duplicate keys, ``order_by`` picks the
     winner (first under that order); without it an arbitrary row wins.
+    Like SQL MERGE, non-matched target rows are left untouched —
+    including pre-existing duplicate-key rows in the target (dedup the
+    target first if that matters; property-tested in
+    tests/test_properties.py).
     """
     if order_by is not None:
         w = Window.partitionBy(*keys).orderBy(*order_by)

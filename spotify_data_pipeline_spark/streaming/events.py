@@ -87,6 +87,49 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def merge_stream_into_parquet(
+    stream_df: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    order_by=None,
+):
+    """Streaming MERGE sink: each micro-batch is upserted into a parquet
+    target via ``foreachBatch`` + ``merge_upsert`` (operators/upsert.py)
+    — the streaming twin of the reference's gold load made idempotent
+    (its BigQuery WRITE_APPEND double-appends on retry; SURVEY §4.2).
+
+    The merged result is written to a temp dir and swapped in (the
+    write-temp-then-swap pattern upsert.py documents), so a crashed
+    batch leaves the previous target intact and a replayed micro-batch
+    (same data, same keys) converges to the same state — at-least-once
+    delivery becomes effectively idempotent at the key level.
+
+    Returns a DataStreamWriter; caller sets checkpointLocation and
+    ``.start()``s it.
+    """
+    import os
+    import shutil
+
+    from spotify_data_pipeline_spark.operators.upsert import merge_upsert  # noqa: PLC0415
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(target_dir):
+            current = spark.read.parquet(target_dir)
+            merged = merge_upsert(current, batch_df, keys, order_by)
+        else:
+            merged = (
+                merge_upsert(batch_df.limit(0), batch_df, keys, order_by)
+            )  # dedup-within-batch via the same winner rule
+        tmp = target_dir.rstrip("/") + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+
+    return stream_df.writeStream.outputMode("append").foreachBatch(_merge_batch)
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
     §2.10): per-user lifetime running totals (event count + value sum),

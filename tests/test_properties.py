@@ -1,0 +1,105 @@
+"""Property-based invariants (SURVEY.md §5.2 point 3) for the custom
+operators whose semantics are imperative in the reference — checked
+against straight-Python models on randomized inputs via hypothesis.
+
+Example counts are small (Spark round-trip ≈ 0.3s each); the value is
+in the randomized shapes (dup keys, ties, empty groups, singletons),
+not the volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.operators.asof import asof_join
+from spotify_data_pipeline_spark.operators.batching import (
+    assign_batch_ids,
+    assign_batch_ids_scalable,
+)
+from spotify_data_pipeline_spark.operators.dedup import first_wins_dedup
+from spotify_data_pipeline_spark.operators.upsert import merge_upsert
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 50), st.integers(0, 9)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_first_wins_matches_python_model(spark, rows):
+    df = spark.createDataFrame(rows, "k long, seq long, v long")
+    out = first_wins_dedup(df, ["k"], [F.col("seq").asc(), F.col("v").asc()]).collect()
+    got = {r.k: (r.seq, r.v) for r in out}
+    expect = {}
+    for k, seq, v in sorted(rows, key=lambda t: (t[1], t[2])):
+        expect.setdefault(k, (seq, v))
+    assert got == expect  # one row per key, the first under the order
+    assert len(out) == len(expect)
+
+
+@given(rows=st.lists(st.integers(0, 1000), min_size=1, max_size=40), size=st.integers(1, 7))
+@settings(**_SETTINGS)
+def test_batching_two_phase_equals_simple_window(spark, rows, size):
+    # unique keys: duplicate order keys make "the" assignment ambiguous
+    keys = sorted(set(rows))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    simple = {r.k: r.batch_id for r in assign_batch_ids(df, ["k"], size).collect()}
+    scalable = {
+        r.k: r.batch_id
+        for r in assign_batch_ids_scalable(df, ["k"], size, partitions=3).collect()
+    }
+    assert simple == scalable
+    # dense ids 1..ceil(n/size), every batch at most `size` wide
+    ids = sorted(scalable.values())
+    assert ids[0] == 1 and ids[-1] == -(-len(keys) // size)
+    from collections import Counter
+
+    assert all(c <= size for c in Counter(ids).values())
+
+
+@given(
+    target=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 9)), max_size=15),
+    updates=st.lists(st.tuples(st.integers(0, 6), st.integers(10, 19)), max_size=15),
+)
+@settings(**_SETTINGS)
+def test_merge_upsert_key_semantics(spark, target, updates):
+    tdf = spark.createDataFrame(target, "k long, v long") if target else spark.createDataFrame([], "k long, v long")
+    udf_ = spark.createDataFrame(updates, "k long, v long") if updates else spark.createDataFrame([], "k long, v long")
+    out = [(r.k, r.v) for r in merge_upsert(tdf, udf_, ["k"], order_by=[F.col("v").desc()]).collect()]
+    upd_keys = {k for k, _ in updates}
+    # updated keys collapse to exactly one row: the max-v update;
+    # non-matched target rows pass through untouched (SQL MERGE leaves
+    # them alone — including pre-existing duplicates)
+    from collections import Counter
+
+    expect = Counter(t for t in target if t[0] not in upd_keys)
+    expect.update({(k, max(v for k2, v in updates if k2 == k)): 1 for k in upd_keys})
+    assert Counter(out) == expect
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 9)), max_size=15),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python_model(spark, left, right):
+    ldf = spark.createDataFrame([(i, by, on) for i, (by, on) in enumerate(left)], "rid long, g long, t long")
+    rdf = (
+        spark.createDataFrame(right, "g long, t long, px long")
+        if right
+        else spark.createDataFrame([], "g long, t long, px long")
+    )
+    out = {r.rid: r.t_right for r in asof_join(ldf, rdf, on="t", by="g", value_cols=[]).collect()}
+    for i, (by, on) in enumerate(left):
+        cands = [t for g, t, _ in right if g == by and t <= on]
+        assert out[i] == (max(cands) if cands else None)

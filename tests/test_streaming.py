@@ -140,3 +140,25 @@ def test_running_user_totals_stateful(spark, events_dir):
     # files, so some emission for user 10 must show a partial count
     u10_counts = sorted({r.n_events for r in rows if r.user_id == 10})
     assert u10_counts[-1] == 4 and len(u10_counts) >= 2
+
+
+def test_merge_stream_into_parquet_upserts(spark, events_dir, tmp_path):
+    """Streaming MERGE sink: duplicate event_ids across micro-batches
+    collapse to one row in the parquet target (the reference's gold
+    double-append failure mode, fixed)."""
+    from spotify_data_pipeline_spark.streaming.events import merge_stream_into_parquet
+
+    target = str(tmp_path / "gold_events")
+    writer = merge_stream_into_parquet(
+        _read_stream(spark, events_dir), target, keys=["event_id"], order_by=[F.col("ts").desc()]
+    )
+    q = writer.option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(target)
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3, 4, 5]  # dup event 3 (twice in batch 1, once in batch 2) upserted once
+    batch = spark.read.parquet(events_dir)
+    assert out.count() == batch.select("event_id").distinct().count()
