@@ -89,6 +89,61 @@ def random_projection_buckets(
     return df.withColumn(bucket_col, bucket)
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 3,
+) -> DataFrame:
+    """Approximate top-k via IVF: k-means coarse quantizer
+    (operators/clustering.py), inverted lists keyed by cell, each query
+    probes its ``nprobe`` nearest cells and exact-re-ranks only those
+    lists.
+
+    The other ANN scale path next to ``cosine_topk_lsh``: candidates
+    per query shrink from |corpus| to ~nprobe/n_cells of it, the
+    cell-keyed join is an equi-join, and the centroid table stays a
+    broadcast. Output schema matches ``cosine_topk_bruteforce``; recall
+    measured against it in tests.
+    """
+    from spotify_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_centroids,
+    )
+
+    cent = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=kmeans_iters)
+    lists = assign_clusters(corpus, cent, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cluster_id"
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    q_scored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "_ccos", cosine_similarity(F.col("_qv"), F.col("_centroid"))
+    )
+    probes = topk_per_group(
+        q_scored,
+        partition_by=["query_id"],
+        order_by=[F.col("_ccos").desc(), F.col("_cid").asc()],
+        k=nprobe,
+    ).select("query_id", "_qv", F.col("_cid").alias("cluster_id"))
+
+    cand = probes.join(lists, "cluster_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn("cos", rnd(cosine_similarity(F.col("_qv"), F.col("_cv")), 4))
+    top = topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+    )
+    return top.select("query_id", "neighbor_id", "cos", F.col("rn").cast("long").alias("rn"))
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

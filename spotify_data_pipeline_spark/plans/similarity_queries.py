@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from spotify_data_pipeline_spark.io import load_table
 from spotify_data_pipeline_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from spotify_data_pipeline_spark.plans.registry import declare
@@ -75,3 +76,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERY_VECS)
     return cosine_topk_lsh(queries, emb, k=_TOP_K, dim=64, n_planes=3, n_tables=8)
+
+
+@declare(
+    "sim_ann_ivf",
+    oracle=None,  # k-means state is engine-side → rows-only + recall pytest
+    tags=("similarity", "ivf"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF: deterministic k-means coarse quantizer
+    (Lloyd iterations, operators/clustering.py), inverted lists keyed by
+    cell, nprobe=3 probed cells per query, exact re-rank within them —
+    the inverted-file ANN path complementing the LSH variant. Recall
+    floor asserted in tests/test_operators_misc.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERY_VECS)
+    return cosine_topk_ivf(queries, emb, k=_TOP_K, n_cells=8, nprobe=3)

@@ -187,3 +187,26 @@ def test_load_events_scopes_nanos_conf(spark):
     assert spark.conf.get(key) == "false"  # conf restored, not leaked
     assert df.count() > 0  # and the read still executes correctly
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_kmeans_deterministic_and_ivf_recall(spark):
+    """k-means: same input => same centroids (hash-deterministic init,
+    no RNG); IVF top-k with nprobe=3 of 8 cells must hold recall >= 0.6
+    vs brute force on the near-uniform sf0.01 embeddings (clustered
+    real-world data does far better; uniform data is the hard case)."""
+    from spotify_data_pipeline_spark.operators.clustering import kmeans_centroids
+    from spotify_data_pipeline_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c1 = {r._cid: list(r._centroid) for r in kmeans_centroids(emb, k=4, iters=2).collect()}
+    c2 = {r._cid: list(r._centroid) for r in kmeans_centroids(emb, k=4, iters=2).collect()}
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(v) == 64 for v in c1.values())
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk_bruteforce(queries, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              cosine_topk_ivf(queries, emb, k=5, n_cells=8, nprobe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
