@@ -259,3 +259,19 @@ def read_gold(spark: SparkSession, cfg: PipelineConfig, entity: str) -> DataFram
     return spark.read.option("basePath", f"{cfg.gold}/{entity}").parquet(
         f"{cfg.gold}/{entity}/run_date=*"
     )
+
+
+def ensure_namespaces(spark: SparkSession, names: list[str]) -> list[str]:
+    """Zone/namespace DDL, create-if-absent (SURVEY S13 — the reference
+    creates its 7 GCS buckets idempotently, scripts/create_bucket.py:
+    10-26, skipping ones that exist). The warehouse analog is catalog
+    namespace DDL: ``CREATE NAMESPACE IF NOT EXISTS`` per zone — a
+    retried bootstrap is a no-op, like the reference's Conflict catch.
+    Returns the names that were newly created."""
+    created = []
+    for name in names:
+        existed = spark.catalog.databaseExists(name)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {name}")
+        if not existed:
+            created.append(name)
+    return created

@@ -184,3 +184,20 @@ def test_cross_day_duplicates_flow_to_gold(spark, client, id_pool, tmp_path):
         20240101,
         20240102,
     }
+
+
+def test_ensure_namespaces_idempotent(spark):
+    """S13: zone DDL is create-if-absent — a second run creates nothing
+    and raises nothing (the reference swallows Conflict per bucket)."""
+    from spotify_data_pipeline_spark.pipeline.etl import ensure_namespaces
+
+    zones = ["zz_test_bronze", "zz_test_silver", "zz_test_gold"]
+    try:
+        first = ensure_namespaces(spark, zones)
+        second = ensure_namespaces(spark, zones)
+        assert sorted(first) == sorted(zones)
+        assert second == []
+        assert all(spark.catalog.databaseExists(z) for z in zones)
+    finally:
+        for z in zones:
+            spark.sql(f"DROP NAMESPACE IF EXISTS {z}")
