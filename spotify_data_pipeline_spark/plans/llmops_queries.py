@@ -47,28 +47,26 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic doc_id order (the standard "pack documents into fixed
     context windows" step of an LLM data pipeline).
 
-    seq_id = floor(exclusive-running-token-count / budget) — one window
-    cumsum per source partition; integer arithmetic end-to-end so the
-    oracle hash is exact. Scale: the window shuffles on source (20-ish
-    groups here; date+source in production) — no global ordering, no
-    single-task stage.
+    seq_id = floor(exclusive-running-token-count / budget) — integer
+    arithmetic end-to-end so the oracle hash is exact. Scale: two-phase
+    running sum (operators/packing.py) — a plain per-source window
+    would funnel each source's every row through one task (terabytes
+    per partition at 100 TB with few sources); here the corpus is
+    range-partitioned once and only the O(partitions) totals table
+    sees a per-group window.
     """
+    from spotify_data_pipeline_spark.operators.packing import packed_sequence_ids
+
     docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
     n_tokens = F.size(tokens(F.col("text"))).cast("long")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
-        .withColumn(
-            "seq_id",
-            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET).cast(
-                "long"
-            ),
-        )
-    )
+    weighted = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    return packed_sequence_ids(
+        weighted,
+        group_col="source",
+        order_col="doc_id",
+        weight_col="n_tokens",
+        budget=_PACK_BUDGET,
+    ).select("doc_id", "source", "n_tokens", "seq_id")
 
 
 @declare(

@@ -210,3 +210,30 @@ def test_kmeans_deterministic_and_ivf_recall(spark):
               cosine_topk_ivf(queries, emb, k=5, n_cells=8, nprobe=3).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
+def test_packed_sequence_ids_matches_single_window(spark):
+    """Two-phase packing must equal the naive per-group window cumsum."""
+    from spotify_data_pipeline_spark.operators.packing import packed_sequence_ids
+    from pyspark.sql import Window
+
+    df = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).alias("source"),
+            (F.pmod(F.xxhash64("id"), F.lit(200)) + 1).alias("w"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        (r.doc_id): r.seq_id
+        for r in df.withColumn(
+            "seq_id", F.floor(F.coalesce(F.sum("w").over(w), F.lit(0)) / 300).cast("long")
+        ).collect()
+    }
+    scalable = {
+        r.doc_id: r.seq_id
+        for r in packed_sequence_ids(df, "source", "doc_id", "w", 300, partitions=11).collect()
+    }
+    assert naive == scalable
