@@ -29,13 +29,18 @@ def assign_batch_ids(df: DataFrame, order_by: Sequence[str], batch_size: int) ->
 
 
 def assign_batch_ids_scalable(
-    df: DataFrame, order_by: Sequence[str], batch_size: int, partitions: int = 200
+    df: DataFrame, order_by: Sequence[str], batch_size: int, partitions: int | None = None
 ) -> DataFrame:
     """Two-phase global numbering that avoids the single-task window:
     range-partition by the order key, rank within partitions, then add
     per-partition offsets computed from partition counts (a tiny
     broadcast join). Equivalent output to ``assign_batch_ids``.
+
+    ``partitions`` defaults to the cluster's parallelism — on a real
+    cluster size it to keep each range partition in executor memory.
     """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(partitions, *order_by)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy(*order_by)

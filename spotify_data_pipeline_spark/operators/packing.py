@@ -25,12 +25,18 @@ def packed_sequence_ids(
     order_col: str,
     weight_col: str,
     budget: int,
-    partitions: int = 200,
+    partitions: int | None = None,
     out_col: str = "seq_id",
 ) -> DataFrame:
     """Adds ``out_col`` = floor(exclusive-running-sum(weight) / budget)
     per group under ``order_col`` order. Output-equivalent to the
-    single-window formulation (equivalence pytest-checked)."""
+    single-window formulation (equivalence pytest-checked).
+
+    ``partitions`` defaults to the cluster's parallelism — on a real
+    cluster size it to keep each range partition in executor memory.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(partitions, group_col, order_col)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
 
