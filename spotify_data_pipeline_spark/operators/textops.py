@@ -95,6 +95,34 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
     return df.withColumn(out_col, pred)
 
 
+def language_id_sql(tokens_expr: str = "toks") -> str:
+    """DuckDB SQL fragment computing the EXACT ``language_id`` semantics
+    over a token-list expression: per-language stopword hits, argmax
+    with (hits desc, lang asc) tie-break, 'und' when nothing hits.
+    Keeping the stopword profiles single-sourced here means the Spark
+    classifier and its oracle can never drift.
+    """
+    langs = sorted(_LANG_STOPWORDS)
+    hits = {
+        lang: (
+            f"len(list_filter({tokens_expr}, t -> list_contains("
+            f"[{', '.join(repr(s) for s in _LANG_STOPWORDS[lang])}], t)))"
+        )
+        for lang in langs
+    }
+    all_hits = ", ".join(hits.values())
+    branches = []
+    for i, lang in enumerate(langs):
+        rest = [f"{hits[lang]} >= {hits[o]}" for o in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return (
+        f"CASE WHEN greatest({all_hits}) = 0 THEN 'und' "
+        + " ".join(branches)
+        + " END"
+    )
+
+
 def fingerprint_md5(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Canonical-content fingerprint: md5 of lowercased, whitespace-
     normalized text. Exact-dup detection key; md5 matches across engines

@@ -16,6 +16,7 @@ from spotify_data_pipeline_spark.functions.text import is_nonblank, tokens
 from spotify_data_pipeline_spark.functions.vectors import cosine_similarity
 from spotify_data_pipeline_spark.io import load_table
 from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
+from spotify_data_pipeline_spark.operators.textops import language_id_sql
 from spotify_data_pipeline_spark.plans.parity import rnd
 from spotify_data_pipeline_spark.plans.registry import declare
 
@@ -165,6 +166,68 @@ def llm_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("c_label").alias("assigned_label"), "cos")
+    )
+
+
+@declare(
+    "llm_curation_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks,
+             regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+      FROM documents WHERE length(trim(text)) > 0
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             floor((len(list_distinct(toks)) / greatest(len(toks), 1)) * 10000 + 0.5) / 10000 AS uniq_ratio,
+             floor((length(regexp_replace(norm, '[\\w\\s]', '', 'g')) / greatest(length(norm), 1)) * 10000 + 0.5) / 10000 AS punct_ratio,
+             __LANGID__ AS pred_lang,
+             md5(lower(norm)) AS fingerprint
+      FROM t
+    ), g AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS first_doc FROM f
+    )
+    SELECT doc_id, pred_lang, n_tokens, uniq_ratio, punct_ratio
+    FROM g
+    WHERE n_tokens BETWEEN 5 AND 5000
+      AND uniq_ratio >= 0.3
+      AND punct_ratio <= 0.3
+      AND pred_lang <> 'und'
+      AND doc_id = first_doc
+    """.replace("__LANGID__", language_id_sql("toks")),
+    tags=("llmops", "text", "curation"),
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass of a pretraining pipeline: quality
+    thresholds (token count window, uniqueness floor, punctuation cap),
+    language-ID gate, and exact-dup removal (first doc per canonical
+    fingerprint wins) — one declared query, all Catalyst, with the
+    whole composition hash-checked against DuckDB. Near-dup removal
+    (MinHash) layers on top via dedup_minhash_lsh's pair output.
+
+    Shape at scale: everything up to the fingerprint window is map-only;
+    the only shuffle is the fingerprint hash partition (16-byte keys).
+    """
+    from spotify_data_pipeline_spark.operators.textops import (
+        fingerprint_md5,
+        language_id,
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    feat = fingerprint_md5(language_id(quality_features(docs)))
+    w = Window.partitionBy("fingerprint")
+    return (
+        feat.withColumn("_first", F.min("doc_id").over(w))
+        .where(
+            F.col("n_tokens").between(5, 5000)
+            & (F.col("uniq_ratio") >= 0.3)
+            & (F.col("punct_ratio") <= 0.3)
+            & (F.col("pred_lang") != "und")
+            & (F.col("doc_id") == F.col("_first"))
+        )
+        .select("doc_id", "pred_lang", "n_tokens", "uniq_ratio", "punct_ratio")
     )
 
 

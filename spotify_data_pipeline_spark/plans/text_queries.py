@@ -14,6 +14,7 @@ from spotify_data_pipeline_spark.io import load_table
 from spotify_data_pipeline_spark.operators.textops import (
     fingerprint_md5,
     language_id,
+    language_id_sql,
     quality_features,
     token_count,
 )
@@ -249,12 +250,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "text_language_id",
-    oracle=None,  # heuristic classifier → rows-only; determinism tested in pytest
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) > 0
+                  THEN string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')
+                  ELSE CAST([] AS VARCHAR[]) END AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang, __LANGID__ AS pred_lang FROM t
+    """.replace("__LANGID__", language_id_sql("toks")),
     tags=("text", "langid"),
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword-profile language ID per document (§2.12);
-    output (doc_id, lang, pred_lang) for offline accuracy inspection."""
+    output (doc_id, lang, pred_lang). Upgraded from rows-only in round
+    2: the oracle replicates the classifier exactly (stopword profiles
+    single-sourced in textops.language_id_sql), so even the heuristic
+    classifier hash-matches."""
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs, "text").select("doc_id", "lang", "pred_lang")
 
