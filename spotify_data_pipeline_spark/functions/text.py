@@ -63,13 +63,18 @@ def shingles(tokens_col: Column, k: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens_col), _shingles_of), 1)
 
 
+# word runs / digit runs count one each; every other non-space char
+# counts alone. RE2-compatible (no lookarounds) so a DuckDB oracle can
+# run the IDENTICAL pattern — see plans/text_queries.text_bpe_token_count.
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Approximate subword token count with a BPE-ish regex:
     words, numbers, and single non-space punctuation each count as one.
     """
     return F.size(
-        F.filter(
-            F.split(F.col(col) if isinstance(col, str) else col, r"(?=[^\w])|(?<=[^\w])"),
-            lambda t: F.length(F.trim(t)) > 0,
+        F.regexp_extract_all(
+            F.col(col) if isinstance(col, str) else col, F.lit(BPE_ISH_PATTERN), 0
         )
     ).cast("long")

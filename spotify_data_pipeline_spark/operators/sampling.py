@@ -23,14 +23,24 @@ from pyspark.sql import functions as F
 
 
 def deterministic_sample(
-    df: DataFrame, key_cols: Sequence[str], n: int, seed: int
+    df: DataFrame, key_cols: Sequence[str], n: int, seed: int, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """Deterministic pseudo-random sample of n rows keyed by key_cols.
 
     Cap-or-all semantics like the reference (≤n rows ⇒ all rows pass
     through; LIMIT handles that case naturally).
+
+    ``hash_fn``: 'xxhash64' (default — fastest, JVM-side) or 'md5'
+    (hex-string ordering every engine reproduces bit-identically — use
+    when an external system must derive the SAME sample, the
+    reference's no-XCom inter-task contract generalized across engines).
     """
-    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols])
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols])
+    elif hash_fn == "md5":
+        h = F.md5(F.concat_ws(":", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return (
         df.withColumn("_sample_rank", h)
         .orderBy("_sample_rank", *key_cols)

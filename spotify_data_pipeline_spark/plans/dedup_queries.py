@@ -95,12 +95,45 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "dedup_ngram_jaccard",
-    oracle=None,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), keep AS (
+      SELECT sh FROM (SELECT sh, count(*) AS df FROM s GROUP BY 1)
+      WHERE df <= greatest(100, CAST(floor(0.10 * (SELECT count(*) FROM documents)) AS BIGINT))
+    ), sz AS (
+      SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN keep k ON a.sh = k.sh
+               JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(n_common / (za.n_sh + zb.n_sh - n_common) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter JOIN sz za ON inter.id_a = za.doc_id
+               JOIN sz zb ON inter.id_b = zb.doc_id
+    WHERE floor(n_common / (za.n_sh + zb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.5
+    """,
     tags=("dedup", "jaccard", "text"),
 )
 def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard ≥ 0.5 via sparse shingle self-join (exact until the
-    document-frequency cap bites; then a lower bound — see operator)."""
+    document-frequency cap bites; then a lower bound — see operator).
+    Upgraded from rows-only in round 2: jaccard depends only on shingle
+    SET relations, so the oracle computes the identical algorithm
+    (distinct triples, same DF cap, uncapped sizes) over raw shingle
+    strings — equivalent to the engine's hashed-shingle sets up to
+    ~2^-32-probability hash collisions."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text", threshold=0.5)
 

@@ -70,11 +70,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "multimodal_frame_sample",
-    oracle=None,  # byte-slicing stand-in for keyframe extraction → rows-only
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    e AS (
+      SELECT doc_id, n, greatest(CAST(floor(n / 4.0) AS INT), 1) AS stride,
+             unnest(range(4)) AS u
+      FROM m
+    )
+    SELECT doc_id, CAST(u AS BIGINT) AS frame_idx,
+           CAST(least(32, n - u * stride) AS BIGINT) AS frame_bytes
+    FROM e WHERE n - u * stride > 0
+    """,
     tags=("multimodal",),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: explode each blob into n sampled chunks."""
+    """Frame-sampling plumbing: explode each blob into n sampled chunks.
+    Upgraded from rows-only in round 2: Spark's binary substring is
+    byte-based, so the sampled frame SIZES are pure octet arithmetic an
+    external engine can replicate exactly — the byte-slicing plumbing
+    itself is pinned by tests/test_multimodal.py."""
     media = _with_media(spark, sf_dir)
     frames = sample_frames(media, n_frames=4, frame_bytes=32)
-    return frames.select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )

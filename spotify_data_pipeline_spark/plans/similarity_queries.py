@@ -57,9 +57,50 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(queries, emb, k=_TOP_K)
 
 
+def _ann_lsh_oracle(n_planes: int = 3, n_tables: int = 8, dim: int = 64) -> str:
+    """DuckDB SQL replicating cosine_topk_lsh EXACTLY — same seeded
+    hyperplanes (similarity._projection_planes), same sign→bucket
+    packing, same any-table candidate rule, same (cos desc, neighbor)
+    re-rank. The approximate ANN operator thereby gets an exact
+    hash-match instead of a rows-only check (same pattern as the
+    embedding near-dup oracle in dedup_queries)."""
+    from spotify_data_pipeline_spark.operators.similarity import _projection_planes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = _projection_planes(dim, n_planes, seed=1000 + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, CAST([{', '.join(repr(x) for x in plane)}] AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        buckets.append(f"({bits}) AS b{t}")
+    bucket_cols = ",\n           ".join(buckets)
+    same_bucket = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, e,
+           {bucket_cols}
+          FROM v),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+               * 10000 + 0.5) / 10000 AS cos
+      FROM b q JOIN b c
+        ON q.vec_id < {_N_QUERY_VECS} AND q.vec_id <> c.vec_id AND ({same_bucket})
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rn
+      FROM cand
+    ) WHERE rn <= {_TOP_K}
+    """
+
+
 @declare(
     "sim_ann_lsh",
-    oracle=None,  # approximate by construction → rows-only + recall pytest
+    oracle=_ann_lsh_oracle(),
     tags=("similarity", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

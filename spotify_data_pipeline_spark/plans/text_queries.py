@@ -274,13 +274,21 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "text_bpe_token_count",
-    oracle=None,  # lookaround-split semantics differ across engines → rows-only
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
     tags=("text", "tokens"),
 )
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword token counting (SURVEY §2.12): words, numbers, and
     punctuation marks each count — the cheap stand-in for a real
-    tokenizer when budgeting LLM training data."""
+    tokenizer when budgeting LLM training data. Upgraded from rows-only
+    in round 2: the lookaround split was replaced with an RE2-compatible
+    extract-all (functions/text.BPE_ISH_PATTERN), so DuckDB runs the
+    identical regex and the count hash-matches."""
     from spotify_data_pipeline_spark.operators.textops import token_count_bpe_ish
 
     docs = load_table(spark, sf_dir, "documents")

@@ -197,17 +197,25 @@ def dedup_first_wins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "sample_seeded_deterministic",
-    oracle=None,  # hash ordering is engine-specific → rows-only + pytest determinism
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS customer_name
+    FROM customer
+    ORDER BY md5(concat('20250901', ':', CAST(c_custkey AS VARCHAR))), c_custkey
+    LIMIT 20
+    """,
     tags=("sample",),
 )
 def sample_seeded_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic seeded sample of 20 customers (SURVEY §2.6 O3:
     random.Random(int(ds)).sample(ids, 20) — same day ⇒ same sample,
-    spotify_etl_v2.py:91-97). Implemented as xxhash64(seed, key) ordering,
-    which is stable under repartitioning (plain df.sample(seed=) is not).
-    """
+    spotify_etl_v2.py:91-97). Hash-ordered, so stable under
+    repartitioning (plain df.sample(seed=) is not). Upgraded from
+    rows-only in round 2: md5 hash ordering is reproduced bit-identically
+    by DuckDB, so the driver verifies the exact sample membership."""
     c = load_table(spark, sf_dir, "customer")
-    return deterministic_sample(c, key_cols=["c_custkey"], n=20, seed=20250901).select(
+    return deterministic_sample(
+        c, key_cols=["c_custkey"], n=20, seed=20250901, hash_fn="md5"
+    ).select(
         F.col("c_custkey").alias("customer_id"), F.col("c_name").alias("customer_name")
     )
 
