@@ -15,8 +15,17 @@ from pyspark.sql import functions as F
 
 
 def normalize_whitespace(col: Column | str) -> Column:
-    """Collapse runs of whitespace to single spaces and trim the ends."""
-    return F.regexp_replace(F.trim(col), r"\s+", " ")
+    """Collapse runs of whitespace to single spaces and trim the ends —
+    the reference's ``' '.join(s.strip().split())``.
+
+    Order matters: collapse FIRST, then trim. ``F.trim`` strips only
+    0x20 spaces, so trim-then-collapse leaves a tab/newline-edged
+    string as a single ' ' instead of '' (found by the degenerate-input
+    tests); collapsing first turns every edge run into a plain space
+    that trim removes. Oracle SQL uses the same
+    trim(regexp_replace(...)) order — DuckDB's trim is space-only too.
+    """
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
 def is_nonblank(col: Column | str) -> Column:

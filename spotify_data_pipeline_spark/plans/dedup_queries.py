@@ -44,7 +44,7 @@ def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "dedup_exact_hash_groups",
     oracle="""
-    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS text_hash,
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS first_doc
     FROM documents
@@ -98,7 +98,7 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
       FROM documents WHERE length(trim(text)) > 0
     ), s AS (
       SELECT doc_id, unnest(

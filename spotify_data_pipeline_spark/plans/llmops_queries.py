@@ -22,7 +22,7 @@ from spotify_data_pipeline_spark.plans.registry import declare
 
 # DuckDB twin of functions.text.tokens(): trim → collapse whitespace →
 # lower → split on single space
-_TOKENS_SQL = "string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')"
+_TOKENS_SQL = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
 
 _PACK_BUDGET = 512  # tokens per training sequence
 
@@ -174,8 +174,8 @@ def llm_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks,
-             regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
       FROM documents WHERE length(trim(text)) > 0
     ), f AS (
       SELECT doc_id,

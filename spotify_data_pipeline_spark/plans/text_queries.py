@@ -64,7 +64,7 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_normalize_whitespace",
     oracle="""
     SELECT doc_id,
-           regexp_replace(trim(text), '\\s+', ' ', 'g') AS text_norm,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_norm,
            replace(source, '"', '\\"')                  AS source_escaped
     FROM documents
     """,
@@ -149,12 +149,12 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_suite",
     oracle="""
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+           CAST(len(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
              AS n_tokens,
-           regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')[1]
+           regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[1]
              AS first_token,
            CAST(len(list_filter(
-             regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
              t -> length(t) > 5)) AS BIGINT) AS n_long_tokens
     FROM documents
     """,
@@ -178,9 +178,9 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(len(regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))) AS BIGINT)
+           CAST(sum(len(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))) AS BIGINT)
              AS total_tokens,
-           floor((avg(len(regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')))) * 100 + 0.5) / 100
+           floor((avg(len(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')))) * 100 + 0.5) / 100
              AS avg_tokens,
            floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars
     FROM documents
@@ -206,8 +206,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks,
-             regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
       FROM documents
     )
     SELECT doc_id,
@@ -237,7 +237,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
     FROM documents
     """,
     tags=("text", "fingerprint"),
@@ -254,7 +254,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, lang,
              CASE WHEN length(trim(text)) > 0
-                  THEN string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')
+                  THEN string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
                   ELSE CAST([] AS VARCHAR[]) END AS toks
       FROM documents
     )
