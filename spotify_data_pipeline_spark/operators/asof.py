@@ -9,10 +9,11 @@ Two implementations:
 - ``asof_join``: pure DataFrame — union both sides tagged, one window
   pass carrying the last right value forward (`F.last(ignorenulls=True)`).
   One shuffle on the `by` key; linear, no pairwise blow-up; this is the
-  100 TB path.
+  100 TB path. Supports backward/forward direction and a tolerance
+  bound (round 2).
 - ``asof_join_pandas``: ``applyInPandas`` + ``pd.merge_asof`` per group —
-  kept as a cross-check implementation and for semantics Spark built-ins
-  can't express (tolerance windows, nearest direction).
+  kept as a cross-check implementation and for semantics the window
+  formulation doesn't cover ('nearest' direction).
 """
 
 from __future__ import annotations
@@ -28,12 +29,25 @@ def asof_join(
     by: str,
     value_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
-    """Backward as-of join via tagged union + running ``last`` window.
+    """As-of join via tagged union + running ``last`` window.
+
+    ``direction``: 'backward' (default — most recent right row with
+    right.on <= left.on) or 'forward' (earliest right row with
+    right.on >= left.on; implemented as the backward pass over a
+    descending order — same single shuffle).
+    ``tolerance``: optional max distance — a Column interval/number; a
+    match farther than it from left.on is nulled out (pandas
+    merge_asof semantics).
 
     Ties on the `on` column: a right row at exactly left.on is matched
-    (<=), achieved by sorting right rows before left rows at equal keys.
+    (<= / >=), achieved by sorting right rows before left rows at
+    equal keys.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
 
     l_tag = left.select(
@@ -54,9 +68,10 @@ def asof_join(
     )
 
     unioned = l_tag.unionByName(r_tag)
+    on_order = F.col("_on").asc() if direction == "backward" else F.col("_on").desc()
     w = (
         Window.partitionBy("_by")
-        .orderBy("_on", "_side")
+        .orderBy(on_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -66,6 +81,22 @@ def asof_join(
         *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}") for c in value_cols],
         F.last("_r_on", ignorenulls=True).over(w).alias(f"{on}{suffix}"),
     ).where(F.col("_side") == 1)
+
+    if tolerance is not None:
+        dist = (
+            F.col(f"_lrow.{on}") - F.col(f"{on}{suffix}")
+            if direction == "backward"
+            else F.col(f"{on}{suffix}") - F.col(f"_lrow.{on}")
+        )
+        in_tol = F.col(f"{on}{suffix}").isNotNull() & (dist <= tolerance)
+        carried = carried.select(
+            "_lrow",
+            *[
+                F.when(in_tol, F.col(f"_rv_{c}")).alias(f"_rv_{c}")
+                for c in value_cols
+            ],
+            F.when(in_tol, F.col(f"{on}{suffix}")).alias(f"{on}{suffix}"),
+        )
 
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols]

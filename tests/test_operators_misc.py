@@ -237,3 +237,32 @@ def test_packed_sequence_ids_matches_single_window(spark):
         for r in packed_sequence_ids(df, "source", "doc_id", "w", 300, partitions=11).collect()
     }
     assert naive == scalable
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """Round-2 extension: forward direction (earliest right >= left.on)
+    and tolerance bound, checked against a Python model on the fixture."""
+    left, right = _events_fixture(spark)
+    fwd = {r.event_id: (r.ts_right, r.px_right) for r in
+           asof_join(left, right, on="ts", by="user_id", value_cols=["px"],
+                     direction="forward").collect()}
+    assert fwd[1] == (_TS(2024, 1, 1, 10, 0), 2.0)   # >= tie matches
+    assert fwd[2] == (None, None)                     # nothing at/after 11:00
+    assert fwd[3] == (_TS(2024, 1, 1, 9, 30), 4.0)    # first right after 9:00
+    assert fwd[4] == (None, None)
+
+    tol = {r.event_id: (r.ts_right, r.px_right) for r in
+           asof_join(left, right, on="ts", by="user_id", value_cols=["px"],
+                     tolerance=F.expr("INTERVAL 20 MINUTES")).collect()}
+    assert tol[1] == (_TS(2024, 1, 1, 10, 0), 2.0)    # distance 0 <= 20m
+    assert tol[2] == (_TS(2024, 1, 1, 10, 45), 3.0)   # 15m <= 20m
+    assert tol[3] == (None, None)
+    # shrink tolerance: event 2's 15m match must null out
+    tight = {r.event_id: r.px_right for r in
+             asof_join(left, right, on="ts", by="user_id", value_cols=["px"],
+                       tolerance=F.expr("INTERVAL 10 MINUTES")).collect()}
+    assert tight[2] is None and tight[1] == 2.0
+
+    import pytest as _p
+    with _p.raises(ValueError, match="direction"):
+        asof_join(left, right, on="ts", by="user_id", direction="nearest")
