@@ -293,3 +293,28 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_count_bpe_ish(docs).select("doc_id", "n_bpe_tokens")
+
+
+@declare(
+    "fn_unpivot_metrics",
+    oracle="""
+    SELECT part_id, metric, value FROM (
+      UNPIVOT (SELECT p_partkey AS part_id,
+                      CAST(p_size AS DOUBLE) AS size,
+                      CAST(p_retailprice AS DOUBLE) AS retailprice
+               FROM part)
+      ON size, retailprice INTO NAME metric VALUE value
+    )
+    """,
+    tags=("functions", "unpivot"),
+)
+def fn_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via df.unpivot (melt) — the inverse of the
+    pivot surface in aggregates. One row per (part, metric)."""
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return wide.unpivot(["part_id"], ["size", "retailprice"], "metric", "value")

@@ -249,3 +249,36 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("c_custkey").over(w).alias("poorest_id"),
         rnd(F.max("c_acctbal").over(w) - F.col("c_acctbal"), 2).alias("gap_to_top"),
     )
+
+
+@declare(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+           floor((sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+             AS revenue_30d
+    FROM orders
+    """,
+    tags=("window", "range_frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (SURVEY W-frames — value-based, not row-based): each
+    order's trailing-30-day revenue for its customer. rangeBetween over
+    epoch-days; ties at one date all share the same frame (the semantic
+    difference from rowsBetween that this query pins)."""
+    o = load_table(spark, sf_dir, "orders")
+    # integer epoch-days via datediff — timezone-free on both engines
+    days = F.datediff("o_orderdate", F.lit("1970-01-01").cast("timestamp")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        rnd(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+    )
