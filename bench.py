@@ -43,11 +43,21 @@ def main() -> None:
         load_table(spark, "/root/testdata/sf0.001", t).count()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    dfs: dict[str, object] = {}
     for name, q in sorted(headline_queries().items()):
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        dfs[name] = df  # hold the reference: cache lifetimes stay put
+    # second pass on the SAME DataFrames: steady-state numbers with
+    # codegen compiled and caches resident — the long-running-cluster
+    # figure, far less noise-sensitive than a single cold run
+    for name, df in dfs.items():
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -55,6 +65,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
         "sf": sf,
     }
     out["skew_guard"] = _skew_guard(spark, sf_dir)
