@@ -21,11 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spotify_data_pipeline_spark.plans import all_queries  # noqa: E402
-from spotify_data_pipeline_spark.plans.aggregates import pricing_summary  # noqa: E402
+
+# NOTE: no top-level imports of plans.* submodules here. declare() runs at
+# module import, so an eager import would register that module's queries
+# ahead of the registry's declared order — in round 2 a top-level
+# `from ...aggregates import pricing_summary` silently front-loaded the 12
+# aggregates queries and pushed five registry entries past the driver's
+# 50-query evidence window (CORRECTNESS_r02.json). Registration order is
+# evidence allocation; only `all_queries()` may trigger module loading.
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    from spotify_data_pipeline_spark.plans.aggregates import pricing_summary
+
     return pricing_summary(spark, "/root/testdata/sf0.001")
 
 

@@ -51,12 +51,57 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "multimodal_features",
-    oracle=None,  # Arrow/mapInPandas feature extraction → rows-only + pytest
+    # Exact oracle: the fake decoder and byte-histogram featurizer are
+    # deterministic pure-byte arithmetic, so DuckDB can replicate them by
+    # parsing hex(encode(text)) back into byte values (strpos hex-digit
+    # arithmetic). `value` is compared as float32 BIT-EXACTLY: both
+    # engines compute count/total in float64 (both integers, division is
+    # a single correctly-rounded IEEE op) then cast to float32 (REAL) —
+    # no rounding-boundary luck involved.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, n, i,
+             (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte
+      FROM b, unnest(range(n)) AS t(i)
+    ),
+    dims AS (
+      SELECT doc_id,
+             CAST(64 + CAST(sum(byte) FILTER (WHERE i < 16) % 64 AS INT) AS INT) AS width,
+             CAST(64 + CAST((sum(byte) FILTER (WHERE i < 16) // 64) % 64 AS INT) AS INT) AS height
+      FROM bytes GROUP BY doc_id
+    ),
+    hist AS (
+      SELECT doc_id, CAST(byte % 8 AS BIGINT) AS pos, CAST(count(*) AS DOUBLE) AS cnt
+      FROM bytes GROUP BY 1, 2
+    ),
+    grid AS (SELECT b.doc_id, b.n, CAST(g.p AS BIGINT) AS pos FROM b, unnest(range(8)) AS g(p))
+    SELECT grid.doc_id, grid.n AS n_bytes,
+           coalesce(dims.width, 64) AS width,
+           coalesce(dims.height, 64) AS height,
+           grid.pos,
+           CAST(coalesce(hist.cnt, 0) / greatest(grid.n, 1) AS REAL) AS value
+    FROM grid
+    LEFT JOIN dims USING (doc_id)
+    LEFT JOIN hist USING (doc_id, pos)
+    """,
     tags=("multimodal", "pandas_udf"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction through the Arrow batch path (deterministic
-    fake decoder standing in for the media library)."""
+    fake decoder standing in for the media library).
+
+    The declared output posexplodes the feature vector into scalar
+    (pos, value) rows: list-typed cells are not hashable by the
+    driver's pandas canonicalizer (the r02 ERR), and the exploded form
+    additionally lets the deterministic featurizer carry an exact
+    oracle. Downstream consumers wanting the array shape use
+    ``extract_media_features`` directly."""
     media = _with_media(spark, sf_dir)
     out = extract_media_features(media, decoder=fake_decoder, feature_dim=8)
     return out.select(
@@ -64,8 +109,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
-        "feature",
-    )
+        F.posexplode("feature").alias("pos", "value"),
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 @declare(
