@@ -243,24 +243,47 @@ def minhash_lsh_dedup(
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_width is not None:
-        widths = band_entries.groupBy("band", "bucket").agg(F.count("*").alias("_w"))
-        band_entries = band_entries.join(
-            widths.where(F.col("_w") <= max_bucket_width).select("band", "bucket"),
-            ["band", "bucket"],
+        # Capped path: ONE shuffle — group each (band, bucket) into a
+        # sorted id array, drop buckets wider than the cap BEFORE any
+        # pair exists, and generate the ≤ w²/2 in-bucket pairs with a
+        # per-row HOF (bounded by the cap, so ≤ cap²/2 per bucket).
+        # Strictly cheaper than the self-join: no join, no second
+        # evaluation of the signature lineage, and adversarial fan-out
+        # never materializes.
+        grouped = (
+            band_entries.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+            .where(F.size("_ids").between(2, max_bucket_width))
         )
-
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+        candidates = (
+            grouped.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .distinct()
+        )
+    else:
+        # Uncapped: bucket-local self-join (collect_list would be
+        # unbounded per bucket here — the join streams instead).
+        a = band_entries.alias("a")
+        b = band_entries.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
 
     hs_a = hs.select(F.col(id_col).alias("id_a"), F.col("hset").alias("hset_a"))
     hs_b = hs.select(F.col(id_col).alias("id_b"), F.col("hset").alias("hset_b"))
@@ -528,12 +551,12 @@ def embedding_neardup_lsh(
         bucketed = random_projection_buckets(
             df, vec_col, dim, n_planes, seed=seed_base + t
         )
-        a = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "lsh_bucket"
-        )
-        b = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "lsh_bucket"
-        )
+        # candidates are BARE id pairs — the cross-table dedup shuffle
+        # must not carry vector payloads (at 1024-dim float embeddings
+        # that's ~8 KB shuffled per pair about to be discarded); vectors
+        # are joined back once, after dedup, for verification
+        a = bucketed.select(F.col(id_col).alias("id_a"), "lsh_bucket")
+        b = bucketed.select(F.col(id_col).alias("id_b"), "lsh_bucket")
         parts.append(
             a.join(b, "lsh_bucket").where(F.col("id_a") < F.col("id_b")).drop("lsh_bucket")
         )
@@ -541,8 +564,12 @@ def embedding_neardup_lsh(
     for p in parts[1:]:
         cand = cand.unionByName(p)
     cand = cand.dropDuplicates(["id_a", "id_b"])
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        cand.withColumn("cos", rnd(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", rnd(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -98,6 +98,7 @@ def cosine_topk_ivf(
     n_cells: int = 8,
     nprobe: int = 2,
     kmeans_iters: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: k-means coarse quantizer
     (operators/clustering.py), inverted lists keyed by cell, each query
@@ -109,13 +110,22 @@ def cosine_topk_ivf(
     cell-keyed join is an equi-join, and the centroid table stays a
     broadcast. Output schema matches ``cosine_topk_bruteforce``; recall
     measured against it in tests.
+
+    Pass ``centroids`` (a (_cid, _centroid) DataFrame) to search
+    against a precomputed/external quantizer — the production IVF
+    shape, where training and serving are separate jobs — skipping the
+    in-line k-means.
     """
     from spotify_data_pipeline_spark.operators.clustering import (
         assign_clusters,
         kmeans_centroids,
     )
 
-    cent = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=kmeans_iters)
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=kmeans_iters)
+    )
     lists = assign_clusters(corpus, cent, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cluster_id"
     )
@@ -165,12 +175,11 @@ def cosine_topk_lsh(
     for t in range(n_tables):
         qb = random_projection_buckets(queries, vec_col, dim, n_planes, seed=1000 + t)
         cb = random_projection_buckets(corpus, vec_col, dim, n_planes, seed=1000 + t)
-        q = qb.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "lsh_bucket"
-        )
-        c = cb.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "lsh_bucket"
-        )
+        # bare id pairs only — the cross-table dedup shuffle must not
+        # carry the vectors (joined back once below, same discipline as
+        # dedup.embedding_neardup_lsh)
+        q = qb.select(F.col(id_col).alias("query_id"), "lsh_bucket")
+        c = cb.select(F.col(id_col).alias("neighbor_id"), "lsh_bucket")
         parts.append(q.join(c, "lsh_bucket").drop("lsh_bucket"))
     cand = parts[0]
     for p in parts[1:]:
@@ -178,7 +187,15 @@ def cosine_topk_lsh(
     cand = cand.where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
         ["query_id", "neighbor_id"]
     )
-    scored = cand.withColumn("cos", rnd(cosine_similarity(F.col("_qv"), F.col("_cv")), 4))
+    # plain equi-joins: AQE broadcasts whichever side is small enough
+    # (this path exists precisely because queries may NOT be broadcastable)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", rnd(cosine_similarity(F.col("_qv"), F.col("_cv")), 4))
+    )
     top = topk_per_group(
         scored,
         partition_by=["query_id"],

@@ -75,10 +75,25 @@ def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding + exact Jaccard
     verification (SURVEY D4). Output (id_a, id_b, jaccard ≥ 0.6).
     32 hashes / 16 bands: recall ≈0.999 at j=0.6 at half the signature
-    compute of 64/16 (see operator docstring)."""
+    compute of 64/16 (see operator docstring).
+
+    max_bucket_width=50 bounds join fan-out: a boilerplate cluster of
+    width w contributes w²/2 candidate pairs per band — unbounded at
+    100 TB, so the declared query runs capped by default. Recall trade:
+    pairs inside a >50-wide band bucket are only found if they collide
+    in another (narrower) band; verified identical pair set at sf0.01
+    (25 pairs capped and uncapped — natural buckets are far narrower).
+    Truly identical texts belong to exact hash dedup
+    (dedup_exact_hash_groups), not the near-dup path."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_dedup(
-        docs, id_col="doc_id", text_col="text", num_hashes=32, bands=16, jaccard_threshold=0.6
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=32,
+        bands=16,
+        jaccard_threshold=0.6,
+        max_bucket_width=50,
     )
 
 

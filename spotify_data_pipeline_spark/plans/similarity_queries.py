@@ -119,6 +119,97 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(queries, emb, k=_TOP_K, dim=64, n_planes=3, n_tables=8)
 
 
+_IVF_DIM, _IVF_CELLS, _IVF_NPROBE, _IVF_SEED = 64, 8, 3, 9000
+
+
+def _fixed_ivf_centroids() -> list[list[float]]:
+    """Deterministic centroid literals (seeded numpy, like the LSH
+    hyperplanes) — stands in for an externally trained quantizer so the
+    IVF *serving* path (assign + probe + re-rank) is exactly
+    reproducible by an external oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(_IVF_SEED)
+    return rng.standard_normal((_IVF_CELLS, _IVF_DIM)).tolist()
+
+
+def _ann_ivf_fixed_oracle() -> str:
+    """DuckDB SQL replicating cosine_topk_ivf with the fixed centroids
+    EXACTLY: same argmax cell assignment (unrounded cosine, cid
+    tiebreak), same nprobe cell probing per query, same 4dp-rounded
+    re-rank. Both engines evaluate the identical float64 expressions,
+    so the hash match is bit-honest (same pattern as _ann_lsh_oracle)."""
+    cents = _fixed_ivf_centroids()
+    values = ",\n      ".join(
+        f"({cid}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for cid, c in enumerate(cents)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT * FROM (VALUES
+      {values}
+    ) AS t(cid, c)),
+    scored AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             list_dot_product(v.e, cent.c)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.c, cent.c)))
+               AS ccos
+      FROM v CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, e AS qe, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM scored WHERE vec_id < {_N_QUERY_VECS}) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             floor(list_dot_product(p.qe, a.e)
+               / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.e, a.e)))
+               * 10000 + 0.5) / 10000 AS cos
+      FROM probes p JOIN assign a ON p.cid = a.cid AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rn
+      FROM cand
+    ) WHERE rn <= {_TOP_K}
+    """
+
+
+@declare(
+    "sim_ann_ivf_fixed",
+    oracle=_ann_ivf_fixed_oracle(),
+    tags=("similarity", "ivf"),
+)
+def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving path against a FIXED quantizer (deterministic literal
+    centroids): inverted-list build (map-only nearest-cell assignment),
+    nprobe cell probing per query, exact re-rank within probed cells.
+
+    The production IVF shape — train the quantizer in one job, serve
+    with frozen centroids — and the driver-checkable anchor for the IVF
+    path: the trainer (``sim_ann_ivf``) stays rows-only because Lloyd
+    state is engine-side, but this query pins the assignment + probe +
+    re-rank machinery with an exact oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERY_VECS)
+    cent = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(_fixed_ivf_centroids())],
+        schema="_cid INT, _centroid ARRAY<DOUBLE>",
+    )
+    return cosine_topk_ivf(
+        queries, emb, k=_TOP_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, centroids=cent
+    )
+
+
 @declare(
     "sim_ann_ivf",
     oracle=None,  # k-means state is engine-side → rows-only + recall pytest

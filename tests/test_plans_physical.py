@@ -106,6 +106,39 @@ def test_embedding_neardup_is_bucketed_not_allpairs(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_neardup_candidate_dedup_carries_no_vectors(spark):
+    """The cross-table candidate dedup (Deduplicate [id_a, id_b]) must
+    shuffle bare id pairs: vectors are joined back only after the pair
+    set is final. Asserts the Deduplicate subtree of the optimized plan
+    references no vector column."""
+    q = all_queries()["dedup_embedding_cosine"]
+    tree = q.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    lines = tree.splitlines()
+    # Catalyst rewrites dropDuplicates' Deduplicate into a group-by-keys
+    # Aggregate; match either form, keyed on both pair ids
+    dedup_idx = next(
+        i
+        for i, l in enumerate(lines)
+        if ("Deduplicate [id_a" in l) or ("Aggregate [id_a" in l and "id_b" in l)
+    )
+
+    def depth(line: str) -> int:
+        for m in ("+- ", ":- "):
+            if m in line:
+                return line.index(m)
+        return -1
+
+    d0 = depth(lines[dedup_idx])
+    subtree = []
+    for line in lines[dedup_idx + 1 :]:
+        if 0 <= depth(line) <= d0:
+            break
+        subtree.append(line)
+    assert subtree, "Deduplicate subtree not found"
+    bad = [l for l in subtree if "_va" in l or "_vb" in l]
+    assert not bad, f"vector payload inside candidate-dedup subtree: {bad[:3]}"
+
+
 def test_batch_assignment_two_phase(spark):
     """The declared batch-id query must use the two-phase numbering
     (range partition → partition-local rank → broadcast offsets join),
