@@ -37,7 +37,16 @@ def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     cache() entries live in the session's CacheManager until unpersist —
     a returned lazy plan can't unpersist eagerly, so without this a
     long-lived session (bench loop, driver verify) pins the cached
-    shingle sets/signatures across query invocations."""
+    shingle sets/signatures across query invocations.
+
+    CAVEAT (lifetime is GC-scope, not lexical scope): the finalizer is
+    tied to the exact returned DataFrame object. A caller that derives
+    a new frame (``returned.select(...)``) and drops the original
+    handle may have the cache freed before the derived plan executes —
+    correctness is unaffected (Spark silently recomputes the stage) but
+    the cache benefit is lost. Callers wanting deterministic lifetime
+    hold the returned frame until all derived actions complete, or call
+    ``.unpersist_dedup_cache()`` (attached below) explicitly."""
 
     def _cleanup(df: DataFrame = cached) -> None:
         try:
@@ -46,6 +55,8 @@ def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
             pass  # session already stopped — nothing to free
 
     weakref.finalize(result, _cleanup)
+    # explicit, idempotent escape hatch for scope-deterministic callers
+    result.unpersist_dedup_cache = _cleanup
     return result
 
 

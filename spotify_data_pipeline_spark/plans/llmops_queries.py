@@ -270,3 +270,45 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(1 - distinct_n / total.cast("double"), 4).alias("rep_ratio"),
         rnd(F.max("n") / total.cast("double"), 4).alias("top_tok_ratio"),
     )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    jaccard_threshold: float = 0.6,
+    pack_budget: int = _PACK_BUDGET,
+) -> DataFrame:
+    """End-to-end curation composition (the README demo; smoke-tested in
+    tests/test_pipeline.py): quality + language + exact-dup gate
+    (``llm_curation_pipeline``), MINUS near-dup losers from the MinHash
+    pair output (higher doc_id of each pair drops — greedy, matches the
+    reference pipelines' "first wins" convention), then packed into
+    ~``pack_budget``-token training sequences.
+
+    Not a declared driver query — each stage is individually
+    hash-matched (llm_curation_pipeline, dedup_minhash_lsh,
+    llm_sequence_packing); this wires them into the one job a
+    pretraining-data team would run. Scale shape: the near-dup
+    anti-join shuffles bare ids; everything else inherits the stages'
+    documented plans.
+    """
+    from spotify_data_pipeline_spark.operators.dedup import minhash_lsh_dedup
+    from spotify_data_pipeline_spark.operators.packing import packed_sequence_ids
+
+    curated = llm_curation_pipeline(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, jaccard_threshold=jaccard_threshold, max_bucket_width=50
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = curated.join(losers, "doc_id", "left_anti")
+    weighted = survivors.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "n_tokens")
+    return packed_sequence_ids(
+        weighted,
+        group_col="source",
+        order_col="doc_id",
+        weight_col="n_tokens",
+        budget=pack_budget,
+    ).select("doc_id", "source", "n_tokens", "seq_id")

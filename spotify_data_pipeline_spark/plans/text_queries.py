@@ -304,17 +304,24 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(p_retailprice AS DOUBLE) AS retailprice
                FROM part)
       ON size, retailprice INTO NAME metric VALUE value
-    )
+    ) WHERE value IS NOT NULL
     """,
     tags=("functions", "unpivot"),
 )
 def fn_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshaping via df.unpivot (melt) — the inverse of the
-    pivot surface in aggregates. One row per (part, metric)."""
+    pivot surface in aggregates. One row per (part, metric).
+
+    NULL semantics pinned explicitly: DuckDB's UNPIVOT drops NULL
+    values by default while Spark's unpivot keeps them, so BOTH sides
+    filter NULL metrics — the parity is structural, not dependent on
+    TPC-H part happening to have no NULLs."""
     p = load_table(spark, sf_dir, "part")
     wide = p.select(
         F.col("p_partkey").alias("part_id"),
         F.col("p_size").cast("double").alias("size"),
         F.col("p_retailprice").cast("double").alias("retailprice"),
     )
-    return wide.unpivot(["part_id"], ["size", "retailprice"], "metric", "value")
+    return wide.unpivot(["part_id"], ["size", "retailprice"], "metric", "value").where(
+        F.col("value").isNotNull()
+    )

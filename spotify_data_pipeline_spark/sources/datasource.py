@@ -85,6 +85,20 @@ class RestApiReader(DataSourceReader):
         self.endpoint = self.options.get("endpoint", "artists")
         if self.endpoint not in ("artists", "artist_albums", "album_tracks", "search_artists"):
             raise ValueError(f"unknown endpoint {self.endpoint!r}")
+        # Resolve the factory HERE, on the driver, and keep the callable
+        # on the reader so it is pickled (cloudpickle) to executors with
+        # it. Resolving the name inside read() would consult the
+        # executor worker's re-imported module, where only the built-in
+        # 'fixture' entry exists — a driver-side register_client_factory
+        # would be invisible and read() would KeyError on real clusters.
+        factory_name = self.options.get("client_factory", "fixture")
+        try:
+            self._client_factory = _CLIENT_FACTORIES[factory_name]
+        except KeyError:
+            raise ValueError(
+                f"unknown client_factory {factory_name!r}; registered: "
+                f"{sorted(_CLIENT_FACTORIES)}"
+            ) from None
         if "keys" in self.options:
             self.keys = [k for k in self.options["keys"].split(",") if k]
         elif "keys_path" in self.options:
@@ -103,8 +117,7 @@ class RestApiReader(DataSourceReader):
     def read(self, partition: _KeysPartition) -> Iterator[tuple[str, str]]:
         from spotify_data_pipeline_spark.sources.rest import TokenBucket
 
-        factory = _CLIENT_FACTORIES[self.options.get("client_factory", "fixture")]
-        client = factory(self.options)
+        client = self._client_factory(self.options)
         bucket = TokenBucket(float(self.options.get("min_interval_s", "0")))
         page_size = int(self.options.get("page_size", "25"))
 

@@ -121,11 +121,22 @@ def merge_stream_into_parquet(
             merged = (
                 merge_upsert(batch_df.limit(0), batch_df, keys, order_by)
             )  # dedup-within-batch via the same winner rule
+        # Swap order matters: rename the CURRENT target aside first,
+        # rename tmp in, delete the aside LAST — at every instant either
+        # the old or the new state exists under a recoverable name (a
+        # crash between the renames leaves `.old-{batch_id}` intact; the
+        # previous rmtree-then-rename had a window where the target was
+        # simply gone). Local-FS sink: os.rename atomicity does not hold
+        # on object stores — there, use a transactional table format
+        # instead of this directory swap.
         tmp = target_dir.rstrip("/") + f".tmp-{batch_id}"
+        aside = target_dir.rstrip("/") + f".old-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
+            os.rename(target_dir, aside)
         os.rename(tmp, target_dir)
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
 
     return stream_df.writeStream.outputMode("append").foreachBatch(_merge_batch)
 

@@ -201,3 +201,30 @@ def test_ensure_namespaces_idempotent(spark):
     finally:
         for z in zones:
             spark.sql(f"DROP NAMESPACE IF EXISTS {z}")
+
+
+def test_curate_corpus_composition(spark):
+    """README demo composition: curation gate -> near-dup removal ->
+    packing. Each stage is independently oracle-checked; this pins the
+    wiring (monotone row counts, packing schema, no near-dup loser
+    survives)."""
+    from spotify_data_pipeline_spark.operators.dedup import minhash_lsh_dedup
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.llmops_queries import (
+        curate_corpus,
+        llm_curation_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    packed = curate_corpus(spark, sf)
+    rows = packed.collect()
+    curated_n = llm_curation_pipeline(spark, sf).count()
+    assert 0 < len(rows) <= curated_n
+    assert set(packed.columns) == {"doc_id", "source", "n_tokens", "seq_id"}
+    losers = {
+        r.id_b
+        for r in minhash_lsh_dedup(
+            load_table(spark, sf, "documents"), max_bucket_width=50
+        ).collect()
+    }
+    assert not losers & {r.doc_id for r in rows}
