@@ -165,3 +165,85 @@ def fingerprint_rolling(
 
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens") -> DataFrame:
     return df.withColumn(out_col, bpe_ish_token_count(F.col(text_col)))
+
+
+# --- PII scanning / redaction (training-data hygiene pass) ------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, ASCII \b) so a SQL oracle can run the identical regexes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d \-]{7,}\d"
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII counts + redacted-text checksum. Map-only
+    Catalyst regexes — the pre-training hygiene pass that must touch
+    every byte of a 100 TB corpus exactly once, so nothing here
+    shuffles or leaves the JVM.
+
+    Counting is staged on progressively redacted text (emails on raw,
+    IPs after email redaction, phones after both) so one span is never
+    double-counted (an email's numeric domain would otherwise also
+    match the phone run). Returns (id, n_emails, n_ipv4, n_phones,
+    clean_hash) where clean_hash = md5 of the fully redacted text.
+    """
+    raw = F.col(text_col)
+    no_email = F.regexp_replace(raw, PII_EMAIL, "[EMAIL]")
+    no_ip = F.regexp_replace(no_email, PII_IPV4, "[IP]")
+    clean = F.regexp_replace(no_ip, PII_PHONE, "[PHONE]")
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PII_IPV4), 0)).cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(no_ip, F.lit(PII_PHONE), 0)).cast("long").alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+def contamination_ngram(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination screen: fraction of each document's
+    k-token shingles that appear anywhere in the benchmark corpus (the
+    'is my pretraining data leaking the eval set' check).
+
+    Plan at scale: benchmark shingle hashes (eval suites — tiny next to
+    the corpus) collapse to a DISTINCT set and BROADCAST; the corpus's
+    exploded shingles hit them map-side; one groupBy(doc) shuffle of
+    (id, partial counts) finishes it. The corpus is read once and never
+    joins itself. Output: (id, n_shingles, n_contaminated,
+    contamination 4dp) — every input doc appears, zeros included.
+    """
+    from spotify_data_pipeline_spark.operators.dedup import shingle_hash_sets
+
+    doc_sh = shingle_hash_sets(df, id_col, text_col, shingle_k)
+    bench_sh = (
+        shingle_hash_sets(benchmark, id_col, text_col, shingle_k)
+        .select(F.explode("hset").alias("_h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # one pass: explode -> broadcast-left-join the hit marker -> a single
+    # per-doc aggregation counts BOTH totals (count(*) = n_shingles since
+    # hset is distinct) and hits (count of non-null markers). No second
+    # join of per-doc totals against hit counts.
+    marked = doc_sh.select(id_col, F.explode("hset").alias("_h")).join(
+        F.broadcast(bench_sh), "_h", "left"
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        rnd(F.col("n_contaminated") / F.greatest("n_shingles", F.lit(1)), 4).alias(
+            "contamination"
+        ),
+    )

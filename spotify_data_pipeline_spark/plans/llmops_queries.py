@@ -136,10 +136,11 @@ def llm_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table stays tiny (broadcast) and the corpus is scored
     map-side in one pass — the inverted-list build for IVF search.
 
-    Centroids: posexplode → (label, pos) avg → rebuild ordered arrays.
-    Assignment: broadcast cross join (|centroids| rows) → window argmin
-    with label tiebreak so both engines pick the same centroid on 4dp
-    ties.
+    Centroids: posexplode → (label, pos) avg → rebuild ordered arrays,
+    then collapse to ONE broadcast row holding the centroid array.
+    Assignment: per-row HOF fold argmax with label tiebreak — map-only
+    over the corpus (the previous window argmin shuffled every corpus
+    row by vec_id just to pick the best of |centroids| scores).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
@@ -154,18 +155,40 @@ def llm_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "c")
     )
-    scored = ensure_min_parallelism(emb.select("vec_id", "embedding")).crossJoin(
-        F.broadcast(cent)
-    ).select(
-        "vec_id",
-        "c_label",
-        rnd(cosine_similarity(F.col("embedding"), F.col("c")), 4).alias("cos"),
+    cent_one = cent.agg(F.collect_list(F.struct("c_label", "c")).alias("_cents"))
+    scored_arr = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            rnd(cosine_similarity(F.col("embedding"), s["c"]), 4).alias("cos"),
+            s["c_label"].alias("c_label"),
+        ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_label").asc())
+    init = F.struct(
+        F.lit(None).cast("double").alias("cos"),
+        F.lit(None).cast("bigint").alias("c_label"),
+    )
+    # fold argmax (cos DESC, label ASC): order-independent given strict
+    # comparisons + unique labels, so collect_list's nondeterministic
+    # order cannot change the winner
+    best = F.aggregate(
+        scored_arr,
+        init,
+        lambda acc, s: F.when(
+            acc["cos"].isNull()
+            | (s["cos"] > acc["cos"])
+            | ((s["cos"] == acc["cos"]) & (s["c_label"] < acc["c_label"])),
+            s,
+        ).otherwise(acc),
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("assigned_label"), "cos")
+        ensure_min_parallelism(emb.select("vec_id", "embedding"))
+        .crossJoin(F.broadcast(cent_one))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            F.col("_best.c_label").alias("assigned_label"),
+            F.col("_best.cos").alias("cos"),
+        )
     )
 
 
@@ -312,3 +335,86 @@ def curate_corpus(
         weight_col="n_tokens",
         budget=pack_budget,
     ).select("doc_id", "source", "n_tokens", "seq_id")
+
+
+@declare(
+    "llm_pii_scan",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '[EMAIL]', 'g') AS no_email
+      FROM documents
+    ), s2 AS (
+      SELECT doc_id, text, no_email,
+             regexp_replace(no_email, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                            '[IP]', 'g') AS no_ip
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(no_email,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(no_ip,
+             '\\+?\\d[\\d \\-]{7,}\\d')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(no_ip, '\\+?\\d[\\d \\-]{7,}\\d', '[PHONE]', 'g')) AS clean_hash
+    FROM s2
+    """,
+    tags=("llmops", "pii", "text"),
+)
+def llm_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass over the corpus: staged email/IP/phone counts +
+    md5 of the fully redacted text (operators/textops.pii_scan). The
+    regexes live in the Java∩RE2 common subset, so the DuckDB oracle
+    runs the *identical* patterns and the redacted checksum pins the
+    byte-level replacement semantics, not just the counts."""
+    from spotify_data_pipeline_spark.operators.textops import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scan(docs)
+
+
+@declare(
+    "llm_contamination_ngram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 5
+             THEN list_distinct(list_transform(range(1, len(toks) - 3),
+                                               i -> array_to_string(toks[i:i+4], ' ')))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), bench AS (
+      SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0
+    ), sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM s GROUP BY 1
+    ), hits AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM s JOIN bench USING (sh) GROUP BY 1
+    )
+    SELECT sz.doc_id, sz.n_shingles,
+           COALESCE(hits.n_contaminated, 0) AS n_contaminated,
+           floor(COALESCE(hits.n_contaminated, 0) / greatest(sz.n_shingles, 1)
+                 * 10000 + 0.5) / 10000 AS contamination
+    FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+    """,
+    tags=("llmops", "contamination", "text"),
+)
+def llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: per-document fraction of 5-token
+    shingles appearing in the 'benchmark' subset (deterministically
+    doc_id % 97 == 0 — stands in for an eval suite). Candidate plan:
+    benchmark shingle hashes broadcast, corpus scanned once map-side,
+    one (doc_id, partial-count) shuffle. The oracle screens distinct
+    shingle STRINGS — equivalent to the engine's hashed sets up to
+    ~2^-32 collisions (same equivalence dedup_ngram_jaccard uses)."""
+    from spotify_data_pipeline_spark.operators.textops import contamination_ngram
+
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_ngram(docs, bench, shingle_k=5)

@@ -91,9 +91,30 @@ def test_llmops_windows_are_partitioned(spark):
 
 def test_ivf_centroids_broadcast(spark):
     """IVF assignment must broadcast the tiny centroid table over the
-    corpus scan — the corpus itself never shuffles for scoring."""
+    corpus scan — the corpus itself never shuffles for scoring. Since
+    round 3 the argmin is a per-row HOF fold, so the plan must also be
+    window-free (the old window argmin shuffled every corpus row by
+    vec_id)."""
     plan = plan_of(all_queries()["llm_ivf_assign"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_contamination_benchmark_broadcast(spark):
+    """Contamination screen: benchmark shingle set broadcasts; the
+    corpus-side explode joins it map-side (BroadcastHashJoin), and the
+    only shuffle is the per-doc count aggregation."""
+    plan = plan_of(all_queries()["llm_contamination_ngram"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.replace("SortMergeJoin(skew=", "")  # no corpus self-join
+
+
+def test_pii_scan_map_only(spark):
+    """PII scan must touch every row exactly once, JVM-side: no
+    exchange at all in the plan (pure scan → project)."""
+    plan = plan_of(all_queries()["llm_pii_scan"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_embedding_neardup_is_bucketed_not_allpairs(spark):
