@@ -554,27 +554,29 @@ def embedding_neardup_lsh(
     exact bucketing (see plans/dedup_queries.py).
     """
     from spotify_data_pipeline_spark.functions.vectors import cosine_similarity
-    from spotify_data_pipeline_spark.operators.similarity import random_projection_buckets
+    from spotify_data_pipeline_spark.operators.similarity import (
+        random_projection_buckets_multi,
+    )
 
     df = _ensure_min_parallelism(df)
-    parts = []
-    for t in range(n_tables):
-        bucketed = random_projection_buckets(
-            df, vec_col, dim, n_planes, seed=seed_base + t
-        )
-        # candidates are BARE id pairs — the cross-table dedup shuffle
-        # must not carry vector payloads (at 1024-dim float embeddings
-        # that's ~8 KB shuffled per pair about to be discarded); vectors
-        # are joined back once, after dedup, for verification
-        a = bucketed.select(F.col(id_col).alias("id_a"), "lsh_bucket")
-        b = bucketed.select(F.col(id_col).alias("id_b"), "lsh_bucket")
-        parts.append(
-            a.join(b, "lsh_bucket").where(F.col("id_a") < F.col("id_b")).drop("lsh_bucket")
-        )
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    # every table's bucket in ONE pass over the corpus (one scan, one
+    # candidate shuffle on the composite (table, bucket) key — candidate
+    # set identical to unioning per-table bucket self-joins); candidates
+    # are BARE id pairs — the candidate/dedup shuffles must not carry
+    # vector payloads (at 1024-dim float embeddings that's ~8 KB shuffled
+    # per pair about to be discarded); vectors are joined back once,
+    # after dedup, for verification
+    bucketed = random_projection_buckets_multi(
+        df, vec_col, dim, n_planes, n_tables, seed_base=seed_base
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket")
+    cand = (
+        a.join(b, ["lsh_table", "lsh_bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("lsh_table", "lsh_bucket")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

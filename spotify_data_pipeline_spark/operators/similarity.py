@@ -89,6 +89,64 @@ def random_projection_buckets(
     return df.withColumn(bucket_col, bucket)
 
 
+def random_projection_buckets_multi(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed_base: int = 1000,
+    table_col: str = "lsh_table",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """All ``n_tables`` sign-random-projection bucket ids in ONE pass.
+
+    Output: the input columns plus (table_col, bucket_col) — one row per
+    (input row, table). Bucket values are bit-identical to calling
+    ``random_projection_buckets(df, seed=seed_base + t)`` per table
+    (same seeded planes, same sign test, same bit packing), so oracles
+    that replicate the per-table hyperplanes keep matching.
+
+    Scale rationale: the per-table formulation scans the corpus once per
+    hash table (n_tables full scans + n_tables separate bucket joins);
+    this computes every table's bucket in a single projection over a
+    single scan, explodes to (table, bucket), and lets the caller do ONE
+    candidate equi-join on the composite key. At 100 TB, n_tables=8
+    means 8× less input read and one shuffle instead of eight.
+    """
+    planes_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in plane])
+                    for plane in _projection_planes(dim, n_planes, seed_base + t)
+                ]
+            )
+            for t in range(n_tables)
+        ]
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    buckets = F.transform(
+        planes_lit,
+        lambda tp: F.aggregate(
+            F.zip_with(
+                tp,
+                weights,
+                lambda p, w: F.when(dot(F.col(vec_col), p) > 0, w).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        df.withColumn("_mt_buckets", buckets)
+        .select("*", F.posexplode("_mt_buckets").alias(table_col, bucket_col))
+        .drop("_mt_buckets")
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -164,28 +222,37 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: union of n_tables independent LSH bucketings,
-    bucket-equi-join, exact cosine re-rank within candidates.
+    """Approximate top-k: n_tables independent LSH bucketings computed
+    in ONE pass per side, a single (table, bucket) candidate equi-join,
+    exact cosine re-rank within candidates.
 
     Output schema matches ``cosine_topk_bruteforce`` (query_id,
     neighbor_id, cos, rn); recall measured against it in tests.
+
+    Candidate semantics are identical to unioning n_tables per-table
+    bucket joins (a pair is a candidate iff it collides in ≥1 table) —
+    the join on the composite key produces one row per colliding table
+    and the id-pair dedup collapses them — but the corpus and query set
+    are each scanned once instead of n_tables times, and there is one
+    candidate shuffle instead of n_tables.
     """
     corpus = ensure_min_parallelism(corpus)
-    parts = []
-    for t in range(n_tables):
-        qb = random_projection_buckets(queries, vec_col, dim, n_planes, seed=1000 + t)
-        cb = random_projection_buckets(corpus, vec_col, dim, n_planes, seed=1000 + t)
-        # bare id pairs only — the cross-table dedup shuffle must not
-        # carry the vectors (joined back once below, same discipline as
-        # dedup.embedding_neardup_lsh)
-        q = qb.select(F.col(id_col).alias("query_id"), "lsh_bucket")
-        c = cb.select(F.col(id_col).alias("neighbor_id"), "lsh_bucket")
-        parts.append(q.join(c, "lsh_bucket").drop("lsh_bucket"))
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
+    qb = random_projection_buckets_multi(
+        queries, vec_col, dim, n_planes, n_tables, seed_base=1000
+    )
+    cb = random_projection_buckets_multi(
+        corpus, vec_col, dim, n_planes, n_tables, seed_base=1000
+    )
+    # bare id pairs only — the candidate/dedup shuffles must not carry
+    # the vectors (joined back once below, same discipline as
+    # dedup.embedding_neardup_lsh)
+    q = qb.select(F.col(id_col).alias("query_id"), "lsh_table", "lsh_bucket")
+    c = cb.select(F.col(id_col).alias("neighbor_id"), "lsh_table", "lsh_bucket")
+    cand = (
+        q.join(c, ["lsh_table", "lsh_bucket"])
+        .drop("lsh_table", "lsh_bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     # plain equi-joins: AQE broadcasts whichever side is small enough
     # (this path exists precisely because queries may NOT be broadcastable)
