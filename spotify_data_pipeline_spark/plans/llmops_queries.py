@@ -418,3 +418,195 @@ def llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
     bench = docs.where(F.col("doc_id") % 97 == 0)
     return contamination_ngram(docs, bench, shingle_k=5)
+
+
+_CHUNK_SIZE = 200  # chars per training chunk
+_CHUNK_STRIDE = 150  # chunk_size − overlap (overlap 50)
+
+
+@declare(
+    "llm_doc_chunking",
+    oracle=f"""
+    SELECT doc_id, chunk_id,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           md5(chunk) AS chunk_md5
+    FROM (
+      SELECT doc_id,
+             substr(text, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_SIZE}) AS chunk,
+             chunk_id
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1)) AS chunk_id
+        FROM documents WHERE length(trim(text)) > 0
+      )
+    )
+    """,
+    tags=("llmops", "chunking", "text"),
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks — the standard "split
+    long documents into model-context-sized pieces" step of an LLM data
+    pipeline (chunk {size} chars, stride {stride} ⇒ overlap 50).
+
+    Chunk i covers [i·stride, i·stride + size); a document of length L
+    yields floor((L−1)/stride)+1 chunks, so every character is covered
+    and the last chunk may be short. Output carries the chunk's md5 +
+    length (scalar cells for the driver; the chunk text itself is one
+    ``substring`` away for downstream tokenization).
+
+    Scale: map-only — ``sequence`` + ``posexplode`` + ``substring``
+    inside whole-stage codegen; no shuffle, no Python. The oracle runs
+    the identical 1-based substr arithmetic through generate_series.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    n_chunks_minus1 = F.floor((F.length("text") - 1) / F.lit(_CHUNK_STRIDE)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0), n_chunks_minus1)).alias("chunk_id", "_i"),
+    ).withColumn(
+        "chunk",
+        F.col("text").substr(
+            F.col("chunk_id") * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE)
+        ),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+_TFIDF_TOP_K = 3
+
+
+@declare(
+    "llm_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE length(trim(text)) > 0
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000 + 0.5) / 10000 AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rn FROM (
+      SELECT doc_id, term, tf, df, score,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= {_TFIDF_TOP_K}
+    """,
+    tags=("llmops", "tfidf", "text"),
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-{k} most characteristic terms per document
+    (score = tf · ln(N/df), 4dp-rounded with term tiebreak so the
+    ranking is deterministic across engines) — the classic salient-term
+    / keyword-extraction signal of a corpus-analysis pipeline.
+
+    Shape at scale: explode → (doc,term) hash agg (map-side combinable)
+    → term-keyed equi-join against the O(|vocab|) doc-frequency table →
+    per-doc window top-k. The vocabulary table is NOT broadcast (it
+    grows with the corpus); the join shuffles on term and AQE picks the
+    strategy. N is an in-plan 1-row broadcast aggregate, never an eager
+    ``count()``.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            rnd(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= _TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
+
+
+# deterministic hash split: first 16 bits of md5('split42:' || doc_id),
+# thresholds at 90% / 95% of 65536
+_SPLIT_SEED = "split42:"
+_SPLIT_TRAIN_LT = 58982  # floor(0.90 * 65536)
+_SPLIT_VAL_LT = 62259  # floor(0.95 * 65536)
+
+_SPLIT_HEX_SQL = """(
+  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
++ (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
++ (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
++ (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))"""
+
+
+@declare(
+    "llm_train_val_split",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT source, n_chars,
+             {_SPLIT_HEX_SQL} AS bucket16
+      FROM (
+        SELECT source, n_chars,
+               md5(concat('{_SPLIT_SEED}', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents
+      )
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT source, n_chars,
+             CASE WHEN bucket16 < {_SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN bucket16 < {_SPLIT_VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM hashed
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("llmops", "split"),
+)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by seeded md5 hash of
+    the document id — the assignment is a pure function of (seed,
+    doc_id), so it is stable across runs, repartitionings, and corpus
+    growth (a new document never moves an old one between splits, the
+    property random-split lacks). Output is the per-(split, source)
+    composition — the sanity table a training team reads before a run.
+
+    Shape at scale: map-only hash + threshold, then one grouped agg on
+    a tiny (3 × |sources|) key space — map-side combine does almost all
+    the work. The oracle re-derives the identical 16-bit bucket from
+    the same md5 hex.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_SPLIT_SEED), F.col("doc_id").cast("string")))
+    bucket16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    split = (
+        F.when(bucket16 < _SPLIT_TRAIN_LT, "train")
+        .when(bucket16 < _SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
