@@ -76,7 +76,61 @@ def main() -> None:
     }
     out["skew_guard"] = _skew_guard(spark, sf_dir)
     out["scale_probe"] = _scale_probe(spark, sf_dir)
+    out["bucketed_join_probe"] = _bucketed_join_probe(spark, sf_dir)
     print(json.dumps(out))
+
+
+def _bucketed_join_probe(spark, sf_dir: str) -> dict:
+    """Quantifies the write-once-shuffle bucketing payoff
+    (operators/bucketing.py): lineitem ⋈ orders on the order key, plain
+    shuffled sort-merge vs pre-bucketed tables, broadcast disabled (the
+    100 TB regime where neither side broadcasts). Warm second run per
+    variant; also reports whether the bucketed plan is Exchange-free —
+    the structural claim the timing rides on. Table write time is paid
+    once outside the timers, as it would be in a warehouse load."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.bucketing import (
+        _no_broadcast,
+        bucketed_join,
+        join_is_exchange_free,
+        write_bucketed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(li, "bench_li_b", "l_orderkey", 16, sort_cols=["l_orderkey"])
+    write_bucketed(orders, "bench_ord_b", "o_orderkey", 16, sort_cols=["o_orderkey"])
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum("l_extendedprice").alias("s")
+        )
+
+    def timed(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    try:
+        with _no_broadcast(spark):
+            plain = agg(li.join(orders, li["l_orderkey"] == orders["o_orderkey"]))
+            bucketed = agg(
+                bucketed_join(spark, "bench_li_b", "bench_ord_b", "l_orderkey", "o_orderkey")
+            )
+            exchange_free = join_is_exchange_free(
+                bucketed_join(spark, "bench_li_b", "bench_ord_b", "l_orderkey", "o_orderkey")
+            )
+            timed(plain), timed(bucketed)
+            return {
+                "shuffled_sec": timed(plain),
+                "bucketed_sec": timed(bucketed),
+                "bucketed_exchange_free": exchange_free,
+            }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bench_li_b")
+        spark.sql("DROP TABLE IF EXISTS bench_ord_b")
 
 
 def _scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
