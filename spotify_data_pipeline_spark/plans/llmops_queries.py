@@ -441,6 +441,7 @@ _CHUNK_STRIDE = 150  # chunk_size − overlap (overlap 50)
       )
     )
     """,
+    headline=True,
     tags=("llmops", "chunking", "text"),
 )
 def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +507,7 @@ _TFIDF_TOP_K = 3
       FROM scored
     ) WHERE rn <= {_TFIDF_TOP_K}
     """,
+    headline=True,
     tags=("llmops", "tfidf", "text"),
 )
 def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
