@@ -612,3 +612,84 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# temperature-sampled source mix: target counts ∝ count^α (α=0.5 flattens
+# the source distribution — the standard multilingual/multi-source rebalance)
+_MIX_SEED = "mix42:"
+_MIX_TARGET = 200
+
+
+@declare(
+    "llm_source_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS c,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS c_int
+      FROM documents GROUP BY 1
+    ), s AS (
+      SELECT CAST(sum(c_int) AS BIGINT) AS s_int FROM c
+    ), t AS (
+      SELECT source, c,
+             least(c, CAST(floor({_MIX_TARGET}.0 * c_int / s_int + 0.5) AS BIGINT)) AS n_target
+      FROM c CROSS JOIN s
+    ), r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('{_MIX_SEED}', CAST(doc_id AS VARCHAR))), doc_id
+             ) AS BIGINT) AS mix_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.mix_rank, t.n_target
+    FROM r JOIN t USING (source)
+    WHERE r.mix_rank <= t.n_target
+    """,
+    tags=("llmops", "mix", "sample"),
+)
+def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled source mix: draw ~{target} documents with
+    per-source quotas ∝ count^0.5 (temperature flattening — the standard
+    rebalance that keeps small sources represented in a pretraining
+    mix), selecting each source's quota deterministically by seeded-md5
+    hash order.
+
+    Cross-engine determinism: the quota denominator is a sum of
+    INTEGERS (sqrt scaled by 1e6 and half-up-rounded per source), so
+    it is addition-order-independent; the only float steps after that
+    are one multiply and one divide of exact integers — identical IEEE
+    results in both engines, no summation-order luck.
+
+    Shape at scale: per-source counts are a map-side-combinable agg;
+    the quota table is O(|sources|) and broadcast; document ranking is
+    the same one-shuffle hash-order window as llm_stratified_sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("c"))
+    counts = counts.withColumn(
+        "c_int",
+        F.floor(F.sqrt(F.col("c").cast("double")) * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    tot = counts.agg(F.sum("c_int").cast("long").alias("s_int"))
+    targets = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_target",
+            F.least(
+                F.col("c"),
+                F.floor(
+                    F.lit(float(_MIX_TARGET)) * F.col("c_int") / F.col("s_int")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+        )
+        .select("source", "n_target")
+    )
+    order = F.md5(F.concat(F.lit(_MIX_SEED), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(order, F.col("doc_id"))
+    ranked = docs.select("doc_id", "source").withColumn(
+        "mix_rank", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(F.broadcast(targets), "source").where(
+        F.col("mix_rank") <= F.col("n_target")
+    ).select("doc_id", "source", "mix_rank", "n_target")

@@ -171,3 +171,62 @@ def test_batch_assignment_two_phase(spark):
     assert "SPARK_PARTITION_ID" in plan.upper()  # partition-local phase
     assert "BroadcastHashJoin" in plan  # tiny offsets join, not a shuffle
     assert "rangepartitioning" in plan.lower()  # order preserved by range partition
+
+
+def test_doc_chunking_map_only(spark):
+    """Chunking is sequence+posexplode+substring — no shuffle at all."""
+    plan = plan_of(all_queries()["llm_doc_chunking"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def node_count(plan: str, name: str) -> int:
+    """Count distinct physical nodes of ``name`` — the formatted plan
+    prints each node twice (tree + detail section), so substring counts
+    double-count."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}", plan, re.M))
+
+
+def test_tfidf_vocab_join_not_broadcast_corpus_count_is(spark):
+    """With broadcast disabled (the 100 TB regime — the vocabulary
+    grows with the corpus), the term join falls back to a shuffle join
+    while the 1-row corpus count keeps its explicit broadcast hint."""
+    from spotify_data_pipeline_spark.operators.bucketing import _no_broadcast
+
+    with _no_broadcast(spark):
+        plan = plan_of(all_queries()["llm_tfidf_top_terms"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # the hinted 1-row N crossJoin
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_train_val_split_single_agg(spark):
+    """Split assignment is map-side; the only exchange is the tiny
+    (split, source) aggregation."""
+    plan = plan_of(all_queries()["llm_train_val_split"].fn(spark, SF))
+    assert node_count(plan, "Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_source_mix_quota_table_broadcast(spark):
+    """The O(|sources|) quota table joins broadcast; document ranking is
+    the single source-keyed window shuffle."""
+    plan = plan_of(all_queries()["llm_source_mix"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_ann_lsh_single_bucketing_pass(spark):
+    """One-pass multi-table LSH: the corpus must be bucketed in ONE
+    Generate (posexplode of the all-tables bucket array), not one scan
+    per hash table."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    plan = plan_of(cosine_topk_lsh(queries, emb, n_planes=3, n_tables=8))
+    # one Generate per side (queries, corpus) — NOT 8 per side
+    assert node_count(plan, "Generate") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
