@@ -79,3 +79,81 @@ def test_curation_pipeline_on_degenerate_docs(spark, degenerate_docs, tmp_path):
     ids = {r.doc_id for r in out}
     assert 1 not in ids and 2 not in ids and 3 not in ids  # null/blank filtered
     assert 6 not in ids  # repetition fails the uniqueness floor
+
+
+@pytest.fixture(scope="module")
+def boundary_docs_dir(spark, tmp_path_factory):
+    """A documents.parquet of chunk-stride boundary lengths, unicode,
+    single-source skew — adversarial for the round-3 llmops queries."""
+    rows = [
+        (1, "x", "s0"),                  # 1 char → 1 chunk
+        (2, "a" * 149, "s0"),            # just under stride
+        (3, "b" * 150, "s0"),            # == stride → still 1 chunk
+        (4, "c" * 151, "s0"),            # stride+1 → 2 chunks (2nd is 1 char)
+        (5, "d" * 200, "s0"),            # == chunk size
+        (6, "e" * 201, "s1"),            # chunk+1
+        (7, "née 模型 " * 60, "s1"),      # unicode, multi-chunk (char semantics)
+        (8, "tok " * 120, "s1"),         # repeated single token (tf-idf edge)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    d = tmp_path_factory.mktemp("boundary") / "sfb"
+    d.mkdir()
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _docs_oracle(sql: str, sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    # Spark writes a directory of part files (the fixture tables are
+    # single files, so oracle_check's plain path works there)
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    return con.execute(sql).fetchdf()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["llm_doc_chunking", "llm_tfidf_top_terms", "llm_train_val_split", "llm_source_mix"],
+)
+def test_round3_llmops_oracle_parity_on_boundary_docs(spark, boundary_docs_dir, name):
+    """Cross-engine parity must hold on boundary inputs, not just the
+    well-behaved fixtures — stride-edge lengths, unicode char-vs-byte
+    semantics, one-source quota saturation."""
+    from tests.oracle_check import compare
+
+    from spotify_data_pipeline_spark.plans.registry import all_queries
+
+    q = all_queries()[name]
+    errs = compare(q.fn(spark, boundary_docs_dir), _docs_oracle(q.oracle, boundary_docs_dir))
+    assert not errs, errs
+
+
+def test_chunk_count_formula(spark, boundary_docs_dir):
+    """floor((L−1)/stride)+1 chunks; final chunk length L − stride·(n−1)."""
+    from spotify_data_pipeline_spark.plans.registry import all_queries
+
+    out = all_queries()["llm_doc_chunking"].fn(spark, boundary_docs_dir).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    n_chunks = {d: len(v) for d, v in per_doc.items()}
+    assert n_chunks[1] == 1 and n_chunks[2] == 1 and n_chunks[3] == 1
+    assert n_chunks[4] == 2 and n_chunks[5] == 2 and n_chunks[6] == 2
+    last4 = [r for r in per_doc[4] if r.chunk_id == 1][0]
+    assert last4.chunk_len == 1  # 151 − 150
+    # doc 5: 200 chars → chunks [0,200) and [150,200) (overlap tail)
+    last5 = [r for r in per_doc[5] if r.chunk_id == 1][0]
+    assert last5.chunk_len == 50
+
+
+def test_split_partitions_every_doc(spark, boundary_docs_dir):
+    from spotify_data_pipeline_spark.plans.registry import all_queries
+
+    out = all_queries()["llm_train_val_split"].fn(spark, boundary_docs_dir).collect()
+    assert sum(r.n_docs for r in out) == 8
+    assert {r.split for r in out} <= {"train", "val", "test"}
