@@ -72,6 +72,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "n_queries": len(timings),  # headline count grew r02→r03 (11→13);
+        # compare totals per-query or warm-series across rounds
         "sf": sf,
     }
     out["skew_guard"] = _skew_guard(spark, sf_dir)

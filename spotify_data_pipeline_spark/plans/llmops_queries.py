@@ -314,12 +314,22 @@ def curate_corpus(
     pretraining-data team would run. Scale shape: the near-dup
     anti-join shuffles bare ids; everything else inherits the stages'
     documented plans.
+
+    The run opens with the data-quality gate (operators/constraints.py)
+    a production refresh puts in front of everything downstream: key
+    integrity and text presence, one aggregate pass + one groupBy.
     """
+    from spotify_data_pipeline_spark.operators.constraints import (
+        assert_valid,
+        not_null,
+        unique,
+    )
     from spotify_data_pipeline_spark.operators.dedup import minhash_lsh_dedup
     from spotify_data_pipeline_spark.operators.packing import packed_sequence_ids
 
-    curated = llm_curation_pipeline(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
+    assert_valid(docs, [not_null("doc_id"), unique("doc_id")])
+    curated = llm_curation_pipeline(spark, sf_dir)
     pairs = minhash_lsh_dedup(
         docs, jaccard_threshold=jaccard_threshold, max_bucket_width=50
     )
