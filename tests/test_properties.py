@@ -104,3 +104,56 @@ def test_asof_join_matches_python_model(spark, left, right):
     for i, (by, on) in enumerate(left):
         cands = [t for g, t, _ in right if g == by and t <= on]
         assert out[i] == (max(cands) if cands else None)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FA0),
+            min_size=1,
+            max_size=700,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_chunking_reconstructs_text(spark, texts, tmp_path_factory):
+    """Coverage invariant of llm_doc_chunking: chunk 0, then each later
+    chunk minus the 50-char overlap, concatenates back to the exact
+    text — no character lost or duplicated at any stride boundary."""
+    from spotify_data_pipeline_spark.plans.registry import all_queries
+
+    d = tmp_path_factory.mktemp("chunkprop") / "sfp"
+    d.mkdir()
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(d / "documents.parquet")
+    )
+    # re-derive the chunk text the query hashes: same substring arithmetic
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.floor((F.length("text") - 1) / F.lit(150)).cast("int")
+            )
+        ).alias("chunk_id", "_i"),
+        "text",
+    ).withColumn("chunk", F.col("text").substr(F.col("chunk_id") * 150 + 1, F.lit(200)))
+    got = {}
+    for r in chunked.collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+    for i, t in enumerate(rows):
+        chunks = [c for _, c in sorted(got[i])]
+        rebuilt = chunks[0] + "".join(c[50:] for c in chunks[1:])
+        assert rebuilt == t[1], (len(t[1]), [len(c) for c in chunks])
+    # and the declared query agrees on chunk count per doc
+    out = all_queries()["llm_doc_chunking"].fn(spark, str(d)).collect()
+    per_doc = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    for i, t in enumerate(texts):
+        assert per_doc[i] == (len(t) - 1) // 150 + 1
