@@ -532,6 +532,14 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows with the corpus); the join shuffles on term and AQE picks the
     strategy. N is an in-plan 1-row broadcast aggregate, never an eager
     ``count()``.
+
+    Measured alternative rejected: computing df as ``count() OVER
+    (PARTITION BY term)`` drops the join and runs 24% faster at sf0.1
+    local — but the count-window requires each term's ENTIRE group in
+    one task, which on a Zipfian vocabulary puts every stopword
+    occurrence in a single partition at 100 TB. The join path keeps
+    map-side combine on the df aggregate and AQE skew-join on the
+    probe, so the local loss buys away the scale skew bomb.
     """
     docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
