@@ -12,7 +12,9 @@ Layout
 - ``io``         parquet readers for the driver testdata tables
 - ``functions``  reusable Column-level helpers (text normalization, vector math)
 - ``operators``  composed operators (dedup family, as-of join, top-k, sampling,
-                 batching, similarity, text analysis, multimodal plumbing)
+                 batching, similarity, text analysis, multimodal plumbing) and
+                 storage/ops infrastructure (bucketed co-located joins, parquet
+                 compaction, declarative data-quality validation, shard export)
 - ``plans``      declared queries: each is a (spark, sf_dir) -> DataFrame
                  callable registered with a DuckDB oracle SQL string
 - ``sources``    ingestion sources (schema-enforced file readers, paginated
