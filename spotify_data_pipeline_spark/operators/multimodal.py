@@ -104,6 +104,12 @@ def _decode_netpbm(data: bytes) -> dict:
         "width": width,
         "height": height,
         "duration_ms": None,
+        # private keys for pixel-level consumers (resize_images);
+        # metadata consumers ignore them
+        "_magic": magic,
+        "_pixel_offset": pos + 1,
+        "_channels": channels,
+        "_maxval": maxval,
     }
 
 
@@ -199,3 +205,86 @@ def sample_frames(
         .select(id_col, F.col("f.frame_idx").alias("frame_idx"), F.col("f.frame").alias("frame"))
         .where(F.length("frame") > 0)
     )
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    width: int = 32,
+    height: int = 32,
+    pixel_decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Nearest-neighbor image resize via ``mapInPandas`` — the standard
+    normalize-resolution step before visual feature extraction.
+
+    Netpbm (P5/P6, 8-bit) resizes NATIVELY (numpy index-gather on the
+    decoded pixel array, re-encoded as netpbm) — a real end-to-end
+    resize with zero imaging libraries. Other formats go through
+    ``pixel_decoder`` (must return {"magic": "P5"|"P6", "pixels":
+    HxWxC uint8 ndarray}); without one they raise ``NotImplementedError``
+    — same injectable-decoder policy as ``extract_media_features``.
+
+    Output: (id, resized binary, width, height, media_type). Scale
+    shape: map-only, one Arrow batch of blobs in executor memory at a
+    time; resized bytes are strictly smaller than inputs for any
+    downscale, so the operator only shrinks what flows downstream.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode_pixels(raw: bytes) -> tuple[str, "np.ndarray"]:
+            if raw[:2] in (b"P5", b"P6"):
+                meta = _decode_netpbm(raw)
+                if meta["_maxval"] > 255:
+                    raise NotImplementedError("16-bit netpbm not supported")
+                w, h, ch = meta["width"], meta["height"], meta["_channels"]
+                arr = np.frombuffer(
+                    raw, dtype=np.uint8, count=w * h * ch, offset=meta["_pixel_offset"]
+                ).reshape(h, w, ch)
+                return meta["_magic"], arr
+            if pixel_decoder is not None:
+                dec = pixel_decoder(raw)
+                return dec["magic"], dec["pixels"]
+            raise NotImplementedError(
+                "only netpbm (P5/P6) resizes natively; inject pixel_decoder "
+                "for other formats (e.g. Pillow -> np.asarray(img))"
+            )
+
+        for pdf in batches:
+            ids, blobs, mts = [], [], []
+            for rid, data in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(data) if data is not None else b""
+                magic, arr = decode_pixels(raw)
+                src_h, src_w = arr.shape[0], arr.shape[1]
+                # nearest-neighbor index gather (deterministic, pure numpy)
+                rows = (np.arange(height) * src_h) // height
+                cols = (np.arange(width) * src_w) // width
+                out = np.ascontiguousarray(arr[rows][:, cols])
+                header = f"{magic}\n{width} {height}\n255\n".encode("ascii")
+                ids.append(rid)
+                blobs.append(header + out.tobytes())
+                mts.append(
+                    f"image/x-portable-{'pixmap' if magic == 'P6' else 'graymap'}"
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "resized": blobs,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "media_type": mts,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)

@@ -86,3 +86,65 @@ def test_decode_image_parses_netpbm_natively(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_resize_netpbm_native_roundtrip(spark):
+    """Real nearest-neighbor resize of P5/P6 blobs: output parses as
+    netpbm at the target dims, and a solid-color image stays solid."""
+    import numpy as np
+
+    from spotify_data_pipeline_spark.operators.multimodal import (
+        _decode_netpbm,
+        resize_images,
+    )
+
+    # 4x3 RGB: left half red, right half blue; 2x2 gray gradient
+    rgb = np.zeros((3, 4, 3), dtype=np.uint8)
+    rgb[:, :2] = [255, 0, 0]
+    rgb[:, 2:] = [0, 0, 255]
+    p6 = b"P6\n4 3\n255\n" + rgb.tobytes()
+    gray = np.array([[0, 85], [170, 255]], dtype=np.uint8)
+    p5 = b"P5\n2 2\n255\n" + gray.reshape(2, 2, 1).tobytes()
+    df = spark.createDataFrame([(1, p6), (2, p5)], "doc_id long, media binary")
+
+    out = {r.doc_id: r for r in resize_images(df, width=8, height=6).collect()}
+    for rid, magic in [(1, "P6"), (2, "P5")]:
+        meta = _decode_netpbm(bytes(out[rid].resized))
+        assert (meta["width"], meta["height"]) == (8, 6)
+        assert meta["_magic"] == magic
+    # nearest-neighbor preserves the half split exactly on upscale
+    resized = np.frombuffer(
+        bytes(out[1].resized)[len(b"P6\n8 6\n255\n"):], dtype=np.uint8
+    ).reshape(6, 8, 3)
+    assert (resized[:, :4] == [255, 0, 0]).all()
+    assert (resized[:, 4:] == [0, 0, 255]).all()
+
+
+def test_resize_downscale_shrinks_bytes(spark):
+    import numpy as np
+
+    from spotify_data_pipeline_spark.operators.multimodal import resize_images
+
+    big = b"P5\n64 64\n255\n" + bytes(np.arange(64 * 64, dtype=np.uint32).astype(np.uint8))
+    df = spark.createDataFrame([(1, big)], "doc_id long, media binary")
+    r = resize_images(df, width=16, height=16).collect()[0]
+    assert len(bytes(r.resized)) < len(big)
+    assert (r.width, r.height) == (16, 16)
+
+
+def test_resize_unknown_format_requires_injected_decoder(spark):
+    import numpy as np
+
+    import pytest as _pytest
+
+    from spotify_data_pipeline_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"\xff\xd8JPEGDATA")], "doc_id long, media binary")
+    with _pytest.raises(Exception, match="netpbm|NotImplementedError"):
+        resize_images(df).collect()
+
+    def fake_pixels(raw: bytes) -> dict:
+        return {"magic": "P5", "pixels": np.full((4, 4, 1), 7, dtype=np.uint8)}
+
+    out = resize_images(df, pixel_decoder=fake_pixels, width=2, height=2).collect()[0]
+    assert bytes(out.resized).endswith(bytes([7, 7, 7, 7]))
