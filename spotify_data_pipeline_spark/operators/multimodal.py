@@ -288,3 +288,51 @@ def resize_images(
             )
 
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+def decode_audio(data: bytes) -> dict:
+    """Audio decoder: WAV (RIFF/PCM) headers parse natively — pure
+    struct reads, no libraries — yielding real sample-rate/channel/
+    duration metadata. Compressed formats (MP3/FLAC/OGG) need an audio
+    library: inject via ``extract_media_features(decoder=...)``, same
+    seam as images.
+    """
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _decode_wav(data)
+    raise NotImplementedError(
+        "only WAV (RIFF/PCM) decodes natively; compressed audio requires "
+        "a library not present in this environment — inject a decoder via "
+        "extract_media_features(decoder=...)"
+    )
+
+
+def _decode_wav(data: bytes) -> dict:
+    """Walk RIFF chunks for fmt (sample rate, channels, bits) and data
+    (payload size); duration_ms = data bytes / byte rate."""
+    import struct
+
+    pos, n = 12, len(data)
+    fmt, data_size = None, None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and body + 16 <= n:
+            fmt = struct.unpack_from("<HHIIHH", data, body)
+        elif cid == b"data":
+            data_size = size
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    _audio_fmt, channels, sample_rate, byte_rate, _block, bits = fmt
+    duration_ms = int(data_size * 1000 // byte_rate) if byte_rate else None
+    return {
+        "media_type": "audio/wav",
+        "width": None,
+        "height": None,
+        "duration_ms": duration_ms,
+        "_channels": channels,
+        "_sample_rate": sample_rate,
+        "_bits_per_sample": bits,
+        "_data_bytes": data_size,
+    }

@@ -148,3 +148,53 @@ def test_resize_unknown_format_requires_injected_decoder(spark):
 
     out = resize_images(df, pixel_decoder=fake_pixels, width=2, height=2).collect()[0]
     assert bytes(out.resized).endswith(bytes([7, 7, 7, 7]))
+
+
+def _wav(sample_rate=8000, channels=1, bits=16, n_samples=4000):
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    block = channels * bits // 8
+    payload = bytes(n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_natively(spark):
+    """decode_audio is a REAL decoder for RIFF/PCM WAV — 8000 Hz mono
+    16-bit, 4000 samples = exactly 500 ms."""
+    from spotify_data_pipeline_spark.operators.multimodal import decode_audio
+
+    meta = decode_audio(_wav())
+    assert meta["media_type"] == "audio/wav"
+    assert meta["duration_ms"] == 500
+    assert meta["_sample_rate"] == 8000 and meta["_channels"] == 1
+
+    stereo = decode_audio(_wav(sample_rate=44100, channels=2, n_samples=44100))
+    assert stereo["duration_ms"] == 1000 and stereo["_channels"] == 2
+
+
+def test_audio_features_pipeline(spark):
+    """The same extract_media_features seam runs audio: duration lands
+    in the typed metadata struct, feature vector has the fixed dim."""
+    from spotify_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame([(1, _wav())], "doc_id long, media binary")
+    r = extract_media_features(df, decoder=decode_audio).collect()[0]
+    assert r.media_meta.media_type == "audio/wav"
+    assert r.media_meta.duration_ms == 500
+    assert len(r.feature) == 8
+
+
+def test_decode_audio_rejects_compressed(spark):
+    import pytest as _pytest
+
+    from spotify_data_pipeline_spark.operators.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError, match="WAV"):
+        decode_audio(b"ID3\x04mp3data")
