@@ -303,10 +303,12 @@ def curate_corpus(
 ) -> DataFrame:
     """End-to-end curation composition (the README demo; smoke-tested in
     tests/test_pipeline.py): quality + language + exact-dup gate
-    (``llm_curation_pipeline``), MINUS near-dup losers from the MinHash
-    pair output (higher doc_id of each pair drops — greedy, matches the
-    reference pipelines' "first wins" convention), then packed into
-    ~``pack_budget``-token training sequences.
+    (``llm_curation_pipeline``), MINUS near-dup losers — MinHash pairs
+    are clustered into connected components
+    (operators/components.py) and exactly ONE doc per cluster survives
+    (the component-minimum id: deterministic "first wins", extended
+    transitively, so chains A~B~C keep only A even when A~C was never a
+    pair) — then packed into ~``pack_budget``-token training sequences.
 
     Not a declared driver query — each stage is individually
     hash-matched (llm_curation_pipeline, dedup_minhash_lsh,
@@ -324,6 +326,9 @@ def curate_corpus(
         not_null,
         unique,
     )
+    from spotify_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
     from spotify_data_pipeline_spark.operators.dedup import minhash_lsh_dedup
     from spotify_data_pipeline_spark.operators.packing import packed_sequence_ids
 
@@ -333,7 +338,10 @@ def curate_corpus(
     pairs = minhash_lsh_dedup(
         docs, jaccard_threshold=jaccard_threshold, max_bucket_width=50
     )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    labels = connected_components(pairs)
+    losers = labels.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
     survivors = curated.join(losers, "doc_id", "left_anti")
     weighted = survivors.join(
         docs.select("doc_id", "source"), "doc_id"

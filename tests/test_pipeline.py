@@ -204,10 +204,14 @@ def test_ensure_namespaces_idempotent(spark):
 
 
 def test_curate_corpus_composition(spark):
-    """README demo composition: curation gate -> near-dup removal ->
-    packing. Each stage is independently oracle-checked; this pins the
-    wiring (monotone row counts, packing schema, no near-dup loser
-    survives)."""
+    """README demo composition: curation gate -> near-dup cluster
+    removal -> packing. Each stage is independently oracle-checked;
+    this pins the wiring (monotone row counts, packing schema, at most
+    ONE survivor per near-dup connected component — the component
+    minimum)."""
+    from spotify_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
     from spotify_data_pipeline_spark.operators.dedup import minhash_lsh_dedup
     from spotify_data_pipeline_spark.io import load_table
     from spotify_data_pipeline_spark.plans.llmops_queries import (
@@ -221,10 +225,13 @@ def test_curate_corpus_composition(spark):
     curated_n = llm_curation_pipeline(spark, sf).count()
     assert 0 < len(rows) <= curated_n
     assert set(packed.columns) == {"doc_id", "source", "n_tokens", "seq_id"}
-    losers = {
-        r.id_b
-        for r in minhash_lsh_dedup(
-            load_table(spark, sf, "documents"), max_bucket_width=50
-        ).collect()
-    }
-    assert not losers & {r.doc_id for r in rows}
+    pairs = minhash_lsh_dedup(
+        load_table(spark, sf, "documents"), max_bucket_width=50
+    )
+    labels = {r.id: r.component for r in connected_components(pairs).collect()}
+    kept = {r.doc_id for r in rows}
+    # every kept doc that is in a near-dup cluster is its cluster min,
+    # and no cluster contributes two survivors
+    kept_clustered = [d for d in kept if d in labels]
+    assert all(labels[d] == d for d in kept_clustered)
+    assert len({labels[d] for d in kept_clustered}) == len(kept_clustered)
