@@ -1,0 +1,213 @@
+"""Round-4 declared-query staging area.
+
+The external driver records exactly the FIRST 50 keys of
+``__spark_entry__.queries()`` per round, and the current window is
+exactly full of queries that still need their round-3 evidence rows
+(see plans/registry.py and tests/test_registry.py). These queries are
+therefore built and oracle-verified NOW but deliberately NOT
+``declare``d: registering them would either strand them past position
+50 (unevidenced tail — the invariant tests fail the build) or evict a
+query that still needs its row.
+
+Round-4 activation is mechanical: wrap each entry of ``PENDING`` with
+``@declare(name, oracle=..., tags=...)``, move the function into a
+registered module (or add this module to ``_QUERY_MODULES``), and place
+it inside the first 50 positions. ``tests/test_roundfour_pending.py``
+already runs the exact driver-shaped hash comparison, so activation
+changes no code paths — only registration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.io import load_table
+
+# Shared with dedup_ngram_jaccard's oracle (plans/dedup_queries.py):
+# the exact 3-token-shingle Jaccard pair graph at threshold 0.5.
+_PAIRS_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), keep AS (
+      SELECT sh FROM (SELECT sh, count(*) AS df FROM s GROUP BY 1)
+      WHERE df <= greatest(100, CAST(floor(0.10 * (SELECT count(*) FROM documents)) AS BIGINT))
+    ), sz AS (
+      SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN keep k ON a.sh = k.sh
+               JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz za ON inter.id_a = za.doc_id
+                 JOIN sz zb ON inter.id_b = zb.doc_id
+      WHERE floor(n_common / (za.n_sh + zb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.5
+    )
+"""
+
+
+def dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels: connected components of the exact
+    n-gram-Jaccard pair graph (threshold 0.5), component = min doc_id.
+
+    The pair graph is the already-hash-matched ``dedup_ngram_jaccard``
+    output; the labeling is ``operators/components.py`` (alternating
+    large-star/small-star — O(log² n) rounds, per-round one group-min +
+    one equi-join). The oracle replicates reachability with a recursive
+    CTE, so the hash pins TRANSITIVE semantics the pair queries can't:
+    A~B~C must label C with A's id even though (A, C) is not a pair.
+    """
+    from spotify_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from spotify_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.5
+    ).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component")
+    )
+
+
+_DEDUP_COMPONENTS_ORACLE = (
+    _PAIRS_SQL
+    + """
+    , e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, v) AS (
+      SELECT DISTINCT u, u FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    )
+    SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """
+).replace("WITH t AS", "WITH RECURSIVE t AS")
+
+
+def data_quality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative data-quality gate (operators/constraints.py) as a
+    query: five check kinds over ``orders`` — not-null, accepted-values,
+    range, regex full-match, key uniqueness, and a foreign key into
+    ``customer``. All row-level checks share ONE aggregate scan; unique
+    is one groupBy; the FK is one anti-join (broadcast-eligible dim).
+    """
+    from spotify_data_pipeline_spark.operators.constraints import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        unique,
+        validate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return validate(
+        orders,
+        [
+            not_null("o_orderkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", 0.0, 1e7),
+            matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+            unique("o_orderkey"),
+            foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+_DATA_QUALITY_ORACLE = """
+    WITH base AS (SELECT count(*) AS total FROM orders)
+    SELECT 'not_null' AS "check", 'o_orderkey' AS "column",
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT) AS violations,
+           CAST(total AS BIGINT) AS total,
+           (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) = 0 AS passed
+    FROM base
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL) AS BIGINT),
+           CAST(total AS BIGINT),
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL) = 0
+    FROM base
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice NOT BETWEEN 0.0 AND 10000000.0 OR o_totalprice IS NULL) AS BIGINT),
+           CAST(total AS BIGINT),
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice NOT BETWEEN 0.0 AND 10000000.0 OR o_totalprice IS NULL) = 0
+    FROM base
+    UNION ALL
+    SELECT 'matches', 'o_orderpriority',
+           CAST((SELECT count(*) FROM orders
+                 WHERE NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+                       OR o_orderpriority IS NULL) AS BIGINT),
+           CAST(total AS BIGINT),
+           (SELECT count(*) FROM orders
+            WHERE NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+                  OR o_orderpriority IS NULL) = 0
+    FROM base
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST((SELECT coalesce(sum(n), 0) FROM
+                   (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT),
+           CAST(total AS BIGINT),
+           (SELECT coalesce(sum(n), 0) FROM
+              (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) = 0
+    FROM base
+    UNION ALL
+    SELECT 'foreign_key', 'o_custkey',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST(total AS BIGINT),
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+    FROM base
+"""
+
+
+@dataclass(frozen=True)
+class PendingQuery:
+    name: str
+    fn: object
+    oracle: str | None
+    headline: bool = False
+    tags: tuple[str, ...] = ()
+
+
+PENDING: tuple[PendingQuery, ...] = (
+    PendingQuery(
+        "dedup_components",
+        dedup_components_query,
+        _DEDUP_COMPONENTS_ORACLE,
+        tags=("dedup", "graph", "components"),
+    ),
+    PendingQuery(
+        "data_quality_report",
+        data_quality_report_query,
+        _DATA_QUALITY_ORACLE,
+        tags=("quality", "validation"),
+    ),
+)
