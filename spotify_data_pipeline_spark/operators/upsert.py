@@ -105,3 +105,97 @@ def scd2_apply(
         .withColumn(current_flag, F.col(end_col).isNull())
     )
     return untouched.unionByName(closed).unionByName(new_rows.select(*untouched.columns))
+
+
+def scd2_from_observations(
+    observations: DataFrame,
+    keys: Sequence[str],
+    effective_col: str,
+    attr_cols: Sequence[str],
+    end_col: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Build a full SCD2 history table from an observation stream
+    (key, attrs, observed-at): consecutive observations with identical
+    attributes COMPRESS into one version (change detection), each kept
+    version is closed by the next one's effective time, the last per
+    key stays open.
+
+    Output columns: keys + attr_cols + (effective_col, end_col,
+    current_flag) — effective_col doubles as ``valid_from``.
+
+    Plan shape: one shuffle on the key. Both windows (lag for change
+    detection, lead for close-out) and the final projection share the
+    same partitioning+ordering, so Catalyst plans a single Exchange +
+    Sort; the filter between them preserves the sort. Ties on
+    ``effective_col`` within a key are broken arbitrarily — pre-dedup
+    (e.g. groupBy(key, ts).agg(max_by(...))) if ties are possible.
+    """
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(*keys).orderBy(F.col(effective_col).asc())
+    changed = (
+        observations.withColumn("_prev", F.lag(attrs).over(w))
+        .where(F.col("_prev").isNull() | ~attrs.eqNullSafe(F.col("_prev")))
+        .drop("_prev")
+    )
+    return (
+        changed.withColumn(end_col, F.lead(effective_col).over(w))
+        .withColumn(current_flag, F.col(end_col).isNull())
+        .select(*keys, *attr_cols, effective_col, end_col, current_flag)
+    )
+
+
+def scd2_merge_observations(
+    current: DataFrame,
+    observations: DataFrame,
+    keys: Sequence[str],
+    effective_col: str,
+    attr_cols: Sequence[str],
+    end_col: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Incremental SCD2 refresh from a NEW batch of observations, with
+    the same change-compression ``scd2_from_observations`` applies:
+    observations that repeat the previous value (within the batch, or
+    vs the key's open version in ``current``) create no new version.
+
+    Invariant (property-tested): for any chronological split of an
+    observation stream into batches B1..Bn,
+    ``merge(...merge(from_observations(B1), B2)..., Bn)`` equals
+    ``from_observations(B1 ∪ ... ∪ Bn)`` — the incremental daily refresh
+    and the full-history rebuild agree exactly. (Batches must split by
+    time: every observation in Bi+1 is at or after Bi's latest.)
+
+    Scale: compression is one windowed pass over the BATCH (small);
+    the no-change probe joins batch heads against only the OPEN slice
+    of ``current``; then ``scd2_apply`` does one anti-join + union on
+    the key. The full history is never windowed — only appended to.
+    """
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(*keys).orderBy(F.col(effective_col).asc())
+    compressed = (
+        observations.withColumn("_prev", F.lag(attrs).over(w))
+        .where(F.col("_prev").isNull() | ~attrs.eqNullSafe(F.col("_prev")))
+        .drop("_prev")
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    open_now = current.where(F.col(current_flag)).select(
+        *keys, attrs.alias("_cur_attrs")
+    )
+    # drop a batch's FIRST observation when it repeats the open version
+    heads_kept = (
+        compressed.where(F.col("_rn") == 1)
+        .join(open_now, on=list(keys), how="left")
+        .where(F.col("_cur_attrs").isNull() | ~attrs.eqNullSafe(F.col("_cur_attrs")))
+        .drop("_cur_attrs")
+    )
+    updates = heads_kept.unionByName(compressed.where(F.col("_rn") > 1)).drop("_rn")
+    merged = scd2_apply(
+        current,
+        updates.select(*keys, *attr_cols, effective_col),
+        keys,
+        effective_col=effective_col,
+        end_col=end_col,
+        current_flag=current_flag,
+    )
+    return merged

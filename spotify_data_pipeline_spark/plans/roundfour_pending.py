@@ -188,6 +188,61 @@ _DATA_QUALITY_ORACLE = """
 """
 
 
+def scd2_customer_tier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history built from an observation stream
+    (operators/upsert.scd2_from_observations): each customer's spending
+    tier (floor(o_totalprice / 50000)) observed at every order date,
+    compressed to change-points, each version closed by the next
+    (valid_from/valid_to/is_current). Within one (customer, date) the
+    max-orderkey order wins — deterministic on both engines
+    (``max_by`` ≡ ``arg_max``).
+
+    Plan: one shuffle on the key; lag (change detection) and lead
+    (close-out) share the partitioning+sort. The oracle replicates the
+    window chain with IS DISTINCT FROM null-safe compression.
+    """
+    from spotify_data_pipeline_spark.operators.upsert import (
+        scd2_from_observations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.withColumn(
+            "tier", F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+        )
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by("tier", "o_orderkey").alias("tier"))
+    )
+    hist = scd2_from_observations(obs, ["o_custkey"], "o_orderdate", ["tier"])
+    return hist.select(
+        "o_custkey",
+        "tier",
+        F.col("o_orderdate").alias("valid_from"),
+        "valid_to",
+        "is_current",
+    )
+
+
+_SCD2_ORACLE = """
+    WITH obs AS (
+      SELECT o_custkey, o_orderdate,
+             arg_max(CAST(floor(o_totalprice / 50000.0) AS BIGINT), o_orderkey) AS tier
+      FROM orders GROUP BY 1, 2
+    ), chg AS (
+      SELECT o_custkey, o_orderdate, tier,
+             lag(tier) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+      FROM obs
+    ), kept AS (
+      SELECT o_custkey, o_orderdate, tier
+      FROM chg WHERE prev IS NULL OR tier IS DISTINCT FROM prev
+    )
+    SELECT o_custkey, tier, o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) IS NULL AS is_current
+    FROM kept
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -209,5 +264,11 @@ PENDING: tuple[PendingQuery, ...] = (
         data_quality_report_query,
         _DATA_QUALITY_ORACLE,
         tags=("quality", "validation"),
+    ),
+    PendingQuery(
+        "scd2_customer_tier",
+        scd2_customer_tier_query,
+        _SCD2_ORACLE,
+        tags=("warehouse", "scd2", "history"),
     ),
 )

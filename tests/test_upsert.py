@@ -75,3 +75,94 @@ def test_scd2_chains_multiple_updates_per_key(spark):
     assert rows["v1"] == (_TS(2024, 6, 1), False)  # closed by the next update
     assert rows["v2"] == (None, True)  # single current version
     assert out.where("is_current").count() == 1
+
+
+def _hist_set(df):
+    return {
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in df.select(
+            "o_custkey", "tier", "o_orderdate", "valid_to", "is_current"
+        ).collect()
+    }
+
+
+def test_scd2_from_observations_compresses_and_chains(spark):
+    from spotify_data_pipeline_spark.operators.upsert import scd2_from_observations
+
+    obs = spark.createDataFrame(
+        [
+            (1, _TS(2020, 1, 1), "a"),
+            (1, _TS(2020, 2, 1), "a"),  # repeat -> compressed away
+            (1, _TS(2020, 3, 1), "b"),
+            (1, _TS(2020, 4, 1), "a"),  # back to a -> NEW version (a,b,a)
+            (2, _TS(2020, 1, 15), None),  # null attr first version
+            (2, _TS(2020, 2, 15), None),  # null == null (null-safe) -> compressed
+            (2, _TS(2020, 3, 15), "x"),
+        ],
+        "k long, ts timestamp, v string",
+    )
+    out = scd2_from_observations(obs, ["k"], "ts", ["v"])
+    rows = {(r.k, r.v, r.ts, r.valid_to, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, "a", _TS(2020, 1, 1), _TS(2020, 3, 1), False),
+        (1, "b", _TS(2020, 3, 1), _TS(2020, 4, 1), False),
+        (1, "a", _TS(2020, 4, 1), None, True),
+        (2, None, _TS(2020, 1, 15), _TS(2020, 3, 15), False),
+        (2, "x", _TS(2020, 3, 15), None, True),
+    }
+
+
+def test_scd2_incremental_merge_equals_batch_rebuild(spark):
+    """The refresh invariant: chronological batches merged incrementally
+    reproduce the full-history rebuild exactly — on real orders-derived
+    observations (customer tier by order date)."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.upsert import (
+        scd2_from_observations,
+        scd2_merge_observations,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    obs = (
+        orders.withColumn(
+            "tier", F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+        )
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by("tier", "o_orderkey").alias("tier"))
+    )
+    keys, eff, attrs = ["o_custkey"], "o_orderdate", ["tier"]
+    full = scd2_from_observations(obs, keys, eff, attrs)
+
+    cut1, cut2 = "1994-01-01", "1996-01-01"
+    b1 = obs.where(F.col(eff) < cut1)
+    b2 = obs.where((F.col(eff) >= cut1) & (F.col(eff) < cut2))
+    b3 = obs.where(F.col(eff) >= cut2)
+    inc = scd2_from_observations(b1, keys, eff, attrs)
+    inc = scd2_merge_observations(inc, b2, keys, eff, attrs)
+    inc = scd2_merge_observations(inc, b3, keys, eff, attrs)
+
+    cols = ["o_custkey", "tier", eff, "valid_to", "is_current"]
+    assert _hist_set(full.select(*cols)) == _hist_set(inc.select(*cols))
+    # sanity: compression really happened (fewer versions than observations)
+    assert full.count() < obs.count()
+
+
+def test_scd2_merge_no_change_batch_is_noop(spark):
+    from spotify_data_pipeline_spark.operators.upsert import (
+        scd2_from_observations,
+        scd2_merge_observations,
+    )
+
+    obs = spark.createDataFrame(
+        [(1, _TS(2020, 1, 1), "a"), (2, _TS(2020, 1, 1), "b")],
+        "k long, ts timestamp, v string",
+    )
+    hist = scd2_from_observations(obs, ["k"], "ts", ["v"])
+    again = spark.createDataFrame(
+        [(1, _TS(2021, 1, 1), "a"), (2, _TS(2021, 6, 1), "b")],
+        "k long, ts timestamp, v string",
+    )
+    merged = scd2_merge_observations(hist, again, ["k"], "ts", ["v"])
+    a = {(r.k, r.v, r.ts, r.valid_to, r.is_current) for r in hist.collect()}
+    b = {(r.k, r.v, r.ts, r.valid_to, r.is_current) for r in merged.collect()}
+    assert a == b
