@@ -140,3 +140,23 @@ def test_components_empty_and_converged_fast(spark):
     # a clique must converge in far fewer than max_iter rounds
     clique = [(a, b) for a in range(20) for b in range(a + 1, 20)]
     assert _labels(spark, clique) == {i: 0 for i in range(20)}
+
+
+def test_components_stress_path_and_large_random(spark):
+    """Convergence-rate stress: a long path is the adversarial input for
+    naive min-propagation (O(n) rounds); star alternation must finish it
+    within the operator's O(log^2 n) max_iter budget. Plus a larger
+    random graph against union-find."""
+    path = [(i, i + 1) for i in range(300)]
+    assert _labels(spark, path) == {i: 0 for i in range(301)}
+
+    rng = random.Random(77)
+    n = 1000
+    pairs = list(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(1200)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _labels(spark, pairs) == _union_find(pairs)
