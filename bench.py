@@ -79,7 +79,52 @@ def main() -> None:
     out["skew_guard"] = _skew_guard(spark, sf_dir)
     out["scale_probe"] = _scale_probe(spark, sf_dir)
     out["bucketed_join_probe"] = _bucketed_join_probe(spark, sf_dir)
+    out["incremental_probe"] = _incremental_probe(spark, sf_dir)
     print(json.dumps(out))
+
+
+def _incremental_probe(spark, sf_dir: str) -> dict:
+    """Materialized-view refresh cost (operators/incremental.py): state
+    built over 99% of lineitem (paid once, outside the timer — it
+    exists on disk in a real warehouse), then a 1% batch arrives.
+    Rebuild re-aggregates everything; the fold touches only state +
+    batch. The gap is the point: at 100 TB the rebuild rescans 100 TB,
+    the fold rescans the day's delta. Metrics include an HLL distinct
+    sketch (the merge-only-able one)."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.incremental import (
+        build_partial,
+        finalize,
+        incremental_update,
+        m_approx_distinct,
+        m_avg,
+        m_count,
+        m_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    groups = ["l_returnflag", "l_linestatus"]
+    metrics = [
+        m_sum("l_quantity"),
+        m_count("l_extendedprice"),
+        m_avg("l_extendedprice"),
+        m_approx_distinct("l_orderkey"),
+    ]
+    history = li.where(F.col("l_orderkey") % 100 != 0)
+    batch = li.where(F.col("l_orderkey") % 100 == 0)
+    state = build_partial(history, groups, metrics).localCheckpoint(eager=True)
+
+    def timed(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    rebuild = finalize(build_partial(li, groups, metrics), groups, metrics)
+    fold = finalize(incremental_update(state, batch, groups, metrics), groups, metrics)
+    timed(rebuild), timed(fold)  # warm both paths
+    return {"rebuild_sec": timed(rebuild), "fold_sec": timed(fold)}
 
 
 def _bucketed_join_probe(spark, sf_dir: str) -> dict:
@@ -166,13 +211,20 @@ def _scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    # Hold ONE DataFrame per scale and time its second (warm) run:
-    # steady-state work at each scale, identical treatment, no codegen
-    # or cache-lifetime noise (fresh objects re-trigger cache builds at
-    # GC-dependent times).
-    d1, dN = minhash_lsh_dedup(docs), minhash_lsh_dedup(big)
-    timed(d1), timed(dN)
-    t1, tN = timed(d1), timed(dN)
+    # One scale at a time, fully isolated: build, warm once, take the
+    # median of three timed runs, then explicitly release the
+    # operator's shingle-set cache BEFORE the next scale. Interleaving
+    # the scales (the previous formulation) let the 4x cache evict the
+    # 1x blocks mid-measurement — the r03 full-bench run once recorded
+    # a nonsense 0.27 ratio from exactly that.
+    def steady(df) -> float:
+        timed(df)
+        t = sorted(timed(df) for _ in range(3))[1]
+        df.unpersist_dedup_cache()
+        return t
+
+    t1 = steady(minhash_lsh_dedup(docs))
+    tN = steady(minhash_lsh_dedup(big))
 
     li = load_table(spark, sf_dir, "lineitem")
     li_big = li.crossJoin(spark.range(factor).select(F.col("id").alias("_r")))

@@ -243,6 +243,72 @@ _SCD2_ORACLE = """
 """
 
 
+def incremental_agg_fold_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-maintenance fold (operators/incremental.py) as a
+    checkable query: lineitem split into three deterministic batches
+    (orderkey mod 3), folded into per-(returnflag, linestatus) state,
+    finalized. The oracle is the ONE-SHOT aggregate — the hash match IS
+    the fold-equals-rebuild invariant, pinned cross-engine.
+
+    Money sums are carried in integer cents (exact bigint arithmetic,
+    summation-order-proof); avg is one float division of exact
+    integers on both engines. The HLL metric is excluded here — its
+    merged estimate is bounded, not bit-stable (see incremental.py).
+    """
+    from spotify_data_pipeline_spark.operators.incremental import (
+        build_partial,
+        finalize,
+        incremental_update,
+        m_avg,
+        m_count,
+        m_max,
+        m_min,
+        m_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "price_cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    groups = ["l_returnflag", "l_linestatus"]
+    metrics = [
+        m_sum("l_quantity", "sum_qty"),
+        m_count("l_extendedprice", "n_rows"),
+        m_min("l_shipdate", "first_ship"),
+        m_max("l_shipdate", "last_ship"),
+        m_sum("price_cents", "cents"),
+        m_avg("price_cents", "avg_cents"),
+    ]
+    state = build_partial(li.where(F.col("l_orderkey") % 3 == 0), groups, metrics)
+    for i in (1, 2):
+        state = incremental_update(
+            state, li.where(F.col("l_orderkey") % 3 == i), groups, metrics
+        )
+    out = finalize(state, groups, metrics)
+    return out.select(
+        *groups,
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "first_ship",
+        "last_ship",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        (F.col("avg_cents") / F.lit(100.0)).alias("avg_price"),
+    )
+
+
+_INCREMENTAL_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(count(l_extendedprice) AS BIGINT) AS n_rows,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue,
+           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+              / count(l_extendedprice)) / 100.0 AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -270,5 +336,11 @@ PENDING: tuple[PendingQuery, ...] = (
         scd2_customer_tier_query,
         _SCD2_ORACLE,
         tags=("warehouse", "scd2", "history"),
+    ),
+    PendingQuery(
+        "incremental_agg_fold",
+        incremental_agg_fold_query,
+        _INCREMENTAL_ORACLE,
+        tags=("warehouse", "incremental", "agg"),
     ),
 )
