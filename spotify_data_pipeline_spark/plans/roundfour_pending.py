@@ -309,6 +309,197 @@ _INCREMENTAL_ORACLE = """
 """
 
 
+def dedup_incremental_screen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen (EXACT): the 'newest fifth' of the
+    corpus (doc_id % 5 == 4, standing in for an arriving batch) is
+    screened against the rest via ``operators/dedup.ngram_jaccard_join``
+    — the exact two-table twin of ``minhash_lsh_join`` (whose candidate
+    step is xxhash64-banded and therefore rows-only; this query pins
+    the shared incremental-join SEMANTICS with an exact oracle, and a
+    pytest asserts the two operators agree on the cross-table pairs).
+
+    DF-cap statistics are computed over the COMBINED corpus, so the
+    oracle's per-shingle document frequencies are identical to the
+    self-join query's (the split partitions ``documents``).
+    """
+    from spotify_data_pipeline_spark.operators.dedup import ngram_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 4)
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    return ngram_jaccard_join(
+        new, corpus, id_col="doc_id", text_col="text", threshold=0.5
+    )
+
+
+_INCREMENTAL_SCREEN_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), keep AS (
+      SELECT sh FROM (SELECT sh, count(*) AS df FROM s GROUP BY 1)
+      WHERE df <= greatest(100, CAST(floor(0.10 * (SELECT count(*) FROM documents)) AS BIGINT))
+    ), sz AS (
+      SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_common
+      FROM s a JOIN keep k ON a.sh = k.sh
+               JOIN s b ON a.sh = b.sh
+      WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+      GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id,
+           floor(n_common / (za.n_sh + zb.n_sh - n_common) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter JOIN sz za ON inter.new_id = za.doc_id
+               JOIN sz zb ON inter.corpus_id = zb.doc_id
+    WHERE floor(n_common / (za.n_sh + zb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.5
+"""
+
+
+def events_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: signup → view →
+    click → purchase, each stage's event STRICTLY after the user's
+    earliest qualifying previous-stage event. Output (stage_idx, stage,
+    n_users) — classic product-analytics funnel.
+
+    Plan: four conditional min-aggregates chained by per-user joins.
+    Every shuffle keys on user_id, so the chain re-uses one hash
+    partitioning (AQE coalesces); per-stage frames shrink monotonically
+    (stage n is a subset of stage n−1's users). No per-user event
+    arrays are ever collected — works for users with millions of
+    events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stages = ["signup", "view", "click", "purchase"]
+
+    reached = ev.where(F.col("event_type") == stages[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t")
+    )
+    counts = [reached.agg(F.count("*").alias("n_users"))]
+    for s in stages[1:]:
+        nxt = (
+            ev.where(F.col("event_type") == s)
+            .join(reached.select("user_id", F.col("t").alias("_prev")), "user_id")
+            .where(F.col("ts") > F.col("_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append(nxt.agg(F.count("*").alias("n_users")))
+        reached = nxt
+
+    out = None
+    for i, (s, c) in enumerate(zip(stages, counts)):
+        row = c.select(
+            F.lit(i + 1).cast("int").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+_EVENTS_FUNNEL_ORACLE = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+    )
+    SELECT CAST(1 AS INTEGER) AS stage_idx, 'signup' AS stage, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'view', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'click', (SELECT count(*) FROM s3)
+    UNION ALL
+    SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+"""
+
+
+def events_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by first-activity date; for each
+    (cohort_date, day_offset) the count of distinct cohort members
+    active that day. Output (cohort_date, day_offset, n_users).
+
+    Plan: one agg for the cohort map (min date per user — shuffles on
+    user_id), one join back (same key — co-partitioned), one distinct
+    agg on (cohort, offset). The cohort map is user_id→date, tiny
+    relative to events, broadcast-eligible under AQE."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+_EVENTS_RETENTION_ORACLE = """
+    WITH c AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1
+    )
+    SELECT c.cohort_date,
+           CAST(date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+def events_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): per
+    user, events ordered by (ts, event_id); count each consecutive
+    (from_type → to_type) step. Output (from_type, to_type, n_steps).
+
+    Plan: ONE window (lead over the per-user sequence — a single
+    shuffle on user_id) feeding a hash agg on the 25-row transition
+    key space; the agg's map-side combine collapses each partition to
+    ≤25 rows before the final exchange. event_id tiebreak makes the
+    sequence — and therefore the counts — deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_steps")
+    )
+
+
+_EVENTS_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_steps
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -342,5 +533,29 @@ PENDING: tuple[PendingQuery, ...] = (
         incremental_agg_fold_query,
         _INCREMENTAL_ORACLE,
         tags=("warehouse", "incremental", "agg"),
+    ),
+    PendingQuery(
+        "dedup_incremental_screen",
+        dedup_incremental_screen_query,
+        _INCREMENTAL_SCREEN_ORACLE,
+        tags=("dedup", "incremental", "text"),
+    ),
+    PendingQuery(
+        "events_funnel",
+        events_funnel_query,
+        _EVENTS_FUNNEL_ORACLE,
+        tags=("events", "analytics", "funnel"),
+    ),
+    PendingQuery(
+        "events_retention",
+        events_retention_query,
+        _EVENTS_RETENTION_ORACLE,
+        tags=("events", "analytics", "retention"),
+    ),
+    PendingQuery(
+        "events_transitions",
+        events_transitions_query,
+        _EVENTS_TRANSITIONS_ORACLE,
+        tags=("events", "analytics", "markov"),
     ),
 )

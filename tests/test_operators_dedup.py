@@ -106,3 +106,54 @@ def test_minhash_hot_bucket_cap(spark):
     assert (100, 101) in un and (100, 101) in cp  # small cluster survives the cap
     assert sum(1 for a, b in un if a < 100) == 20 * 19 // 2  # quadratic blow-up uncapped
     assert not any(a < 100 for a, b in cp)  # hot cluster suppressed
+
+
+def test_minhash_lsh_join_fixture_pairs(spark, docs_df):
+    """Two-table screen on the fixture: batch {0, 2} vs corpus {1, 3, 4}.
+    doc0≡doc1 (jaccard 1.0) and doc2~doc1 (0.6) must surface; nothing
+    pairs with the unrelated doc3 or the tiny doc4."""
+    from spotify_data_pipeline_spark.operators.dedup import minhash_lsh_join
+
+    new = docs_df.where(F.col("doc_id").isin(0, 2))
+    corpus = docs_df.where(F.col("doc_id").isin(1, 3, 4))
+    out = {(r.new_id, r.corpus_id): r.jaccard
+           for r in minhash_lsh_join(new, corpus, jaccard_threshold=0.5).collect()}
+    assert set(out) == {(0, 1), (2, 1)}
+    assert out[(0, 1)] == 1.0
+    assert out[(2, 1)] == pytest.approx(0.6, abs=1e-4)
+
+
+def test_minhash_lsh_join_matches_self_dedup_cross_pairs(spark):
+    """On real testdata, the incremental join must reproduce EXACTLY the
+    cross-split subset of the self-dedup's pairs (same hash family, same
+    banding ⟹ same candidates ⟹ same verified pairs)."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.dedup import minhash_lsh_join
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    got = {(r.new_id, r.corpus_id, r.jaccard)
+           for r in minhash_lsh_join(new, corpus, jaccard_threshold=0.5).collect()}
+
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = set()
+    for r in minhash_lsh_dedup(docs, jaccard_threshold=0.5).collect():
+        if (r.id_a in new_ids) != (r.id_b in new_ids):
+            want.add((r.id_a, r.id_b, r.jaccard) if r.id_a in new_ids
+                     else (r.id_b, r.id_a, r.jaccard))
+    assert got == want and len(got) > 0
+
+
+def test_ngram_jaccard_join_matches_self_join_cross_pairs(spark, docs_df):
+    """The exact two-table join agrees with the self-join's cross-split
+    pairs on the fixture (DF cap never bites at 5 docs)."""
+    from spotify_data_pipeline_spark.operators.dedup import ngram_jaccard_join
+
+    new = docs_df.where(F.col("doc_id").isin(0, 2))
+    corpus = docs_df.where(F.col("doc_id").isin(1, 3, 4))
+    got = {(r.new_id, r.corpus_id): r.jaccard
+           for r in ngram_jaccard_join(new, corpus, threshold=0.1).collect()}
+    assert set(got) == {(0, 1), (2, 1)}
+    assert got[(0, 1)] == 1.0
+    assert got[(2, 1)] == pytest.approx(0.6, abs=1e-4)
