@@ -548,7 +548,12 @@ def ngram_jaccard_join(
         .select("shingle")
     )
 
-    a = sh_new.join(keep, "shingle").select(F.col(id_col).alias("new_id"), "shingle")
+    # DF-cap filter applies to the CORPUS side only: the equi-join then
+    # restricts the batch side to kept shingles for free (a joined row's
+    # shingle is in ``keep`` by construction), and it's the corpus
+    # posting list — not the small batch — whose hot rows must not
+    # shuffle into the join. One filter join instead of two.
+    a = sh_new.select(F.col(id_col).alias("new_id"), "shingle")
     b = sh_corpus.join(keep, "shingle").select(
         F.col(id_col).alias("corpus_id"), "shingle"
     )
