@@ -36,11 +36,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which the Spark
-    vectorized parquet reader rejects. Read nanos as long (legacy conf)
-    and convert with *integer* division — ts/1000 in double arithmetic
-    would lose precision at 1.7e18 — to the microsecond timestamps every
-    other engine (incl. the DuckDB oracle) sees.
+    """Normalize ``ts`` to a session-TZ TIMESTAMP regardless of how the
+    generator wrote it.
+
+    Two physical encodings have been observed across testdata
+    generations: TIMESTAMP(NANOS) (which the Spark vectorized reader
+    rejects — read nanos as long under the legacy conf and convert with
+    *integer* division, since ts/1000 in double arithmetic loses
+    precision at 1.7e18) and plain TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ — cast to
+    TIMESTAMP, a value-preserving reinterpretation under the UTC session
+    timezone set in session.py). Either way every downstream plan and
+    the DuckDB oracle see identical microsecond timestamps.
 
     The legacy conf is SCOPED: set for the read call and restored right
     after. The scan's hadoop conf is captured at analysis time, so the
@@ -55,8 +62,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(key, "true")
     try:
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(raw.dtypes).get("ts") == "bigint":
+        ts_type = dict(raw.dtypes).get("ts")
+        if ts_type == "bigint":
             raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     finally:
         if prior is None:
             spark.conf.set(key, "false")
