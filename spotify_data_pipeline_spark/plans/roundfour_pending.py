@@ -500,6 +500,67 @@ _EVENTS_TRANSITIONS_ORACLE = """
 """
 
 
+def events_window_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preceding-hour activity count per purchase: for each 'purchase'
+    event, how many events (any user, any type, excluding itself) fall
+    in the half-open hour (ts − 1h, ts]. A pure range join — there is
+    NO equi key between the sides — the textbook case where naive Spark
+    produces a BroadcastNestedLoopJoin that cannot survive two large
+    sides.
+
+    Plan: ``operators/rangejoin.point_in_interval_join`` with
+    bin_width = the interval length (1 h), so each purchase interval
+    explodes to ≤2 bins and each event is compared only against
+    purchases in its own hour-bin — an AQE-planned equi-join shuffle on
+    the bin id, then one hash agg. Purchases with zero preceding events
+    are kept via a left join back (count 0). The oracle states the
+    same join as a plain theta join — DuckDB's IEJoin handles it — so
+    the hash match pins the binned plan to the naive semantics.
+    """
+    from spotify_data_pipeline_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    hour = 3_600_000_000  # µs
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("pt")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("pt").alias("hi"))
+        .withColumn("lo", F.col("hi") - hour)
+    )
+    pairs = point_in_interval_join(
+        ev.select("event_id", "pt"),
+        purchases,
+        "pt",
+        "lo",
+        "hi",
+        bin_width=hour,
+        closed="right",
+    ).where(F.col("event_id") != F.col("purchase_id"))
+    counts = pairs.groupBy("purchase_id").agg(F.count("*").alias("n"))
+    return (
+        purchases.select("purchase_id")
+        .join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events_1h"),
+        )
+    )
+
+
+_EVENTS_WINDOW_COUNT_ORACLE = """
+    SELECT p.event_id AS purchase_id,
+           CAST(count(e.event_id) AS BIGINT) AS n_events_1h
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN events e
+      ON e.ts > p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+     AND e.event_id <> p.event_id
+    GROUP BY 1
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -557,5 +618,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_transitions_query,
         _EVENTS_TRANSITIONS_ORACLE,
         tags=("events", "analytics", "markov"),
+    ),
+    PendingQuery(
+        "events_window_count",
+        events_window_count_query,
+        _EVENTS_WINDOW_COUNT_ORACLE,
+        tags=("events", "rangejoin", "analytics"),
     ),
 )
