@@ -561,6 +561,59 @@ _EVENTS_WINDOW_COUNT_ORACLE = """
 """
 
 
+def sim_quantized_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors for the first 10 query vectors under
+    **int8-quantized** cosine (operators/quantization.py): per-vector
+    max-abs scaling to ``array<tinyint>``, integer dot products, scales
+    cancel in the cosine. 4× smaller vector payloads in every shuffle/
+    broadcast; recall vs float32 brute force pinned ≥0.9 in pytest.
+
+    Quantization is floor-half-up and the dots are exact integers, so
+    the oracle replicates the identical arithmetic — an exact hash
+    match, unlike float32 paths whose sums are order-dependent.
+    """
+    from spotify_data_pipeline_spark.operators.quantization import (
+        cosine_topk_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_quantized(queries, emb, k=5)
+
+
+_QCOS = (
+    "(list_dot_product(a.q, b.q)"
+    " / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+)
+
+_SIM_QUANTIZED_ORACLE = f"""
+    WITH z AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             CASE WHEN m = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(least(greatest(
+                         floor(CAST(x AS DOUBLE) * 127 / m + 0.5),
+                         -127.0), 127.0) AS DOUBLE))
+             END AS q
+      FROM z
+    )
+    SELECT query_id, neighbor_id, qcos, rn FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             floor({_QCOS} * 10000 + 0.5) / 10000 AS qcos,
+             CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY floor({_QCOS} * 10000 + 0.5) / 10000 DESC, b.vec_id ASC
+             ) AS BIGINT) AS rn
+      FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10
+    ) WHERE rn <= 5
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -624,5 +677,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_window_count_query,
         _EVENTS_WINDOW_COUNT_ORACLE,
         tags=("events", "rangejoin", "analytics"),
+    ),
+    PendingQuery(
+        "sim_quantized_topk",
+        sim_quantized_topk_query,
+        _SIM_QUANTIZED_ORACLE,
+        tags=("similarity", "quantization", "topk"),
     ),
 )
