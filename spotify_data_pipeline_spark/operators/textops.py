@@ -247,3 +247,65 @@ def contamination_ngram(
             "contamination"
         ),
     )
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", §A1.1 — public paper). Word-level subset only: the
+# line-level rules (bullet/ellipsis line fractions) need newline
+# structure this corpus lacks.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+# the paper's stopword set
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-rules document quality filter: per-doc features + the
+    keep/drop verdict. Map-only Catalyst (one tokenization, HOF
+    counts) — like ``pii_scan``, this touches every byte of the corpus
+    exactly once with zero shuffles; the filter composes in front of
+    dedup/packing in a curation pipeline.
+
+    Features (ratios 4 dp, half-up — cross-engine exact):
+    n_words, mean_word_len, symbol_ratio (#/ellipsis tokens per word),
+    alpha_word_ratio (words containing a letter), n_stopwords; keep is
+    the AND of the five Gopher word-level rules.
+    """
+    toks = tokens(F.col(text_col))
+
+    def _feats(t: Column) -> Column:
+        n = F.size(t)
+        safe_n = F.greatest(n, F.lit(1))
+        char_sum = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        n_symbol = F.size(F.filter(t, lambda x: x.rlike(r"#|\.\.\.|…")))
+        n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+        sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            rnd(char_sum / safe_n, 4).alias("mean_word_len"),
+            rnd(n_symbol / safe_n, 4).alias("symbol_ratio"),
+            rnd(n_alpha / safe_n, 4).alias("alpha_word_ratio"),
+            n_stop.cast("long").alias("n_stopwords"),
+        )
+
+    # bind the token array once (see functions/text.shingles for why)
+    s = F.element_at(F.transform(F.array(toks), _feats), 1)
+    out = df.select(id_col, s.alias("_s")).select(id_col, "_s.*")
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+    )
+    return out.withColumn("keep", keep)

@@ -614,6 +614,153 @@ _SIM_QUANTIZED_ORACLE = f"""
 """
 
 
+def llm_quality_gopher_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filter (operators/textops.gopher_quality):
+    word-count bounds, mean-word-length bounds, symbol ratio, alphabetic
+    -word ratio, stopword floor → per-doc features + keep verdict.
+    Map-only single-scan Catalyst; the oracle recomputes every feature
+    from the same tokenization with identical half-up rounding.
+    """
+    from spotify_data_pipeline_spark.operators.textops import gopher_quality
+
+    return gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+_GOPHER_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) > 0
+                  THEN string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                  ELSE CAST([] AS VARCHAR[]) END AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(toks) AS nw,
+             greatest(len(toks), 1) AS safe_n,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS char_sum,
+             len(list_filter(toks, x -> regexp_matches(x, '#|\.\.\.|…'))) AS n_symbol,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_filter(toks, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'], x))) AS n_stop
+      FROM t
+    ), r AS (
+      SELECT doc_id,
+             CAST(nw AS BIGINT) AS n_words,
+             floor(CAST(char_sum AS DOUBLE) / safe_n * 10000 + 0.5) / 10000 AS mean_word_len,
+             floor(CAST(n_symbol AS DOUBLE) / safe_n * 10000 + 0.5) / 10000 AS symbol_ratio,
+             floor(CAST(n_alpha AS DOUBLE) / safe_n * 10000 + 0.5) / 10000 AS alpha_word_ratio,
+             CAST(n_stop AS BIGINT) AS n_stopwords
+      FROM f
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, n_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND (symbol_ratio <= 0.1)
+           AND (alpha_word_ratio >= 0.8)
+           AND (n_stopwords >= 2) AS keep
+    FROM r
+"""
+
+
+def text_bigram_lm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model statistics: the 20 most frequent
+    (w1, w2) bigrams with conditional probability P(w2|w1) =
+    count(w1,w2) / count(w1·), denominator derived from the bigram
+    counts themselves (count of bigram *starts* — one lineage).
+
+    Plan: one tokenization scan, in-array bigram construction (no
+    self-join on positions), explode → hash agg on (w1,w2) with
+    map-side combine, then a vocab-sized agg + equi-join on w1 —
+    both join sides are already aggregated to vocab cardinality, so
+    the join never touches corpus-scale rows. Top-20 via
+    TakeOrderedAndProject (n_pairs desc, w1, w2 tiebreak).
+    """
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("_toks"))
+    bigrams = toked.where(F.size("_toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+            )
+        ).alias("_bg")
+    ).select("_bg.w1", "_bg.w2")
+    pairs = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
+    totals = pairs.groupBy("w1").agg(F.sum("n_pairs").alias("_n_w1"))
+    from spotify_data_pipeline_spark.plans.parity import rnd
+
+    scored = pairs.join(totals, "w1").select(
+        "w1",
+        "w2",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        rnd(F.col("n_pairs") / F.col("_n_w1"), 4).alias("p_cond"),
+    )
+    return scored.orderBy(F.col("n_pairs").desc(), "w1", "w2").limit(20)
+
+
+_BIGRAM_ORACLE = r"""
+    WITH t AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), bg AS (
+      SELECT unnest(list_transform(range(2, len(toks) + 1),
+                                   i -> struct_pack(w1 := toks[i-1], w2 := toks[i]))) AS s
+      FROM t WHERE len(toks) >= 2
+    ), pairs AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n_pairs FROM bg GROUP BY 1, 2
+    ), tot AS (
+      SELECT w1, sum(n_pairs) AS n_w1 FROM pairs GROUP BY 1
+    )
+    SELECT p.w1, p.w2, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           floor(CAST(p.n_pairs AS DOUBLE) / t.n_w1 * 10000 + 0.5) / 10000 AS p_cond
+    FROM pairs p JOIN tot t USING (w1)
+    ORDER BY p.n_pairs DESC, p.w1, p.w2
+    LIMIT 20
+"""
+
+
+def agg_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: 24 bins of 25k plus a
+    clamped tail bin — bin id, inclusive lower edge, order count, and
+    exact revenue (integer-cents sum). One scan, one hash agg with
+    map-side combine collapsing every partition to ≤24 rows; the
+    floor-of-division binning is identical IEEE float64 on both
+    engines, so bin edges cannot drift cross-engine.
+    """
+    from spotify_data_pipeline_spark.plans.parity import rnd_cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(25000.0)), F.lit(23).cast("long")
+    ).cast("long")
+    return (
+        orders.select(bin_col.alias("bin"), rnd_cents("o_totalprice").alias("_c"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_orders"), F.sum("_c").alias("_cents"))
+        .select(
+            "bin",
+            (F.col("bin") * 25000.0).alias("bin_lo"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            (F.col("_cents") / 100.0).alias("revenue"),
+        )
+    )
+
+
+_HISTOGRAM_ORACLE = """
+    SELECT bin,
+           bin * 25000.0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+    FROM (
+      SELECT least(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 23) AS bin, o_totalprice
+      FROM orders
+    )
+    GROUP BY bin
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -683,5 +830,23 @@ PENDING: tuple[PendingQuery, ...] = (
         sim_quantized_topk_query,
         _SIM_QUANTIZED_ORACLE,
         tags=("similarity", "quantization", "topk"),
+    ),
+    PendingQuery(
+        "llm_quality_gopher",
+        llm_quality_gopher_query,
+        _GOPHER_ORACLE,
+        tags=("llmops", "quality", "filter"),
+    ),
+    PendingQuery(
+        "text_bigram_lm",
+        text_bigram_lm_query,
+        _BIGRAM_ORACLE,
+        tags=("text", "ngram", "lm"),
+    ),
+    PendingQuery(
+        "agg_histogram",
+        agg_histogram_query,
+        _HISTOGRAM_ORACLE,
+        tags=("agg", "histogram"),
     ),
 )

@@ -266,3 +266,26 @@ def test_asof_join_forward_and_tolerance(spark):
     import pytest as _p
     with _p.raises(ValueError, match="direction"):
         asof_join(left, right, on="ts", by="user_id", direction="nearest")
+
+
+def test_gopher_quality_verdicts(spark):
+    """Each rule triggers independently on crafted docs."""
+    from spotify_data_pipeline_spark.operators.textops import gopher_quality
+
+    good = "the quick brown fox jumps over a lazy dog and that dog have with " + " ".join(
+        f"word{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good),                                # passes all rules
+            (2, "too short to keep"),                 # < 50 words
+            (3, " ".join(["ab"] * 60)),               # mean word len < 3
+            (4, " ".join(["the of and to be"] * 12) + " " + " ".join(["#"] * 10)),  # symbols
+            (5, " ".join(["12345"] * 60)),            # alpha ratio 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.keep for r in gopher_quality(df).collect()}
+    assert out[1] is True
+    assert out[2] is False and out[3] is False and out[5] is False
+    assert out[4] is False  # symbol_ratio 10/70 > 0.1
