@@ -47,8 +47,13 @@ def read_events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
         # single-file layout: the file-source needs a directory, so
         # stream the parent restricted to exactly the events file
         raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # newer testdata generations write TIMESTAMP(MICROS) without UTC
+        # adjustment; normalize to session-TZ TIMESTAMP like io.load_table
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -139,6 +144,63 @@ def merge_stream_into_parquet(
             shutil.rmtree(aside)
 
     return stream_df.writeStream.outputMode("append").foreachBatch(_merge_batch)
+
+
+def purchase_window_join(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: every event is matched to each
+    'purchase' event whose preceding ``window`` contains it — the
+    streaming twin of the batch range join
+    (operators/rangejoin.point_in_interval_join, staged query
+    ``events_window_count``).
+
+    Structured Streaming refuses a stream-stream join without an
+    equality predicate (state would be all-pairs), so this uses the
+    SAME binning device as the batch operator: both sides carry an
+    hour-bin key derived from event time — each purchase interval
+    covers ≤2 bins, so the purchase side explodes to 2 rows — and the
+    join is bin-equality plus the exact time-range predicate. The
+    range condition bounds event time on both sides, which lets the
+    state store EVICT buffered rows once the other side's watermark
+    passes their constraint range; without it state grows with the
+    full stream history — the streaming equivalent of the batch
+    BroadcastNestedLoopJoin scale-killer.
+
+    ``window`` must equal the bin width (1 hour) — it is baked into
+    the bin arithmetic. Output: (purchase_id, event_id, ts, p_ts)
+    match rows; aggregate downstream as needed (a windowed count over
+    this join is the streaming ``events_window_count``).
+    """
+    hour = 3_600_000_000  # µs; bin width == window length
+    ev = (
+        events.select("event_id", "ts")
+        .withWatermark("ts", watermark)
+        .withColumn("_bin", F.expr(f"unix_micros(ts) DIV {hour}"))
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros(p_ts) DIV {hour} - 1"),
+                    F.expr(f"unix_micros(p_ts) DIV {hour}"),
+                )
+            ),
+        )
+    )
+    cond = F.expr(
+        f"ev._bin = p._bin AND ts > p_ts - interval {window}"
+        " AND ts <= p_ts AND event_id != purchase_id"
+    )
+    return (
+        ev.alias("ev")
+        .join(purchases.alias("p"), cond)
+        .select("purchase_id", "event_id", "ts", "p_ts")
+    )
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

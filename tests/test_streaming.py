@@ -162,3 +162,41 @@ def test_merge_stream_into_parquet_upserts(spark, events_dir, tmp_path):
     assert ids == [1, 2, 3, 4, 5]  # dup event 3 (twice in batch 1, once in batch 2) upserted once
     batch = spark.read.parquet(events_dir)
     assert out.count() == batch.select("event_id").distinct().count()
+
+
+def test_purchase_window_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join ≡ the batch theta join on the same
+    rows (and ≡ the batch binned range join's semantics)."""
+    from spotify_data_pipeline_spark.streaming.events import purchase_window_join
+
+    rows = [
+        (1, _TS(2024, 1, 1, 10, 0), 10, "click", 1.0),
+        (2, _TS(2024, 1, 1, 10, 30), 10, "view", 1.0),
+        (3, _TS(2024, 1, 1, 10, 45), 11, "purchase", 9.0),
+        (4, _TS(2024, 1, 1, 11, 44), 11, "click", 1.0),
+        (5, _TS(2024, 1, 1, 11, 45), 11, "purchase", 9.0),
+        (6, _TS(2024, 1, 1, 23, 0), 12, "purchase", 9.0),  # nothing in window
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = str(tmp_path / "pw_events")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = purchase_window_join(_read_stream(spark, d))
+    got = {(r.purchase_id, r.event_id) for r in _run_stream(spark, stream, "t_pwjoin", "append")}
+
+    batch = spark.createDataFrame(rows, schema)
+    p = batch.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    want = {
+        (r.purchase_id, r.event_id)
+        for r in batch.join(
+            p,
+            F.expr("ts > p_ts - interval 1 hour AND ts <= p_ts AND event_id != purchase_id"),
+        ).collect()
+    }
+    assert got == want
+    # purchase 3 @10:45 sees events 1 (10:00) and 2 (10:30); purchase 5
+    # @11:45 sees event 4 (11:44) but NOT event 3 (10:45 — exactly on
+    # the open lower boundary); purchase 6 sees nothing
+    assert got == {(3, 1), (3, 2), (5, 4)}
