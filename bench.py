@@ -80,7 +80,68 @@ def main() -> None:
     out["scale_probe"] = _scale_probe(spark, sf_dir)
     out["bucketed_join_probe"] = _bucketed_join_probe(spark, sf_dir)
     out["incremental_probe"] = _incremental_probe(spark, sf_dir)
+    out["rangejoin_probe"] = _rangejoin_probe(spark, sf_dir)
     print(json.dumps(out))
+
+
+def _rangejoin_probe(spark, sf_dir: str) -> dict:
+    """Quantifies the binned range join (operators/rangejoin.py) vs the
+    naive theta join Spark would otherwise plan (BroadcastNestedLoop).
+    The naive side is CAPPED to a deterministic subset of intervals —
+    at full cardinality it is O(|events|·|purchases|) and would
+    dominate the bench — so the apples-to-apples speedup is reported
+    on the capped subset, alongside the binned time at FULL
+    cardinality (which the naive plan could not finish at scale).
+    Warm second run per variant."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.rangejoin import point_in_interval_join
+
+    hour = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("pt")
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("pt").alias("hi"))
+        .withColumn("lo", F.col("hi") - hour)
+    )
+    n_full = purch.count()
+    cap_mod = max(1, n_full // 500)
+    purch_cap = purch.where(F.col("purchase_id") % cap_mod == 0)
+    n_cap = purch_cap.count()
+    points = ev.select("event_id", "pt")
+
+    def binned(p):
+        return (
+            point_in_interval_join(points, p, "pt", "lo", "hi", bin_width=hour, closed="right")
+            .where(F.col("event_id") != F.col("purchase_id"))
+            .groupBy("purchase_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def naive(p):
+        return (
+            points.join(p, (F.col("pt") > F.col("lo")) & (F.col("pt") <= F.col("hi")))
+            .where(F.col("event_id") != F.col("purchase_id"))
+            .groupBy("purchase_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def timed(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    timed(binned(purch_cap)), timed(naive(purch_cap)), timed(binned(purch))
+    return {
+        "n_intervals_capped": n_cap,
+        "binned_capped_sec": timed(binned(purch_cap)),
+        "naive_capped_sec": timed(naive(purch_cap)),
+        "n_intervals_full": n_full,
+        "binned_full_sec": timed(binned(purch)),
+    }
 
 
 def _incremental_probe(spark, sf_dir: str) -> dict:

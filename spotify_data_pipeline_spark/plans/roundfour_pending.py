@@ -670,10 +670,14 @@ def text_bigram_lm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one tokenization scan, in-array bigram construction (no
     self-join on positions), explode → hash agg on (w1,w2) with
-    map-side combine, then a vocab-sized agg + equi-join on w1 —
-    both join sides are already aggregated to vocab cardinality, so
-    the join never touches corpus-scale rows. Top-20 via
-    TakeOrderedAndProject (n_pairs desc, w1, w2 tiebreak).
+    map-side combine, then the denominator as a window sum over the
+    ALREADY-AGGREGATED pairs table — deriving it with a separate agg +
+    self-join would make Catalyst recompute the whole scan+tokenize
+    subtree (no cross-branch CSE), doubling the 100 TB read. The
+    window's per-w1 groups are bounded by |vocab| rows (not corpus
+    rows), so it is not the term-skew bomb the tfidf docstring
+    rejects. Top-20 via TakeOrderedAndProject (n_pairs desc, w1, w2
+    tiebreak).
     """
     from spotify_data_pipeline_spark.functions.text import tokens
 
@@ -687,15 +691,17 @@ def text_bigram_lm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_bg")
     ).select("_bg.w1", "_bg.w2")
-    pairs = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
-    totals = pairs.groupBy("w1").agg(F.sum("n_pairs").alias("_n_w1"))
+    from pyspark.sql import Window
+
     from spotify_data_pipeline_spark.plans.parity import rnd
 
-    scored = pairs.join(totals, "w1").select(
+    pairs = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
+    n_w1 = F.sum("n_pairs").over(Window.partitionBy("w1"))
+    scored = pairs.select(
         "w1",
         "w2",
         F.col("n_pairs").cast("long").alias("n_pairs"),
-        rnd(F.col("n_pairs") / F.col("_n_w1"), 4).alias("p_cond"),
+        rnd(F.col("n_pairs") / n_w1, 4).alias("p_cond"),
     )
     return scored.orderBy(F.col("n_pairs").desc(), "w1", "w2").limit(20)
 

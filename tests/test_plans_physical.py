@@ -310,3 +310,40 @@ def test_events_transitions_single_window(spark):
     plan = plan_of(events_transitions_query(spark, SF))
     assert node_count(plan, "Window") == 1
     assert "Join" not in plan  # no event-stream self-join
+
+
+def test_gopher_quality_map_only(spark):
+    """The quality gate touches 100 TB — it must be a single scan with
+    zero exchanges."""
+    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+        llm_quality_gopher_query,
+    )
+
+    plan = plan_of(llm_quality_gopher_query(spark, SF))
+    assert "Exchange" not in plan
+    assert node_count(plan, "Scan parquet") == 1
+
+
+def test_histogram_single_shuffle(spark):
+    """24-bin histogram: map-side partial agg collapses each partition
+    to <=24 rows; exactly one exchange."""
+    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+        agg_histogram_query,
+    )
+
+    plan = plan_of(agg_histogram_query(spark, SF))
+    assert node_count(plan, "Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_bigram_single_tokenization_pass(spark):
+    """Bigram LM: one Generate (explode) over one documents scan — the
+    vocab join must not re-tokenize or re-scan the corpus."""
+    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+        text_bigram_lm_query,
+    )
+
+    plan = plan_of(text_bigram_lm_query(spark, SF))
+    assert node_count(plan, "Generate") == 1
+    assert node_count(plan, "Scan parquet") == 1
+    assert "CartesianProduct" not in plan

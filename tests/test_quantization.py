@@ -45,3 +45,21 @@ def test_quantized_recall_vs_bruteforce(spark):
     quant = {(r.query_id, r.neighbor_id) for r in cosine_topk_quantized(q, emb, k=5).collect()}
     assert len(quant) == len(exact)
     assert len(exact & quant) / len(exact) >= 0.9  # measured 0.98 at sf0.01
+
+
+def test_quantized_topk_plan_broadcasts_queries(spark):
+    """Corpus never shuffles before scoring: queries broadcast over the
+    corpus scan (BNLJ from the hinted broadcast crossJoin), and the only
+    exchange after scoring is the top-k window's."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    df = cosine_topk_quantized(q, emb, k=5)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

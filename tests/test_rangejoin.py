@@ -127,3 +127,24 @@ def test_runaway_interval_fails_fast(spark):
     )
     with pytest.raises(Exception, match="rangejoin|USER_RAISED"):
         out.collect()
+
+
+def test_events_window_count_plan_and_shape(spark):
+    """The staged range-join query: equi-join plan (no BNLJ/Cartesian),
+    and every purchase appears exactly once (zeros kept)."""
+    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+        events_window_count_query,
+    )
+
+    df = events_window_count_query(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    n_purch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(rows) == n_purch
+    assert len({r.purchase_id for r in rows}) == n_purch
