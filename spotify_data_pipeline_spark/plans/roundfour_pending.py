@@ -767,6 +767,43 @@ _HISTOGRAM_ORACLE = """
 """
 
 
+def text_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 corpus tokens through the Misra–Gries mergeable summary
+    (operators/heavyhitters.py) — the driver-checkable anchor for the
+    sketch: capacity (200) exceeds this corpus's token vocabulary, so
+    no counter is ever truncated and the summary's lower bounds ARE the
+    exact counts (the capacity-exceeded guarantee path is pytest-gated
+    in tests/test_heavyhitters.py, like the HLL/banding rows-only
+    split). Output (v, cnt_lb, rank), rank tiebroken by token.
+    """
+    from spotify_data_pipeline_spark.functions.text import tokens
+    from spotify_data_pipeline_spark.operators.heavyhitters import mg_build, mg_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.lit("all").alias("g"), F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    state = mg_build(toks, ["g"], "tok", capacity=200)
+    return mg_topk(state, ["g"], 10).select("v", "cnt_lb", "rank")
+
+
+_HEAVY_HITTERS_ORACLE = r"""
+    WITH t AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), tok AS (
+      SELECT unnest(toks) AS v FROM t
+    ), c AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt_lb FROM tok GROUP BY 1
+    )
+    SELECT v, cnt_lb, rank FROM (
+      SELECT v, cnt_lb,
+             CAST(row_number() OVER (ORDER BY cnt_lb DESC, v ASC) AS BIGINT) AS rank
+      FROM c
+    ) WHERE rank <= 10
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -854,5 +891,11 @@ PENDING: tuple[PendingQuery, ...] = (
         agg_histogram_query,
         _HISTOGRAM_ORACLE,
         tags=("agg", "histogram"),
+    ),
+    PendingQuery(
+        "text_heavy_hitters",
+        text_heavy_hitters_query,
+        _HEAVY_HITTERS_ORACLE,
+        tags=("text", "sketch", "heavyhitters"),
     ),
 )
