@@ -804,6 +804,55 @@ _HEAVY_HITTERS_ORACLE = r"""
 """
 
 
+def agg_quantile_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of lineitem price (integer cents) per returnflag via
+    the HdrHistogram-style mergeable sketch (operators/quantiles.py).
+    The bucketing is integer-only (bitlen + shifts), so the oracle
+    replicates the ENTIRE sketch — bucket, cumulate, rank — and the
+    hash match pins the sketch itself, not a tolerance band (the
+    mergeable-refresh guarantee — merged ≡ rebuilt, bit-equal — is
+    pytest-gated in tests/test_quantiles.py).
+    """
+    from spotify_data_pipeline_spark.operators.quantiles import (
+        hdr_build,
+        hdr_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS LONG)").alias("cents"),
+    )
+    state = hdr_build(li, ["l_returnflag"], "cents", sub_bits=3)
+    return hdr_quantiles(state, ["l_returnflag"], [0.5, 0.95, 0.99])
+
+
+_QUANTILE_SKETCH_ORACLE = """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), b AS (
+      SELECT l_returnflag,
+             (cents >> greatest(length(printf('%b', cents)) - 4, 0))
+               << greatest(length(printf('%b', cents)) - 4, 0) AS bucket_lo
+      FROM v
+    ), cnt AS (
+      SELECT l_returnflag, bucket_lo, count(*) AS c FROM b GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, bucket_lo,
+             sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket_lo) AS cum,
+             sum(c) OVER (PARTITION BY l_returnflag) AS n
+      FROM cnt
+    ), qs AS (
+      SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q
+    )
+    SELECT l_returnflag, q, CAST(min(bucket_lo) AS BIGINT) AS est
+    FROM cum CROSS JOIN qs
+    WHERE cum >= ceil(q * n)
+    GROUP BY 1, 2
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -897,5 +946,11 @@ PENDING: tuple[PendingQuery, ...] = (
         text_heavy_hitters_query,
         _HEAVY_HITTERS_ORACLE,
         tags=("text", "sketch", "heavyhitters"),
+    ),
+    PendingQuery(
+        "agg_quantile_sketch",
+        agg_quantile_sketch_query,
+        _QUANTILE_SKETCH_ORACLE,
+        tags=("agg", "sketch", "quantiles", "incremental"),
     ),
 )

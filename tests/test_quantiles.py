@@ -1,0 +1,76 @@
+"""HdrHistogram-style quantile sketch (operators/quantiles.py):
+bit-exact merge invariance under arbitrary splits, bucketing identity
+below the exact cutoff, and the relative-error guarantee vs exact
+percentiles on real data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.operators.quantiles import (
+    hdr_build,
+    hdr_bucket_lo,
+    hdr_merge,
+    hdr_quantiles,
+)
+
+SUB_BITS = 3
+REL_ERR = 2.0**-SUB_BITS
+
+
+def _state_set(df):
+    return {(r.l_returnflag, r.bucket_lo, r.cnt) for r in df.collect()}
+
+
+def test_bucket_identity_below_cutoff_and_monotone(spark):
+    df = spark.createDataFrame([(v,) for v in range(0, 64)], "v long")
+    out = df.select("v", hdr_bucket_lo("v", SUB_BITS).alias("b")).collect()
+    for r in out:
+        if r.v < 2 ** (SUB_BITS + 1):
+            assert r.b == r.v  # exact below the cutoff
+        assert r.b <= r.v < (r.b + max(1, r.b >> SUB_BITS)) + 1
+    bs = [r.b for r in sorted(out, key=lambda r: r.v)]
+    assert bs == sorted(bs)
+
+
+def test_merge_is_bit_exact_for_any_split(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS LONG)").alias("cents"),
+        "l_orderkey",
+    )
+    full = hdr_build(li, ["l_returnflag"], "cents", SUB_BITS)
+    parts = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    states = [hdr_build(p, ["l_returnflag"], "cents", SUB_BITS) for p in parts]
+    merged = hdr_merge(["l_returnflag"], states[1], states[2], states[0])
+    assert _state_set(merged) == _state_set(full)  # BIT-equal, unlike HLL
+
+
+def test_quantile_relative_error_guarantee(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS LONG)").alias("cents"),
+    )
+    state = hdr_build(li, ["l_returnflag"], "cents", SUB_BITS)
+    qs = [0.5, 0.95, 0.99]
+    est = {
+        (r.l_returnflag, r.q): r.est
+        for r in hdr_quantiles(state, ["l_returnflag"], qs).collect()
+    }
+    exact = {
+        (r.l_returnflag, q): r[f"p{int(q*100)}"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(cents, {q})").alias(f"p{int(q*100)}")
+                for q in qs
+            ]
+        )
+        .collect()
+        for q in qs
+    }
+    for k, e in est.items():
+        true = float(exact[k])
+        assert e <= true * (1 + 1e-9)
+        assert true - e <= true * REL_ERR + 1, (k, e, true)

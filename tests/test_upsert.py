@@ -166,3 +166,57 @@ def test_scd2_merge_no_change_batch_is_noop(spark):
     a = {(r.k, r.v, r.ts, r.valid_to, r.is_current) for r in hist.collect()}
     b = {(r.k, r.v, r.ts, r.valid_to, r.is_current) for r in merged.collect()}
     assert a == b
+
+
+def test_table_diff_labels_and_filters(spark):
+    from spotify_data_pipeline_spark.operators.upsert import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "CHANGED", 30.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change for r in table_diff(old, new, ["k"]).collect()}
+    # key 2 and 4 unchanged (4 has a NULL that must compare equal) -> absent
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_table_diff_null_vs_literal_null_string_differ(spark):
+    from spotify_data_pipeline_spark.operators.upsert import table_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "null")], "k long, s string")
+    assert [r.change for r in table_diff(old, new, ["k"]).collect()] == ["changed"]
+
+
+def test_table_diff_plan_carries_digest_not_rows(spark):
+    """Both join inputs must be projected to keys+digest before the
+    exchange: no wide column appears in the join subtree."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from spotify_data_pipeline_spark.operators.upsert import table_diff
+
+    old = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    new = old.withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    df = table_diff(old, new, ["o_orderkey"])
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # every shuffle's input schema is exactly (key, digest) — the wide
+    # order columns never cross an exchange
+    lines = plan.splitlines()
+    exch_inputs = [
+        lines[i + 1]
+        for i, l in enumerate(lines)
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    ]
+    assert len(exch_inputs) >= 2
+    for inp in exch_inputs:
+        assert inp.startswith("Input [2]")
+        assert "_h_old" in inp or "_h_new" in inp
+        assert "o_orderstatus" not in inp and "o_totalprice" not in inp
