@@ -762,3 +762,80 @@ def embedding_neardup_lsh(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def tfidf_shingle_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """IDF-weighted shingle cosine similarity join -- the WEIGHTED
+    near-dup family next to set-Jaccard: rare shared shingles count for
+    more, ubiquitous ones for (almost) nothing, so boilerplate overlap
+    scores lower than genuinely shared rare content at the same overlap
+    size. Output (id_a, id_b, cos >= threshold, 4 dp).
+
+    Weights are INTEGERS -- binary tf (shingle sets are distinct) times
+    an integer idf, ``(N * idf_scale) DIV df`` -- so per-doc norms and
+    pair dot products are exact bigint sums (summation-order-proof; a
+    float-weighted formulation could not carry an exact cross-engine
+    oracle). The final cosine is one sqrt/division from exact integers.
+    Magnitudes: w <= N*idf_scale, so sum(w^2) can overflow a long past
+    ~3e9 * idf_scale^2 shingle mass per doc; at web scale either lower
+    ``idf_scale`` or accept float norms (and a tolerance check).
+
+    Plan shape == ngram_jaccard_pairs (hashed-shingle posting join, DF
+    cap in-plan as a broadcast 1-row aggregate, cap affects only the
+    numerator so capped cosines are lower bounds); the shingle-set
+    cache feeds weights, norms, and the pair join from one tokenization
+    pass. Cites the same reference scope (near-dup hygiene has no
+    reference counterpart; SURVEY §2.12 NS-2).
+    """
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_k).cache()
+    sh = hs.select(id_col, F.explode("hset").alias("shingle"))
+    n_docs = df.agg(F.count("*").alias("_n_docs"))
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    weights = (
+        sh.join(dfc, "shingle")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "shingle",
+            F.expr(f"(_n_docs * {idf_scale}) DIV _df").alias("_w"),
+            "_df",
+            "_n_docs",
+        )
+    )
+    norms = weights.groupBy(id_col).agg(F.sum(F.col("_w") * F.col("_w")).alias("_nsq"))
+    kept = weights.where(
+        F.col("_df") <= F.greatest(F.lit(100), (F.col("_n_docs") * 0.10).cast("long"))
+    ).select(id_col, "shingle", "_w")
+
+    a = kept.select(F.col(id_col).alias("id_a"), "shingle", F.col("_w").alias("_wa"))
+    b = kept.select(F.col(id_col).alias("id_b"), "shingle", F.col("_w").alias("_wb"))
+    dots = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("_nsq").alias("_nsq_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("_nsq").alias("_nsq_b"))
+    out = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cos",
+            rnd(
+                F.col("_dot")
+                / (F.sqrt(F.col("_nsq_a").cast("double")) * F.sqrt(F.col("_nsq_b").cast("double"))),
+                4,
+            ),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+    return _unpersist_with(out, hs)

@@ -853,6 +853,62 @@ _QUANTILE_SKETCH_ORACLE = """
 """
 
 
+def dedup_tfidf_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted shingle cosine near-dup pairs
+    (operators/dedup.tfidf_shingle_cosine_pairs) at threshold 0.5 —
+    the weighted family next to set-Jaccard. Integer weights make the
+    whole sparse-vector pipeline (idf, norms, dots) exact, so the
+    oracle replicates it bit-for-bit.
+    """
+    from spotify_data_pipeline_spark.operators.dedup import (
+        tfidf_shingle_cosine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_shingle_cosine_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.5
+    )
+
+
+_TFIDF_COSINE_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), nn AS (
+      SELECT count(*) AS n FROM documents
+    ), dfc AS (
+      SELECT sh, count(*) AS df FROM s GROUP BY 1
+    ), w AS (
+      SELECT s.doc_id, s.sh, ((SELECT n FROM nn) * 1000) // dfc.df AS w, dfc.df
+      FROM s JOIN dfc USING (sh)
+    ), nrm AS (
+      SELECT doc_id, sum(w * w) AS nsq FROM w GROUP BY 1
+    ), kept AS (
+      SELECT doc_id, sh, w FROM w, nn
+      WHERE df <= greatest(100, CAST(floor(0.10 * n) AS BIGINT))
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS d
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(d / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS cos
+    FROM dots JOIN nrm na ON id_a = na.doc_id
+              JOIN nrm nb ON id_b = nb.doc_id
+    WHERE floor(d / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                * 10000 + 0.5) / 10000 >= 0.5
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -952,5 +1008,11 @@ PENDING: tuple[PendingQuery, ...] = (
         agg_quantile_sketch_query,
         _QUANTILE_SKETCH_ORACLE,
         tags=("agg", "sketch", "quantiles", "incremental"),
+    ),
+    PendingQuery(
+        "dedup_tfidf_cosine",
+        dedup_tfidf_cosine_query,
+        _TFIDF_COSINE_ORACLE,
+        tags=("dedup", "text", "tfidf", "sparse"),
     ),
 )

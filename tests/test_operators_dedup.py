@@ -157,3 +157,30 @@ def test_ngram_jaccard_join_matches_self_join_cross_pairs(spark, docs_df):
     assert set(got) == {(0, 1), (2, 1)}
     assert got[(0, 1)] == 1.0
     assert got[(2, 1)] == pytest.approx(0.6, abs=1e-4)
+
+
+def test_tfidf_cosine_weights_rare_overlap_above_boilerplate(spark):
+    """Two pairs with the SAME shingle-overlap count: one shares rare
+    content, one shares corpus-wide boilerplate. Set-Jaccard scores
+    them identically; idf weighting must rank the rare-content pair
+    strictly higher."""
+    from spotify_data_pipeline_spark.operators.dedup import (
+        tfidf_shingle_cosine_pairs,
+    )
+
+    boiler = "terms of service apply to all users"
+    rows = [(i, f"{boiler} filler{i} pad{i} extra{i}") for i in range(20)]
+    # pair (100, 101): share rare content + each has unique tail
+    rows += [
+        (100, "zebra quantum flux capacitor resonance alpha one two"),
+        (101, "zebra quantum flux capacitor resonance beta three four"),
+        # pair (102, 103): share ONLY the boilerplate + unique tails
+        (102, f"{boiler} unique102a unique102b unique102c"),
+        (103, f"{boiler} unique103a unique103b unique103c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in tfidf_shingle_cosine_pairs(df, threshold=0.0).collect()
+    }
+    assert got[(100, 101)] > got[(102, 103)]
