@@ -40,7 +40,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["point_in_interval_join", "interval_overlap_join"]
+__all__ = ["point_in_interval_join", "interval_overlap_join", "suggest_bin_width"]
+
+
+def suggest_bin_width(
+    intervals: DataFrame, start_col: str, end_col: str, q: float = 0.99
+) -> int:
+    """Pick a bin width from the data: the q-quantile (default p99) of
+    interval lengths, via the mergeable integer quantile sketch
+    (operators/quantiles.py) — one map-side-combinable agg over the
+    intervals, a few hundred bucket rows collected, never the data.
+
+    With w ≈ the p99 length, ≥99% of intervals explode to ≤2 bins and
+    each point meets only same-bin intervals; the <1% longer ones cost
+    proportionally more bins (cap via ``max_bins_per_interval``).
+    Returns at least 1.
+    """
+    from spotify_data_pipeline_spark.operators.quantiles import (
+        hdr_build,
+        hdr_quantiles,
+    )
+
+    lens = intervals.select(
+        (F.col(end_col).cast("long") - F.col(start_col).cast("long") + 1).alias("_len"),
+        F.lit(1).alias("_g"),
+    )
+    state = hdr_build(lens, ["_g"], "_len")
+    row = hdr_quantiles(state, ["_g"], [q]).first()
+    est = 0 if row is None else int(row.est)
+    # bucket lower bound underestimates by <= 2^-sub_bits; bump to the
+    # bucket's upper edge so the suggested width COVERS the p99 interval
+    return max(1, est + max(1, est >> 3))
 
 
 def _floordiv_sql(col_name: str, w: int) -> str:

@@ -148,3 +148,26 @@ def test_events_window_count_plan_and_shape(spark):
     )
     assert len(rows) == n_purch
     assert len({r.purchase_id for r in rows}) == n_purch
+
+
+def test_suggest_bin_width_covers_p99(spark):
+    from spotify_data_pipeline_spark.operators.rangejoin import suggest_bin_width
+
+    # 990 short intervals (len ~100) + 10 outliers (len 100_000)
+    rows = [(i, i * 1000, i * 1000 + 99) for i in range(990)]
+    rows += [(1000 + i, 0, 99_999) for i in range(10)]
+    iv = spark.createDataFrame(rows, "iid long, lo long, hi long")
+    w = suggest_bin_width(iv, "lo", "hi")
+    # must cover the typical interval (>=100) without being dragged to
+    # the outlier scale
+    assert 100 <= w < 10_000
+
+    # and the suggested width keeps the join correct
+    points = spark.createDataFrame([(1, 500), (2, 50)], "pid long, p long")
+    out = point_in_interval_join(points, iv, "p", "lo", "hi", bin_width=w)
+    naive = points.crossJoin(iv).where(
+        (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+    )
+    assert {(r.pid, r.iid) for r in out.collect()} == {
+        (r.pid, r.iid) for r in naive.collect()
+    }

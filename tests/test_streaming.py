@@ -200,3 +200,48 @@ def test_purchase_window_join_matches_batch(spark, tmp_path):
     # @11:45 sees event 4 (11:44) but NOT event 3 (10:45 — exactly on
     # the open lower boundary); purchase 6 sees nothing
     assert got == {(3, 1), (3, 2), (5, 4)}
+
+
+def test_streaming_sketch_fold_equals_batch_build(spark, events_dir):
+    """Mergeable-state refresh through the real streaming rig: each
+    micro-batch's quantile-sketch partial folds into running state via
+    foreachBatch; the folded state is BIT-equal to a one-shot build
+    over all rows (the operators/quantiles.py merge guarantee, here
+    exercised across actual micro-batch boundaries)."""
+    import uuid as _uuid
+
+    from spotify_data_pipeline_spark.operators.quantiles import hdr_build, hdr_merge
+
+    partials = []
+
+    def fold(batch_df, batch_id):
+        rows = hdr_build(
+            batch_df.select("user_id", (F.col("value") * 100).cast("long").alias("cents")),
+            ["user_id"],
+            "cents",
+        ).collect()
+        partials.append(rows)
+
+    q = (
+        _read_stream(spark, events_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"/tmp/ckpt_fold_{_uuid.uuid4().hex}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(partials) >= 2  # maxFilesPerTrigger=1 => multiple batches
+    schema = "user_id long, bucket_lo long, cnt long"
+    states = [spark.createDataFrame(p, schema) for p in partials if p]
+    folded = hdr_merge(["user_id"], *states)
+
+    batch = spark.read.parquet(events_dir).select(
+        "user_id", (F.col("value") * 100).cast("long").alias("cents")
+    )
+    full = hdr_build(batch, ["user_id"], "cents")
+    a = {(r.user_id, r.bucket_lo, r.cnt) for r in folded.collect()}
+    b = {(r.user_id, r.bucket_lo, r.cnt) for r in full.collect()}
+    assert a == b
