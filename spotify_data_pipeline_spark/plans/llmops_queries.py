@@ -300,6 +300,7 @@ def curate_corpus(
     sf_dir: str,
     jaccard_threshold: float = 0.6,
     pack_budget: int = _PACK_BUDGET,
+    gopher_rules: bool = False,
 ) -> DataFrame:
     """End-to-end curation composition (the README demo; smoke-tested in
     tests/test_pipeline.py): quality + language + exact-dup gate
@@ -320,6 +321,9 @@ def curate_corpus(
     The run opens with the data-quality gate (operators/constraints.py)
     a production refresh puts in front of everything downstream: key
     integrity and text presence, one aggregate pass + one groupBy.
+    ``gopher_rules=True`` additionally drops documents failing the
+    Gopher word-level quality rules (operators/textops.gopher_quality
+    — map-only, merges into the same scan) before dedup sees them.
     """
     from spotify_data_pipeline_spark.operators.constraints import (
         assert_valid,
@@ -335,6 +339,11 @@ def curate_corpus(
     docs = load_table(spark, sf_dir, "documents")
     assert_valid(docs, [not_null("doc_id"), unique("doc_id")])
     curated = llm_curation_pipeline(spark, sf_dir)
+    if gopher_rules:
+        from spotify_data_pipeline_spark.operators.textops import gopher_quality
+
+        kept = gopher_quality(docs).where(F.col("keep")).select("doc_id")
+        curated = curated.join(kept, "doc_id", "left_semi")
     pairs = minhash_lsh_dedup(
         docs, jaccard_threshold=jaccard_threshold, max_bucket_width=50
     )

@@ -235,3 +235,23 @@ def test_curate_corpus_composition(spark):
     kept_clustered = [d for d in kept if d in labels]
     assert all(labels[d] == d for d in kept_clustered)
     assert len({labels[d] for d in kept_clustered}) == len(kept_clustered)
+
+
+def test_curate_corpus_gopher_gate_is_subset(spark):
+    """gopher_rules=True only removes docs (a filter composed in front
+    of dedup), and removes exactly the gopher-failing ones."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.textops import gopher_quality
+    from spotify_data_pipeline_spark.plans.llmops_queries import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    base = {r.doc_id for r in curate_corpus(spark, sf).collect()}
+    gated = {r.doc_id for r in curate_corpus(spark, sf, gopher_rules=True).collect()}
+    assert gated <= base
+    failing = {
+        r.doc_id
+        for r in gopher_quality(load_table(spark, sf, "documents"))
+        .where(~F.col("keep"))
+        .collect()
+    }
+    assert gated == base - failing
