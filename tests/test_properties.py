@@ -157,3 +157,69 @@ def test_chunking_reconstructs_text(spark, texts, tmp_path_factory):
         per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
     for i, t in enumerate(texts):
         assert per_doc[i] == (len(t) - 1) // 150 + 1
+
+
+_points = st.lists(st.integers(-(10**15), 10**15), min_size=1, max_size=15)
+_ivals = st.lists(
+    st.tuples(st.integers(-(10**15), 10**15), st.integers(0, 10**6)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(points=_points, ivals=_ivals, w=st.sampled_from([3, 1000, 10**9]))
+@settings(**_SETTINGS)
+def test_point_in_interval_matches_python_model(spark, points, ivals, w):
+    """Binned range join vs the O(n·m) Python model — exercises huge
+    magnitudes (1e15: float binning would mis-bin near boundaries),
+    negatives, degenerate intervals, and bin widths from tiny to
+    dwarfing every interval."""
+    from spotify_data_pipeline_spark.operators.rangejoin import point_in_interval_join
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, p long"
+    )
+    idf = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(ivals)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in point_in_interval_join(
+            pdf, idf, "p", "lo", "hi", bin_width=w, max_bins_per_interval=10**6 // 3 + 2
+        ).collect()
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, p in enumerate(points)
+        for ii, (lo, ln) in enumerate(ivals)
+        if lo <= p <= lo + ln
+    )
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 10**12), min_size=1, max_size=40),
+    n_splits=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_hdr_merge_equals_build_any_split(spark, vals, n_splits):
+    """Quantile-sketch state: fold over any split == one-shot build,
+    bit-equal (the mergeable-refresh contract)."""
+    from spotify_data_pipeline_spark.operators.quantiles import hdr_build, hdr_merge
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    full = hdr_build(df.select(F.lit(1).alias("g"), "v"), ["g"], "v")
+    parts = [
+        hdr_build(
+            df.where(F.col("i") % n_splits == k).select(F.lit(1).alias("g"), "v"),
+            ["g"],
+            "v",
+        )
+        for k in range(n_splits)
+    ]
+    parts = [p for k, p in enumerate(parts) if df.where(F.col("i") % n_splits == k).count() > 0]
+    merged = hdr_merge(["g"], *parts)
+    a = {(r.bucket_lo, r.cnt) for r in merged.collect()}
+    b = {(r.bucket_lo, r.cnt) for r in full.collect()}
+    assert a == b
