@@ -336,3 +336,121 @@ def _decode_wav(data: bytes) -> dict:
         "_bits_per_sample": bits,
         "_data_bytes": data_size,
     }
+
+
+def image_dhash(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    pixel_decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: grayscale, resize
+    to 9x8 (nearest-neighbor index gather, same arithmetic as
+    ``resize_images``), emit one bit per horizontally adjacent pixel
+    pair (left > right), packed into a 64-bit long. Output (id, dhash).
+
+    The visual twin of the text fingerprints: byte-level checksums
+    (``attach_media_metadata``) only catch EXACT blob dupes -- the same
+    picture re-encoded, resized, or brightness-shifted hashes to a
+    nearby dhash instead (gradient signs survive monotone transforms).
+    Netpbm decodes natively; other formats via ``pixel_decoder``
+    (injectable-decoder policy as everywhere in this module). Map-only,
+    Arrow-batched; only (id, 8-byte hash) flows downstream.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("dhash", T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_pixels(raw: bytes) -> "np.ndarray":
+            if raw[:2] in (b"P5", b"P6"):
+                meta = _decode_netpbm(raw)
+                if meta["_maxval"] > 255:
+                    raise NotImplementedError("16-bit netpbm not supported")
+                w, h, ch = meta["width"], meta["height"], meta["_channels"]
+                return np.frombuffer(
+                    raw, dtype=np.uint8, count=w * h * ch, offset=meta["_pixel_offset"]
+                ).reshape(h, w, ch)
+            if pixel_decoder is not None:
+                return pixel_decoder(raw)["pixels"]
+            raise NotImplementedError(
+                "only netpbm (P5/P6) decodes natively; inject pixel_decoder"
+            )
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, data in zip(pdf[id_col], pdf[binary_col]):
+                arr = decode_pixels(bytes(data) if data is not None else b"")
+                gray = arr.astype(np.uint32).sum(axis=2) // arr.shape[2]
+                src_h, src_w = gray.shape
+                rows = (np.arange(8) * src_h) // 8
+                cols = (np.arange(9) * src_w) // 9
+                g = gray[rows][:, cols]
+                bits = (g[:, :-1] > g[:, 1:]).flatten()  # 8x8 sign bits
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                # two's-complement into a signed long
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(rid)
+                hashes.append(val)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup image pairs by dHash Hamming distance <= ``max_hamming``
+    -- the visual analog of ``dedup.simhash_neardup_pairs``, same
+    pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
+    chunks; any pair within the distance budget must agree on at least
+    one whole chunk, so candidates come from (chunk_idx, chunk_value)
+    equi-joins -- never an all-pairs comparison -- and are verified
+    with one JVM ``bit_count(xor)``. Output (id_a, id_b, hamming).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftrightunsigned(F.col(hash_col), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    exploded = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        F.explode(chunks).alias("_c")
+    ).select("_id", "_h", "_c.chunk_idx", "_c.chunk_val")
+
+    a = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "chunk_idx", "chunk_val"
+    )
+    b = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "chunk_idx", "chunk_val"
+    )
+    cand = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

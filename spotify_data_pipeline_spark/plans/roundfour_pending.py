@@ -909,6 +909,73 @@ _TFIDF_COSINE_ORACLE = r"""
 """
 
 
+def events_anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: 10-minute tumbling counts per
+    event_type, flagged where the count deviates > 3σ from that type's
+    own mean (population σ over its windows). The monitoring query a
+    pipeline runs over its OWN event stream.
+
+    Exactness: per-type Σn, Σn² and window counts are exact bigints
+    (one window pass over the ALREADY-AGGREGATED counts table — a
+    second agg + self-join would recompute the events scan, the
+    bigram-LM lesson), so mean/σ/z are single identical float64
+    expressions on both engines. Rows selected only where σ > 0, so z
+    is always defined. Output (event_type, window_start, n_events, z).
+    """
+    from pyspark.sql import Window
+
+    from spotify_data_pipeline_spark.plans.parity import rnd
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    wt = Window.partitionBy("event_type")
+    stats = (
+        counts.withColumn("_s1", F.sum("n").over(wt))
+        .withColumn("_s2", F.sum(F.col("n") * F.col("n")).over(wt))
+        .withColumn("_cnt", F.count("*").over(wt))
+    )
+    mean = F.col("_s1").cast("double") / F.col("_cnt")
+    var = F.col("_s2").cast("double") / F.col("_cnt") - mean * mean
+    std = F.sqrt(var)
+    return (
+        stats.where(F.abs(F.col("n") - mean) > 3.0 * std)
+        .select(
+            "event_type",
+            "window_start",
+            F.col("n").cast("long").alias("n_events"),
+            rnd((F.col("n") - mean) / std, 4).alias("z"),
+        )
+    )
+
+
+_EVENTS_ANOMALY_ORACLE = """
+    WITH c AS (
+      SELECT event_type, time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, window_start, n,
+             sum(n) OVER (PARTITION BY event_type) AS s1,
+             sum(n*n) OVER (PARTITION BY event_type) AS s2,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM c
+    )
+    SELECT event_type, window_start, CAST(n AS BIGINT) AS n_events,
+           floor((n - CAST(s1 AS DOUBLE)/cnt)
+                 / sqrt(CAST(s2 AS DOUBLE)/cnt
+                        - (CAST(s1 AS DOUBLE)/cnt)*(CAST(s1 AS DOUBLE)/cnt))
+                 * 10000 + 0.5) / 10000 AS z
+    FROM s
+    WHERE abs(n - CAST(s1 AS DOUBLE)/cnt) >
+          3.0 * sqrt(CAST(s2 AS DOUBLE)/cnt
+                     - (CAST(s1 AS DOUBLE)/cnt)*(CAST(s1 AS DOUBLE)/cnt))
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -1014,5 +1081,11 @@ PENDING: tuple[PendingQuery, ...] = (
         dedup_tfidf_cosine_query,
         _TFIDF_COSINE_ORACLE,
         tags=("dedup", "text", "tfidf", "sparse"),
+    ),
+    PendingQuery(
+        "events_anomaly",
+        events_anomaly_query,
+        _EVENTS_ANOMALY_ORACLE,
+        tags=("events", "monitoring", "anomaly"),
     ),
 )

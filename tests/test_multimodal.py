@@ -198,3 +198,60 @@ def test_decode_audio_rejects_compressed(spark):
 
     with _pytest.raises(NotImplementedError, match="WAV"):
         decode_audio(b"ID3\x04mp3data")
+
+
+def _ppm(arr):
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    magic = b"P6" if arr.ndim == 3 and arr.shape[2] == 3 else b"P5"
+    header = magic + f"\n{w} {h}\n255\n".encode()
+    return header + np.ascontiguousarray(arr.astype("uint8")).tobytes()
+
+
+def test_image_dhash_stable_under_brightness_and_resize(spark):
+    """dHash: identical for a brightness-shifted copy (gradient signs
+    survive monotone transforms), near for a lightly perturbed copy,
+    far for unrelated noise; and the banded near-dup join finds exactly
+    the planted pairs."""
+    import numpy as np
+
+    from spotify_data_pipeline_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(40, 40, 3))
+    bright = np.clip(base + 30, 0, 255)          # monotone shift
+    tweaked = base.copy()
+    tweaked[5, 5] = 255 - tweaked[5, 5]          # tiny local edit
+    other = rng.integers(0, 256, size=(40, 40, 3))
+    other2 = rng.integers(0, 256, size=(64, 48, 3))
+
+    rows = [
+        (1, bytearray(_ppm(base))),
+        (2, bytearray(_ppm(bright))),
+        (3, bytearray(_ppm(tweaked))),
+        (4, bytearray(_ppm(other))),
+        (5, bytearray(_ppm(other2))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    hashes = image_dhash(df)
+    hv = {r.doc_id: r.dhash for r in hashes.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hv[1] == hv[2]                        # brightness-invariant
+    assert ham(hv[1], hv[3]) <= 3                # local edit: near
+    assert ham(hv[1], hv[4]) > 10                # unrelated: far
+    # deterministic across repartitioning
+    hv2 = {r.doc_id: r.dhash for r in image_dhash(df.repartition(3)).collect()}
+    assert hv == hv2
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
