@@ -31,3 +31,13 @@ def test_pending_not_registered(spark):
 
     names = set(all_queries())
     assert not names & {pq.name for pq in PENDING}
+
+
+def test_pending_names_unique_and_oracle_bearing():
+    """Activation safety: no duplicate staged names (a dup would make
+    round-4 declare() raise mid-activation) and every staged entry
+    carries an oracle — rows-only operators stay pytest-gated instead
+    of occupying staging slots."""
+    names = [pq.name for pq in PENDING]
+    assert len(names) == len(set(names))
+    assert all(pq.oracle for pq in PENDING)
