@@ -798,6 +798,10 @@ def tfidf_shingle_cosine_pairs(
     sh = hs.select(id_col, F.explode("hset").alias("shingle"))
     n_docs = df.agg(F.count("*").alias("_n_docs"))
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # cached: three consumers (norms, join side a, join side b) —
+    # without it Catalyst clones the posting build + DF-cap crossJoin
+    # into every branch (seen as 4 BroadcastNestedLoopJoin nodes in the
+    # uncached plan; the plan test pins the cached shape)
     weights = (
         sh.join(dfc, "shingle")
         .crossJoin(F.broadcast(n_docs))
@@ -808,6 +812,7 @@ def tfidf_shingle_cosine_pairs(
             "_df",
             "_n_docs",
         )
+        .cache()
     )
     norms = weights.groupBy(id_col).agg(F.sum(F.col("_w") * F.col("_w")).alias("_nsq"))
     kept = weights.where(
@@ -838,4 +843,4 @@ def tfidf_shingle_cosine_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
-    return _unpersist_with(out, hs)
+    return _unpersist_with(out, hs, weights)

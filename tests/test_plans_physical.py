@@ -347,3 +347,32 @@ def test_bigram_single_tokenization_pass(spark):
     assert node_count(plan, "Generate") == 1
     assert node_count(plan, "Scan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_events_anomaly_single_scan(spark):
+    """The anomaly query's stats come from a window over the aggregated
+    counts — NOT an agg+self-join that would re-read events twice."""
+    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+        events_anomaly_query,
+    )
+
+    plan = plan_of(events_anomaly_query(spark, SF))
+    assert node_count(plan, "Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_cosine_no_cartesian(spark):
+    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+        dedup_tfidf_cosine_query,
+    )
+
+    plan = plan_of(dedup_tfidf_cosine_query(spark, SF))
+    # no unbounded nested loop anywhere (the only BNLJ is the broadcast
+    # 1-row corpus-count DF cap, same as ngram_jaccard), and the
+    # weights table is served from cache to its three consumers (norms,
+    # join side a, join side b) — uncached, Catalyst re-derives the
+    # whole posting build per branch. (BNLJ mention counts are
+    # unreliable here: formatted explain re-prints the cached
+    # relation's inner plan under every InMemoryTableScan.)
+    assert node_count(plan, "CartesianProduct") == 0
+    assert "InMemoryTableScan" in plan

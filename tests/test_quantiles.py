@@ -74,3 +74,26 @@ def test_quantile_relative_error_guarantee(spark):
         true = float(exact[k])
         assert e <= true * (1 + 1e-9)
         assert true - e <= true * REL_ERR + 1, (k, e, true)
+
+
+def test_bucket_edges_at_extreme_sub_bits(spark):
+    """sub_bits=0 (2× rel err, coarsest) and sub_bits=6 (fine) both
+    keep the bucket function monotone and the value in-bucket."""
+    from pyspark.sql import functions as F2
+
+    vals = [0, 1, 2, 3, 255, 256, 257, 2**40, 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for sb in (0, 6):
+        out = sorted(
+            (r.v, r.b)
+            for r in df.select(
+                "v", hdr_bucket_lo("v", sb).alias("b")
+            ).collect()
+        )
+        prev_b = -1
+        for v, b in out:
+            assert b <= v
+            assert b >= prev_b
+            prev_b = b
+            if v > 0:
+                assert v - b <= max(1, v >> sb)  # within one bucket width
