@@ -255,3 +255,56 @@ def test_image_dhash_stable_under_brightness_and_resize(spark):
         for r in dhash_neardup_pairs(hashes, max_hamming=3).collect()
     }
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+
+
+def _wav_pcm(samples, rate=8000, channels=1):
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = rate * channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def test_audio_dhash_volume_invariant_and_near(spark):
+    import numpy as np
+
+    from spotify_data_pipeline_spark.operators.multimodal import (
+        audio_dhash,
+        dhash_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(-8000, 8000, size=8000)          # 1s @ 8kHz
+    louder = base * 2                                    # exact 2x gain
+    tweaked = base.copy()
+    tweaked[100:140] = 0                                 # short dropout
+    other = rng.integers(-8000, 8000, size=8000)
+
+    rows = [
+        (1, bytearray(_wav_pcm(base))),
+        (2, bytearray(_wav_pcm(louder))),
+        (3, bytearray(_wav_pcm(tweaked))),
+        (4, bytearray(_wav_pcm(other))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    hv = {r.doc_id: r.ahash for r in audio_dhash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hv[1] == hv[2]                 # gain-invariant
+    assert ham(hv[1], hv[3]) <= 3         # local dropout: near
+    assert ham(hv[1], hv[4]) > 10         # unrelated: far
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dhash_neardup_pairs(
+            audio_dhash(df), hash_col="ahash", max_hamming=3
+        ).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
