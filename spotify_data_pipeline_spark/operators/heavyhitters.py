@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mg_build", "mg_merge", "mg_topk"]
+__all__ = ["mg_build", "mg_build_salted", "mg_merge", "mg_topk"]
 
 _STATE_COL = "mg_state"  # array<struct<v: string, cnt: long>>
 
@@ -86,6 +86,42 @@ def mg_build(
         F.count("*").alias("cnt")
     )
     return _truncate(counts, groups, capacity)
+
+
+def mg_build_salted(
+    df: DataFrame,
+    groups: Sequence[str],
+    value_col: str,
+    capacity: int = 64,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase MG build for high-cardinality value domains.
+
+    ``mg_build``'s rank window sorts each group's FULL distinct-value
+    table in one partition — fine for vocabularies, a straggler when a
+    group has 10⁹ distinct values (user ids, urls). Salting by
+    ``xxhash64(value) % n_salts`` partitions the VALUES (every
+    occurrence of a value lands in exactly one shard, so shard counts
+    are exact), truncates each (group, salt) shard independently —
+    n_salts smaller windows instead of one giant one — then merges the
+    shard summaries with the standard MG merge. Because the shards
+    partition the data, the merge theorem gives the SAME
+    (membership, ≤ n/(capacity+1) undercount) guarantee as a direct
+    build; contents may differ below the threshold (tested both ways).
+    """
+    counts = df.groupBy(
+        *groups,
+        F.col(value_col).cast("string").alias("v"),
+    ).agg(F.count("*").alias("cnt"))
+    salted = counts.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(n_salts)))
+    shard_states = _truncate(salted, [*groups, "_salt"], capacity)
+    merged_counts = (
+        shard_states.select(*groups, F.explode(_STATE_COL).alias("_e"))
+        .select(*groups, F.col("_e.v").alias("v"), F.col("_e.cnt").alias("cnt"))
+        .groupBy(*groups, "v")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _truncate(merged_counts, groups, capacity)
 
 
 def mg_merge(

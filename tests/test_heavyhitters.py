@@ -90,3 +90,34 @@ def test_mg_state_bounded_and_sorted(spark):
     cnts = [e.cnt for e in arr]
     assert cnts == sorted(cnts, reverse=True)
     assert all(c > 0 for c in cnts)
+
+
+def test_salted_build_guarantee_and_exact_regime(spark):
+    from spotify_data_pipeline_spark.operators.heavyhitters import mg_build_salted
+
+    rows = _mk_rows()
+    n = len(rows)
+    df = spark.createDataFrame(rows, "id long, g string, v string")
+    true_counts = {
+        r.v: r.n for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r.v: r.cnt_lb
+        for r in mg_topk(mg_build_salted(df, ["g"], "v", CAP, n_salts=8), ["g"], CAP).collect()
+    }
+    bound = n / (CAP + 1)
+    for v, c in true_counts.items():
+        if c > bound:
+            assert v in est
+    for v, e in est.items():
+        assert e <= true_counts[v]
+        assert true_counts[v] - e <= bound
+
+    # capacity covers cardinality on every shard => identical to the
+    # direct build (no truncation ever happens anywhere)
+    big = 1000
+    direct = mg_topk(mg_build(df, ["g"], "v", big), ["g"], big).collect()
+    salted = mg_topk(mg_build_salted(df, ["g"], "v", big, n_salts=8), ["g"], big).collect()
+    assert {(r.v, r.cnt_lb, r.rank) for r in direct} == {
+        (r.v, r.cnt_lb, r.rank) for r in salted
+    }
