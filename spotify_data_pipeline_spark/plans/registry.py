@@ -33,17 +33,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (verified: r02's file is byte-for-byte the first 50 keys of the dict
 # the driver saw — round 2's "skipped positions" were an import
 # side effect in __spark_entry__.py, since removed). Queries that are
-# new or changed this round register FIRST; everything past position 50
-# must be byte-identical to code already hash-matched by a prior round
-# (enforced by tests/test_registry.py against the r01∪r02 union).
+# new or changed this round register FIRST. Everything past position 50
+# must (a) carry a green prior-round driver row by NAME and (b) have a
+# current source hash equal to the one snapshotted when that evidence
+# was earned (tests/evidence_hashes.json, written by
+# tools/snapshot_evidence.py) — both enforced by tests/test_registry.py,
+# so a silent edit to a tail query's body fails pytest.
 #
-# Round-3 front-loading: windows (contains the four driver-unproven
-# queries window_range_frame / window_batch_assignment /
-# sample_seeded_deterministic / window_first_last plus headline
-# dedup_first_wins), multimodal (multimodal_features ERR fix), dedup
-# (minhash bucket-cap + embedding-LSH payload change), similarity
-# (new IVF fixed-centroid anchor).
+# Round-4 front-loading: roundfour (the 17 queries staged in round 3,
+# positions 0–16), then windows/multimodal/dedup/similarity/text — all
+# 33 green in r03 — complete the 50-slot window; events/llmops/
+# aggregates/relational (48 queries, all r01∪r02∪r03-green) are the
+# hash-pinned tail.
 _QUERY_MODULES = (
+    "spotify_data_pipeline_spark.plans.roundfour",
     "spotify_data_pipeline_spark.plans.windows",
     "spotify_data_pipeline_spark.plans.multimodal_queries",
     "spotify_data_pipeline_spark.plans.dedup_queries",

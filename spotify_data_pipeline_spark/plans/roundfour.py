@@ -1,20 +1,17 @@
-"""Round-4 declared-query staging area.
+"""Round-4 queries — built and 3-SF oracle-verified in round 3 (as
+``plans/roundfour_pending.py``), ACTIVATED in round 4.
 
-The external driver records exactly the FIRST 50 keys of
-``__spark_entry__.queries()`` per round, and the current window is
-exactly full of queries that still need their round-3 evidence rows
-(see plans/registry.py and tests/test_registry.py). These queries are
-therefore built and oracle-verified NOW but deliberately NOT
-``declare``d: registering them would either strand them past position
-50 (unevidenced tail — the invariant tests fail the build) or evict a
-query that still needs its row.
+Round 3 ended with the driver's 50-row evidence window exactly full, so
+these 17 exact-oracle queries were staged unregistered. After the r03
+pass every window occupant earned a green row, freeing the window: this
+module now registers at the FRONT of ``_QUERY_MODULES`` (positions
+0–16), followed by windows/multimodal/dedup/similarity/text (33 prior-
+green re-proofs) — exactly 50. events/llmops/aggregates/relational form
+the tail, every name prior-green AND source-hash-pinned
+(tests/evidence_hashes.json, tests/test_registry.py).
 
-Round-4 activation is mechanical: wrap each entry of ``PENDING`` with
-``@declare(name, oracle=..., tags=...)``, move the function into a
-registered module (or add this module to ``_QUERY_MODULES``), and place
-it inside the first 50 positions. ``tests/test_roundfour_pending.py``
-already runs the exact driver-shaped hash comparison, so activation
-changes no code paths — only registration.
+Registration happens via the ``PENDING`` loop at the bottom of this
+module so each oracle constant can stay next to its query function.
 """
 
 from __future__ import annotations
@@ -25,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.plans.registry import declare
 
 # Shared with dedup_ngram_jaccard's oracle (plans/dedup_queries.py):
 # the exact 3-token-shingle Jaccard pair graph at threshold 0.5.
@@ -1038,6 +1036,10 @@ PENDING: tuple[PendingQuery, ...] = (
         "events_window_count",
         events_window_count_query,
         _EVENTS_WINDOW_COUNT_ORACLE,
+        # headline: the binned range join is the most expensive new
+        # physical shape this round — benched so BENCH_r04 exercises
+        # every plan family (agg, SMJ, window, minhash, tfidf, range).
+        headline=True,
         tags=("events", "rangejoin", "analytics"),
     ),
     PendingQuery(
@@ -1089,3 +1091,10 @@ PENDING: tuple[PendingQuery, ...] = (
         tags=("events", "monitoring", "anomaly"),
     ),
 )
+
+# Activation (round 4): register every staged query in PENDING order.
+# declare() records a monotonic sequence per name, and registry order is
+# (_QUERY_MODULES index, declaration sequence) — with this module first
+# in _QUERY_MODULES these occupy driver positions 0–16.
+for _pq in PENDING:
+    declare(_pq.name, oracle=_pq.oracle, headline=_pq.headline, tags=_pq.tags)(_pq.fn)

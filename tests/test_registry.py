@@ -11,11 +11,18 @@ the dict the driver saw that round).  Two things follow:
 2. Every query past position 50 must already carry a green hash-match
    row in the UNION of all prior CORRECTNESS files — i.e. the tail is
    reserved for queries whose current code is driver-proven.
+3. "Driver-proven" is pinned to CODE, not just name: the tail query's
+   current ``inspect.getsource`` hash must equal the hash snapshotted
+   at evidence time (tests/evidence_hashes.json, written by
+   tools/snapshot_evidence.py at round start). A silent edit to a tail
+   query's body fails pytest until the query rotates into the window.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 
@@ -70,6 +77,32 @@ def test_tail_queries_have_prior_driver_evidence():
         f"queries outside the driver's first-50 evidence window with no green "
         f"prior-round row: {tail_unproven} (reorder plans.registry._QUERY_MODULES)"
     )
+
+
+def test_tail_queries_code_pinned():
+    """Prior-round evidence is only valid for the code the driver ran:
+    each tail query's current source hash must equal the snapshot taken
+    at evidence time. (Round-3 verdict: name-pinning alone let a silent
+    edit keep stale evidence looking valid.)"""
+    names = _driver_view()
+    from spotify_data_pipeline_spark.plans import all_queries
+
+    with open(os.path.join(_REPO, "tests", "evidence_hashes.json")) as f:
+        snapshot = json.load(f)["queries"]
+    qs = all_queries()
+    bad = []
+    for n in names[50:]:
+        if n not in snapshot:
+            bad.append(f"{n}: no snapshotted evidence hash")
+            continue
+        cur = hashlib.sha256(inspect.getsource(qs[n].fn).encode("utf-8")).hexdigest()
+        if cur != snapshot[n]["sha256"]:
+            bad.append(
+                f"{n}: source changed since its driver evidence "
+                f"(rounds {snapshot[n]['rounds']}) — rotate it into the "
+                "first-50 window or revert"
+            )
+    assert not bad, "; ".join(bad)
 
 
 def test_unproven_queries_front_loaded():
