@@ -382,7 +382,16 @@ def image_dhash(
         for pdf in batches:
             ids, hashes = [], []
             for rid, data in zip(pdf[id_col], pdf[binary_col]):
-                arr = decode_pixels(bytes(data) if data is not None else b"")
+                # Triage-first (like attach_media_metadata): a NULL or
+                # undecodable blob yields a NULL hash instead of failing
+                # the whole stage — one bad row must not kill a corpus-
+                # scale job. Downstream near-dup joins drop NULL hashes.
+                try:
+                    arr = decode_pixels(bytes(data) if data is not None else b"")
+                except (NotImplementedError, ValueError, IndexError, TypeError):
+                    ids.append(rid)
+                    hashes.append(None)
+                    continue
                 gray = arr.astype(np.uint32).sum(axis=2) // arr.shape[2]
                 src_h, src_w = gray.shape
                 rows = (np.arange(8) * src_h) // 8
@@ -518,11 +527,17 @@ def audio_dhash(
         return val
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(b) -> int | None:
+            # Triage-first: NULL/undecodable audio → NULL hash, never a
+            # stage failure (one bad blob must not kill a corpus job).
+            try:
+                return fingerprint(bytes(b) if b is not None else b"")
+            except (NotImplementedError, ValueError, IndexError, TypeError, struct.error):
+                return None
+
         for pdf in batches:
             ids = list(pdf[id_col])
-            hashes = [
-                fingerprint(bytes(b) if b is not None else b"") for b in pdf[binary_col]
-            ]
+            hashes = [safe(b) for b in pdf[binary_col]]
             yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)

@@ -40,10 +40,26 @@ __all__ = ["hdr_bucket_lo", "hdr_build", "hdr_merge", "hdr_quantiles"]
 def hdr_bucket_lo(col_name: str, sub_bits: int = 3) -> Column:
     """Bucket lower bound of a non-negative LONG column: the value with
     all but its top ``sub_bits + 1`` significant bits zeroed.
-    Monotonic in the value; identity for values < 2^(sub_bits+1)."""
+    Monotonic in the value; identity for values < 2^(sub_bits+1).
+
+    Negative inputs are rejected IN-PLAN (``raise_error``): ``bin()``
+    of a negative long is its 64-char two's-complement string, so the
+    shift count saturates and every negative would silently collapse
+    into one huge wrong bucket. Map negatives into non-negative space
+    first (offset, abs, or split by sign) — e.g. inverted intervals fed
+    through ``rangejoin.suggest_bin_width`` surface here as negative
+    lengths and fail loudly instead of skewing the p99."""
     bitlen = f"length(bin({col_name}))"
     s = f"greatest({bitlen} - 1 - {sub_bits}, 0)"
-    return F.expr(f"shiftleft(shiftright({col_name}, {s}), {s})").cast("long")
+    err = (
+        f"raise_error(concat('hdr sketch: negative input (', "
+        f"CAST({col_name} AS STRING), ') in {col_name}; log-bucketing "
+        f"requires non-negative longs'))"
+    )
+    return F.expr(
+        f"CASE WHEN {col_name} < 0 THEN CAST({err} AS BIGINT) "
+        f"ELSE shiftleft(shiftright({col_name}, {s}), {s}) END"
+    ).cast("long")
 
 
 def hdr_build(

@@ -44,7 +44,7 @@ __all__ = ["point_in_interval_join", "interval_overlap_join", "suggest_bin_width
 
 
 def suggest_bin_width(
-    intervals: DataFrame, start_col: str, end_col: str, q: float = 0.99
+    intervals: DataFrame, start_col: str, end_col: str, q: float = 0.99, sub_bits: int = 3
 ) -> int:
     """Pick a bin width from the data: the q-quantile (default p99) of
     interval lengths, via the mergeable integer quantile sketch
@@ -55,6 +55,15 @@ def suggest_bin_width(
     each point meets only same-bin intervals; the <1% longer ones cost
     proportionally more bins (cap via ``max_bins_per_interval``).
     Returns at least 1.
+
+    ``sub_bits`` is passed to the sketch AND used for the upper-edge
+    bump — the two must agree or the suggested width stops covering
+    the p99 interval (the bucket lower bound underestimates by up to
+    2^-sub_bits of the value).
+
+    Inverted intervals (end < start − 1) produce negative lengths and
+    fail in-plan inside the sketch (``hdr_bucket_lo`` raises) — fix
+    the interval source rather than this estimator.
     """
     from spotify_data_pipeline_spark.operators.quantiles import (
         hdr_build,
@@ -65,12 +74,12 @@ def suggest_bin_width(
         (F.col(end_col).cast("long") - F.col(start_col).cast("long") + 1).alias("_len"),
         F.lit(1).alias("_g"),
     )
-    state = hdr_build(lens, ["_g"], "_len")
+    state = hdr_build(lens, ["_g"], "_len", sub_bits=sub_bits)
     row = hdr_quantiles(state, ["_g"], [q]).first()
     est = 0 if row is None else int(row.est)
     # bucket lower bound underestimates by <= 2^-sub_bits; bump to the
     # bucket's upper edge so the suggested width COVERS the p99 interval
-    return max(1, est + max(1, est >> 3))
+    return max(1, est + max(1, est >> sub_bits))
 
 
 def _floordiv_sql(col_name: str, w: int) -> str:

@@ -69,8 +69,24 @@ def verify_shards(spark: SparkSession, out_dir: str, manifest: DataFrame) -> boo
             "content_hash"
         ),
     )
-    return (
-        current.exceptAll(manifest.select("shard", "n_rows", "content_hash")).count()
-        == 0
-        and manifest.exceptAll(current).count() == 0
+    # ONE job (the previous form ran two exceptAll().count() actions):
+    # collapse the manifest to one row per shard id (_m_cnt flags a
+    # duplicated/conflicting manifest entry, which exceptAll used to
+    # catch via multiplicity), full outer join against the recomputed
+    # per-shard facts, and count any discrepancy. current is unique per
+    # shard by construction (groupBy). null-safe <=> covers NULL hashes.
+    m = manifest.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("_m_cnt"),
+        F.min("n_rows").alias("_m_rows"),
+        F.min("content_hash").alias("_m_hash"),
     )
+    mismatched = (
+        current.join(m, "shard", "full_outer")
+        .where(
+            (F.coalesce(F.col("_m_cnt"), F.lit(0)) != 1)
+            | ~F.col("n_rows").eqNullSafe(F.col("_m_rows"))
+            | ~F.col("content_hash").eqNullSafe(F.col("_m_hash"))
+        )
+        .count()
+    )
+    return mismatched == 0

@@ -213,12 +213,19 @@ def table_diff(
     backfill touch only what it should?) and the input to CDC-style
     downstream syncs.
 
-    Non-key columns are compared via a single xxhash64 over their
-    null-tagged string forms (one 8-byte digest per row crosses the
-    shuffle, not the row payload). Plan: each side collapses to
-    (keys, digest) map-side, then ONE full outer join on the keys --
-    no row data moves, and the join output is filtered to differences
-    before anything widens it again. At 100 TB both sides shuffle only
+    Non-key columns are compared via a single xxhash64 over (string
+    form, is-null flag) pairs — the flag column, not an in-band
+    sentinel, distinguishes NULL from any real value, so no string a
+    user could store is conflated with NULL (the previous '\\0null'
+    sentinel was such a string, and masked NULL→sentinel changes).
+    One 8-byte digest per row crosses the shuffle, not the row
+    payload. Caveat: equal digests are treated as equal rows, so a
+    changed row is missed with probability ~2^-64 per key — the
+    standard CDC-digest tradeoff; diff the raw columns directly where
+    that is unacceptable. Plan: each side collapses to (keys, digest)
+    map-side, then ONE full outer join on the keys -- no row data
+    moves, and the join output is filtered to differences before
+    anything widens it again. At 100 TB both sides shuffle only
     key+digest; co-partitioned (bucketed) versions join exchange-free.
     """
     if compare_cols is None:
@@ -226,10 +233,10 @@ def table_diff(
         compare_cols = [c for c in shared if c not in set(keys)]
 
     def digest(df: DataFrame) -> DataFrame:
-        cols = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\\0null")).alias(c)
-            for c in compare_cols
-        ]
+        cols = []
+        for c in compare_cols:
+            cols.append(F.col(c).cast("string").alias(f"_v_{c}"))
+            cols.append(F.col(c).isNull().cast("int").alias(f"_n_{c}"))
         return df.select(*keys, F.xxhash64(*cols).alias("_h"))
 
     o = digest(old).withColumnRenamed("_h", "_h_old")

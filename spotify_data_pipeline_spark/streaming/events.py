@@ -16,6 +16,8 @@ partitions size the state store; AQE does not apply to streaming, so
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -146,6 +148,26 @@ def merge_stream_into_parquet(
     return stream_df.writeStream.outputMode("append").foreachBatch(_merge_batch)
 
 
+_INTERVAL_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _interval_micros(interval: str) -> int:
+    """Parse a '<n> <unit>' interval string to microseconds. Restricted
+    to the forms the bin arithmetic supports; anything else raises
+    rather than silently mis-binning."""
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day)s?\s*", interval)
+    if m is None:
+        raise ValueError(
+            f"window must look like '<n> second|minute|hour|day(s)', got {interval!r}"
+        )
+    return int(m.group(1)) * _INTERVAL_US[m.group(2)]
+
+
 def purchase_window_join(
     events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
 ) -> DataFrame:
@@ -167,16 +189,22 @@ def purchase_window_join(
     full stream history — the streaming equivalent of the batch
     BroadcastNestedLoopJoin scale-killer.
 
-    ``window`` must equal the bin width (1 hour) — it is baked into
-    the bin arithmetic. Output: (purchase_id, event_id, ts, p_ts)
-    match rows; aggregate downstream as needed (a windowed count over
-    this join is the streaming ``events_window_count``).
+    The bin width is ``window`` itself (parsed to µs), so every
+    purchase interval (p_ts − window, p_ts] spans at most 2 bins and
+    the 2-bin explode is exact for ANY window length — previously the
+    bins were hardcoded to 1 hour and a longer window silently dropped
+    matches older than the two covered bins. Output: (purchase_id,
+    event_id, ts, p_ts) match rows; aggregate downstream as needed (a
+    windowed count over this join is the streaming
+    ``events_window_count``).
     """
-    hour = 3_600_000_000  # µs; bin width == window length
+    from spotify_data_pipeline_spark.operators.rangejoin import _floordiv_sql
+
+    bin_w = _interval_micros(window)  # bin width == window length
     ev = (
         events.select("event_id", "ts")
         .withWatermark("ts", watermark)
-        .withColumn("_bin", F.expr(f"unix_micros(ts) DIV {hour}"))
+        .withColumn("_bin", F.expr(_floordiv_sql("unix_micros(ts)", bin_w)))
     )
     purchases = (
         events.where(F.col("event_type") == "purchase")
@@ -186,8 +214,8 @@ def purchase_window_join(
             "_bin",
             F.explode(
                 F.array(
-                    F.expr(f"unix_micros(p_ts) DIV {hour} - 1"),
-                    F.expr(f"unix_micros(p_ts) DIV {hour}"),
+                    F.expr(_floordiv_sql("unix_micros(p_ts)", bin_w) + " - 1"),
+                    F.expr(_floordiv_sql("unix_micros(p_ts)", bin_w)),
                 )
             ),
         )

@@ -308,3 +308,34 @@ def test_audio_dhash_volume_invariant_and_near(spark):
         ).collect()
     }
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_dhash_null_and_garbage_blobs_yield_null_hash(spark):
+    """Corpus-scale triage (ADVICE r03): one NULL or undecodable blob
+    must not fail the whole stage — it yields a NULL hash, which the
+    banded Hamming join then drops naturally (NULL never equi-joins)."""
+    from spotify_data_pipeline_spark.operators.multimodal import (
+        audio_dhash,
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    import numpy as np
+
+    img = _ppm(np.arange(256, dtype=np.uint8).reshape(16, 16))
+    df = spark.createDataFrame(
+        [(1, bytearray(img)), (2, None), (3, bytearray(b"\x89PNG garbage"))],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    assert rows[1] is not None and rows[2] is None and rows[3] is None
+    # pairs join survives NULL hashes (no crash, no NULL-matched pairs)
+    assert dhash_neardup_pairs(image_dhash(df)).count() == 0
+
+    wav = _wav(n_samples=2000)
+    adf = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, None), (3, bytearray(b"ID3 not a wav"))],
+        "doc_id long, media binary",
+    )
+    arows = {r.doc_id: r.ahash for r in audio_dhash(adf).collect()}
+    assert arows[1] is not None and arows[2] is None and arows[3] is None

@@ -278,7 +278,7 @@ def test_incremental_screen_equi_joins_only(spark):
     """The exact incremental screen's posting-list join must be an
     equi-join on shingle; the only nested-loop node allowed is the
     hinted 1-row corpus-count broadcast."""
-    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+    from spotify_data_pipeline_spark.plans.roundfour import (
         dedup_incremental_screen_query,
     )
 
@@ -290,7 +290,7 @@ def test_incremental_screen_equi_joins_only(spark):
 def test_events_funnel_no_window_no_cartesian(spark):
     """The funnel is chained conditional min-aggregates — every join
     and agg keys on user_id; no per-user event arrays, no window."""
-    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+    from spotify_data_pipeline_spark.plans.roundfour import (
         events_funnel_query,
     )
 
@@ -303,7 +303,7 @@ def test_events_funnel_no_window_no_cartesian(spark):
 def test_events_transitions_single_window(spark):
     """Transition counts: ONE per-user window (the lead) feeding the
     25-key hash agg — not a self-join of the event stream."""
-    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+    from spotify_data_pipeline_spark.plans.roundfour import (
         events_transitions_query,
     )
 
@@ -315,7 +315,7 @@ def test_events_transitions_single_window(spark):
 def test_gopher_quality_map_only(spark):
     """The quality gate touches 100 TB — it must be a single scan with
     zero exchanges."""
-    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+    from spotify_data_pipeline_spark.plans.roundfour import (
         llm_quality_gopher_query,
     )
 
@@ -327,7 +327,7 @@ def test_gopher_quality_map_only(spark):
 def test_histogram_single_shuffle(spark):
     """24-bin histogram: map-side partial agg collapses each partition
     to <=24 rows; exactly one exchange."""
-    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+    from spotify_data_pipeline_spark.plans.roundfour import (
         agg_histogram_query,
     )
 
@@ -339,7 +339,7 @@ def test_histogram_single_shuffle(spark):
 def test_bigram_single_tokenization_pass(spark):
     """Bigram LM: one Generate (explode) over one documents scan — the
     vocab join must not re-tokenize or re-scan the corpus."""
-    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+    from spotify_data_pipeline_spark.plans.roundfour import (
         text_bigram_lm_query,
     )
 
@@ -352,7 +352,7 @@ def test_bigram_single_tokenization_pass(spark):
 def test_events_anomaly_single_scan(spark):
     """The anomaly query's stats come from a window over the aggregated
     counts — NOT an agg+self-join that would re-read events twice."""
-    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+    from spotify_data_pipeline_spark.plans.roundfour import (
         events_anomaly_query,
     )
 
@@ -362,7 +362,7 @@ def test_events_anomaly_single_scan(spark):
 
 
 def test_tfidf_cosine_no_cartesian(spark):
-    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+    from spotify_data_pipeline_spark.plans.roundfour import (
         dedup_tfidf_cosine_query,
     )
 

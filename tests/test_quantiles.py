@@ -97,3 +97,26 @@ def test_bucket_edges_at_extreme_sub_bits(spark):
             prev_b = b
             if v > 0:
                 assert v - b <= max(1, v >> sb)  # within one bucket width
+
+
+def test_negative_input_fails_in_plan(spark):
+    """bin() of a negative long is 64-char two's complement — all
+    negatives would collapse into one wrong bucket. The bucket
+    expression must raise in-plan instead of silently mis-bucketing
+    (ADVICE r03)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from spotify_data_pipeline_spark.operators.quantiles import hdr_build
+
+    df = spark.createDataFrame([(1, 100), (1, -5)], "g int, v long")
+    with pytest.raises(SparkRuntimeException, match="negative input"):
+        hdr_build(df, ["g"], "v").collect()
+
+
+def test_negative_free_input_unaffected_by_guard(spark):
+    from spotify_data_pipeline_spark.operators.quantiles import hdr_bucket_lo
+
+    df = spark.createDataFrame([(0,), (7,), (123456,)], "v long")
+    got = [r[0] for r in df.select(hdr_bucket_lo("v")).collect()]
+    assert got[0] == 0 and got[1] == 7 and got[2] <= 123456

@@ -132,7 +132,7 @@ def test_runaway_interval_fails_fast(spark):
 def test_events_window_count_plan_and_shape(spark):
     """The staged range-join query: equi-join plan (no BNLJ/Cartesian),
     and every purchase appears exactly once (zeros kept)."""
-    from spotify_data_pipeline_spark.plans.roundfour_pending import (
+    from spotify_data_pipeline_spark.plans.roundfour import (
         events_window_count_query,
     )
 
@@ -171,3 +171,19 @@ def test_suggest_bin_width_covers_p99(spark):
     assert {(r.pid, r.iid) for r in out.collect()} == {
         (r.pid, r.iid) for r in naive.collect()
     }
+
+
+def test_suggest_bin_width_covers_p99_for_any_sub_bits(spark):
+    """ADVICE r03: the upper-edge bump must use the SAME sub_bits as
+    the sketch build — for each setting, the suggested width must
+    cover the p99 interval length."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.operators.rangejoin import suggest_bin_width
+
+    iv = spark.range(1000).select(
+        F.col("id").alias("lo"), (F.col("id") + 5000).alias("hi")
+    )
+    for sb in (2, 3, 5):
+        w = suggest_bin_width(iv, "lo", "hi", q=0.99, sub_bits=sb)
+        assert w >= 5001, (sb, w)

@@ -245,3 +245,41 @@ def test_streaming_sketch_fold_equals_batch_build(spark, events_dir):
     a = {(r.user_id, r.bucket_lo, r.cnt) for r in folded.collect()}
     b = {(r.user_id, r.bucket_lo, r.cnt) for r in full.collect()}
     assert a == b
+
+
+def test_purchase_window_join_long_window(spark, tmp_path):
+    """Regression for the r03 ADVICE bug: the bin width was hardcoded
+    to 1 hour, so a 2-hour window silently dropped matches older than
+    the two covered hour-bins. The bin width now IS the window, so an
+    event 1.5 h before the purchase must match."""
+    from spotify_data_pipeline_spark.streaming.events import purchase_window_join
+
+    rows = [
+        (1, _TS(2024, 1, 1, 9, 15), 10, "click", 1.0),   # 1.5h before -> in 2h window
+        (2, _TS(2024, 1, 1, 10, 30), 10, "view", 1.0),   # 15min before
+        (3, _TS(2024, 1, 1, 10, 45), 11, "purchase", 9.0),
+        (4, _TS(2024, 1, 1, 8, 44), 11, "click", 1.0),   # 2h01m before -> out
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = str(tmp_path / "pw_events_2h")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = purchase_window_join(
+        _read_stream(spark, d), watermark="2 hours", window="2 hours"
+    )
+    got = {
+        (r.purchase_id, r.event_id)
+        for r in _run_stream(spark, stream, "t_pwjoin2h", "append")
+    }
+    assert got == {(3, 1), (3, 2)}
+
+
+def test_purchase_window_join_rejects_unparseable_window(spark, tmp_path):
+    import pytest
+
+    from spotify_data_pipeline_spark.streaming.events import _interval_micros
+
+    assert _interval_micros("2 hours") == 7_200_000_000
+    assert _interval_micros("30 minutes") == 1_800_000_000
+    with pytest.raises(ValueError, match="window must look like"):
+        _interval_micros("1 fortnight")

@@ -220,3 +220,16 @@ def test_table_diff_plan_carries_digest_not_rows(spark):
         assert inp.startswith("Input [2]")
         assert "_h_old" in inp or "_h_new" in inp
         assert "o_orderstatus" not in inp and "o_totalprice" not in inp
+
+
+def test_table_diff_null_to_former_sentinel_string_detected(spark):
+    """The r03 ADVICE case: with an in-band '\\0null' sentinel, a real
+    value equal to the sentinel was indistinguishable from NULL and a
+    NULL→'\\0null' change was silently missed. The is-null flag column
+    makes both directions visible."""
+    from spotify_data_pipeline_spark.operators.upsert import table_diff
+
+    old = spark.createDataFrame([(1, None), (2, "\\0null")], "k long, s string")
+    new = spark.createDataFrame([(1, "\\0null"), (2, None)], "k long, s string")
+    got = {r.k: r.change for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
