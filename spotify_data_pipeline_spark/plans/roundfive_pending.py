@@ -1,0 +1,263 @@
+"""Round-5 declared-query staging area (same pattern as round 3's
+``roundfour_pending``: the driver's 50-row evidence window is exactly
+full of queries needing their round-4 rows, so these are built and
+oracle-verified NOW but deliberately NOT ``declare``d — activation in
+round 5 is registration-only, after ``tools/snapshot_evidence.py``
+refreshes the evidence hashes).
+
+Each entry: exact-oracle query + DuckDB SQL, exercised by
+``tests/test_roundfive_pending.py`` with the driver-shaped comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.io import load_table
+
+
+def dedup_exact_passage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level exact duplicated-passage detection — the missing
+    granularity between whole-doc exact dedup (hash the full text) and
+    token-shingle near-dup (Jaccard over 3-token sets): documents that
+    share verbatim 64-char normalized passages, the standard screen for
+    boilerplate/quotation reuse in training corpora (cf. suffix-array
+    substring dedup, Lee et al. 2022 — this is the fingerprint-sampled
+    scalable form).
+
+    Fingerprint selection is CONTENT-DEFINED (winnowing/CDC-style,
+    Schleimer et al. SIGMOD'03): every char offset is hashed and a
+    window is selected when its md5's last hex digit is '0' (expected
+    1/16 of positions — the volume of a stride-16 scheme WITHOUT its
+    fatal flaw: strided windows only match when the shared passage
+    sits at equal offsets mod stride in both docs; content-defined
+    selection depends only on the passage bytes, so detection is
+    alignment-independent). A shared passage of L chars carries L−63
+    windows ⇒ miss probability (15/16)^(L−63), <2% at L≥300.
+
+    Exactness: selection AND grouping both key on md5(window) — DuckDB
+    computes the identical hex — so the oracle replicates the entire
+    pipeline with no cross-engine hash asymmetry.
+    """
+    return exact_passage_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def exact_passage_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    select_hex: str = "0",
+    max_docs_per_passage: int = 50,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): pairs of docs sharing ≥1 selected exact
+    normalized ``window``-char passage, with the count of distinct
+    shared fingerprints. Docs shorter than ``window`` normalized chars
+    produce no fingerprints (identical short docs are exact whole-doc
+    dedup's territory). Fingerprints carried by more than
+    ``max_docs_per_passage`` docs are dropped before pair generation
+    (corpus-wide boilerplate — the w²/2 fan-out cap, same policy and
+    same in-array pair device as minhash_lsh_dedup).
+
+    Plan: one normalization pass; position explode + substring + md5
+    run codegen'd (NOT in-array HOF lambdas — those evaluate
+    interpreted and measured 6× slower on the minhash signatures);
+    the selection filter drops ~15/16 of rows before the ONE shuffle
+    (fingerprint → collect_set of ids), pairs generated in-array per
+    bucket, then one pair-count agg. No self-join, no all-pairs."""
+    s_expr = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    fingerprinted = (
+        docs.select(F.col(id_col), F.expr(s_expr).alias("_s"))
+        .where(F.length("_s") >= window)
+        .select(
+            id_col,
+            "_s",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_s") - F.lit(window - 1))
+            ).alias("_p"),
+        )
+        .select(
+            id_col,
+            F.md5(F.expr(f"substring(_s, _p, {window})")).alias("_fp"),
+        )
+        .where(F.expr(f"substring(_fp, 32, 1) = '{select_hex}'"))
+    )
+    grouped = (
+        fingerprinted.groupBy("_fp")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))
+        .where(F.size("_ids").between(2, max_docs_per_passage))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+_EXACT_PASSAGE_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+      FROM documents
+    ), fp AS (
+      SELECT DISTINCT doc_id, md5(substring(s, CAST(i AS BIGINT), 64)) AS f
+      FROM t, unnest(range(1, length(s) - 62)) AS u(i)
+      WHERE length(s) >= 64
+        AND substring(md5(substring(s, CAST(i AS BIGINT), 64)), 32, 1) = '0'
+    ), keep AS (
+      SELECT f FROM (SELECT f, count(*) AS c FROM fp GROUP BY 1)
+      WHERE c BETWEEN 2 AND 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN keep k ON a.f = k.f
+              JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+
+def events_cumulative_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth curve every
+    product dashboard needs. Naive running COUNT(DISTINCT) over an
+    expanding window re-scans history per day; the scalable form is the
+    first-seen trick: distinct-count is ONE user-keyed agg (min date
+    per user), the running total is a window over the per-DAY frame,
+    which is bounded by calendar days, not data volume (the
+    events_anomaly / bigram-LM lesson: windows belong on
+    already-aggregated frames). Output (d, n_new, cum_users)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d"))
+    daily = first.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )
+
+
+_CUMULATIVE_USERS_ORACLE = """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY 1
+    ), daily AS (
+      SELECT d, count(*) AS n_new FROM f GROUP BY 1
+    )
+    SELECT d, CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM daily
+"""
+
+
+def llm_neardup_source_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-dup pairs (exact 3-token
+    Jaccard ≥ 0.5, the hash-matched ``dedup_ngram_jaccard`` graph)
+    bucketed by the SOURCE pair — which corpus sources duplicate each
+    other, the curation signal that decides which source to drop when a
+    mixture double-counts content. Sources are canonicalized with
+    least/greatest so (a,b) and (b,a) land in one cell.
+
+    Plan: the pair graph (bare ids — no text after candidate
+    generation) joins the tiny (doc_id, source) projection twice —
+    both broadcast-eligible at any corpus size ≪ the pair count — then
+    one ≤\\|sources\\|² hash agg. Output (source_a, source_b, n_pairs)."""
+    from spotify_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.5
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")), "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+# The pair graph replicates plans/dedup_queries' hash-matched oracle
+# (same normalization, shingling, DF cap, 4dp threshold).
+_NEARDUP_SOURCE_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), keep AS (
+      SELECT sh FROM (SELECT sh, count(*) AS df FROM s GROUP BY 1)
+      WHERE df <= greatest(100, CAST(floor(0.10 * (SELECT count(*) FROM documents)) AS BIGINT))
+    ), sz AS (
+      SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN keep k ON a.sh = k.sh
+               JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz za ON inter.id_a = za.doc_id
+                 JOIN sz zb ON inter.id_b = zb.doc_id
+      WHERE floor(n_common / (za.n_sh + zb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs JOIN documents da ON pairs.id_a = da.doc_id
+               JOIN documents db ON pairs.id_b = db.doc_id
+    GROUP BY 1, 2
+"""
+
+
+@dataclass(frozen=True)
+class PendingQuery:
+    name: str
+    fn: object
+    oracle: str | None
+    headline: bool = False
+    tags: tuple[str, ...] = ()
+
+
+PENDING: tuple[PendingQuery, ...] = (
+    PendingQuery(
+        "dedup_exact_passage",
+        dedup_exact_passage_query,
+        _EXACT_PASSAGE_ORACLE,
+        tags=("dedup", "text", "passage", "charlevel"),
+    ),
+    PendingQuery(
+        "events_cumulative_users",
+        events_cumulative_users_query,
+        _CUMULATIVE_USERS_ORACLE,
+        tags=("events", "analytics", "growth"),
+    ),
+    PendingQuery(
+        "llm_neardup_source_matrix",
+        llm_neardup_source_matrix_query,
+        _NEARDUP_SOURCE_ORACLE,
+        tags=("llmops", "dedup", "curation"),
+    ),
+)

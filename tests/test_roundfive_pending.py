@@ -1,0 +1,69 @@
+"""Round-5 staged queries (plans/roundfive_pending.py) get the SAME
+driver-shaped oracle check as declared queries — so activating them in
+round 5 is registration-only (after the evidence-hash refresh).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spotify_data_pipeline_spark.plans.roundfive_pending import PENDING
+from tests.oracle_check import compare, run_oracle
+
+SF_DIR = os.environ.get("ORACLE_SF", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("pq", PENDING, ids=lambda pq: pq.name)
+def test_pending_oracle_match(spark, pq):
+    result = pq.fn(spark, SF_DIR)
+    oracle = run_oracle(pq.oracle, SF_DIR)
+    errs = compare(result, oracle)
+    assert not errs, f"{pq.name}: " + "; ".join(errs)
+
+
+def test_pending_not_registered(spark):
+    """Staged queries must NOT appear in the driver's view: the window
+    is exactly full of queries needing their round-4 rows; an
+    unevidenced tail entry is what the registry invariants prevent."""
+    from spotify_data_pipeline_spark.plans import all_queries
+
+    names = set(all_queries())
+    assert not names & {pq.name for pq in PENDING}
+
+
+def test_pending_names_unique_and_oracle_bearing():
+    names = [pq.name for pq in PENDING]
+    assert len(names) == len(set(names))
+    assert all(pq.oracle for pq in PENDING)
+
+
+def test_exact_passage_alignment_independent_detection(spark):
+    """The design point of content-defined selection: the SAME passage
+    embedded at different offsets (different offsets mod any stride),
+    different case, different surrounding whitespace, must still pair —
+    a strided scheme misses this whenever prefixes differ mod stride.
+    Unrelated docs must not pair."""
+    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+        exact_passage_pairs,
+    )
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts watch from orbit with considerable amusement and "
+        "meticulous attention to every single detail of the landing "
+        "procedure that unfolds below them across the quiet continent "
+        "during the long afternoon of an otherwise unremarkable tuesday"
+    )  # ~300 normalized chars -> ~240 windows, miss prob (15/16)^240 ~ 2e-7
+    rows = [
+        (1, "intro text before. " + passage + " and some trailing words."),
+        (2, "A lead-in of different length!   " + passage.upper() + "  done."),
+        (3, "no shared content here at all, just independent filler text "
+            "that goes on long enough to produce several windows of its own "
+            "without ever quoting anything from the astronaut passage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.n_shared for r in exact_passage_pairs(df).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert not any(3 in p for p in got)
