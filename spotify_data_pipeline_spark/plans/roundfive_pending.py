@@ -232,6 +232,138 @@ _NEARDUP_SOURCE_ORACLE = r"""
 """
 
 
+def join_point_in_time_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the feature-store primitive that
+    prevents training-label leakage: for each order, the customer's
+    spending-tier version valid STRICTLY BEFORE the order date ("state
+    entering the order", never the state the order itself creates).
+    Joins the SCD2 history built by ``scd2_from_observations`` (the
+    hash-matched ``scd2_customer_tier`` lineage) back to the order
+    stream. First-ever orders have no prior version → NULL prev_tier
+    (kept via left join).
+
+    Plan: the non-equi validity predicate rides ON an equi key
+    (custkey), so Spark plans an equi-key join (broadcast-hash while
+    the history fits the threshold, sort-merge at warehouse scale)
+    with the range test as a post-filter over each customer's handful
+    of versions — no BroadcastNestedLoopJoin, no binning needed (the
+    per-key fan-out is the version count, bounded by change-points,
+    not by corpus size). SCD2 intervals are disjoint by construction,
+    so at most one version matches per order — row count is exactly
+    \\|orders\\|.
+    """
+    from spotify_data_pipeline_spark.operators.upsert import (
+        scd2_from_observations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.withColumn(
+            "tier", F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+        )
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by("tier", "o_orderkey").alias("tier"))
+    )
+    hist = scd2_from_observations(obs, ["o_custkey"], "o_orderdate", ["tier"]).select(
+        F.col("o_custkey").alias("_ck"),
+        F.col("tier").alias("prev_tier"),
+        F.col("o_orderdate").alias("_from"),
+        F.col("valid_to").alias("_to"),
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(
+            hist,
+            (F.col("o_custkey") == F.col("_ck"))
+            & (F.col("_from") < F.col("o_orderdate"))
+            & (F.col("_to").isNull() | (F.col("_to") >= F.col("o_orderdate"))),
+            "left",
+        )
+        .select("o_orderkey", "o_custkey", "prev_tier")
+    )
+
+
+_POINT_IN_TIME_ORACLE = """
+    WITH obs AS (
+      SELECT o_custkey, o_orderdate,
+             arg_max(CAST(floor(o_totalprice / 50000.0) AS BIGINT), o_orderkey) AS tier
+      FROM orders GROUP BY 1, 2
+    ), chg AS (
+      SELECT o_custkey, o_orderdate, tier,
+             lag(tier) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+      FROM obs
+    ), kept AS (
+      SELECT o_custkey, o_orderdate, tier
+      FROM chg WHERE prev IS NULL OR tier IS DISTINCT FROM prev
+    ), hist AS (
+      SELECT o_custkey, tier, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS valid_to
+      FROM kept
+    )
+    SELECT o.o_orderkey, o.o_custkey, h.tier AS prev_tier
+    FROM orders o LEFT JOIN hist h
+      ON o.o_custkey = h.o_custkey
+     AND h.valid_from < o.o_orderdate
+     AND (h.valid_to IS NULL OR h.valid_to >= o.o_orderdate)
+"""
+
+
+def events_top_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 busiest sessions (30-minute idle gap): per (user,
+    session) the event count and span, globally ranked. The
+    sessionization is the hash-matched ``events_sessionization``
+    lineage (lag-gap cumulative-flag form); the global top-k is
+    TakeOrderedAndProject over the ALREADY-AGGREGATED per-session
+    frame (one window shuffle on user_id, one session agg, then a
+    k-row ordered take — never a global sort of events). Ties broken
+    by (user_id, session_start) for a deterministic row set."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    return (
+        per.orderBy(F.col("n_events").desc(), "user_id", "session_start")
+        .limit(10)
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+_TOP_SESSIONS_ORACLE = """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    ), per AS (
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, n_events, session_start, session_end
+    FROM per
+    ORDER BY n_events DESC, user_id, session_start
+    LIMIT 10
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -259,5 +391,17 @@ PENDING: tuple[PendingQuery, ...] = (
         llm_neardup_source_matrix_query,
         _NEARDUP_SOURCE_ORACLE,
         tags=("llmops", "dedup", "curation"),
+    ),
+    PendingQuery(
+        "join_point_in_time",
+        join_point_in_time_query,
+        _POINT_IN_TIME_ORACLE,
+        tags=("join", "temporal", "scd2", "featurestore"),
+    ),
+    PendingQuery(
+        "events_top_sessions",
+        events_top_sessions_query,
+        _TOP_SESSIONS_ORACLE,
+        tags=("events", "session", "topk"),
     ),
 )

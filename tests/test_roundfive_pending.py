@@ -67,3 +67,36 @@ def test_exact_passage_alignment_independent_detection(spark):
     got = {(r.id_a, r.id_b): r.n_shared for r in exact_passage_pairs(df).collect()}
     assert (1, 2) in got and got[(1, 2)] >= 1
     assert not any(3 in p for p in got)
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_in_time_plan_is_equi_key_join(spark):
+    """The validity range predicate must ride on the custkey equi key —
+    a BroadcastNestedLoopJoin/CartesianProduct here would be the
+    both-sides-large scale-killer the docstring rules out."""
+    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+        join_point_in_time_query,
+    )
+
+    plan = _plan_of(join_point_in_time_query(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_passage_plan_has_no_join(spark):
+    """Candidate generation is the capped-bucket in-array device: two
+    exchanges (fingerprint group, pair agg), NO join operator at all."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+        exact_passage_pairs,
+    )
+
+    plan = _plan_of(
+        exact_passage_pairs(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    )
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
