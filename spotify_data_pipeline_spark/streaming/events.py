@@ -231,6 +231,69 @@ def purchase_window_join(
     )
 
 
+def purchase_window_join_outer(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """LEFT-OUTER twin of ``purchase_window_join``: every purchase
+    emits, with NULL ``event_id``/``ts`` when its preceding ``window``
+    contained no other event — the form a conversion-attribution or
+    monitoring pipeline needs (a purchase with an empty context is a
+    signal, not a row to drop). Unmatched purchases emit once the
+    event-side watermark passes their window — standard outer-join
+    late-data semantics.
+
+    The explode flips sides versus the inner form: outer-joining the
+    EXPLODED purchase side would emit one null row per non-matching
+    bin (2 per lonely purchase, plus phantom nulls for matched ones).
+    Instead each event advertises into its own bin and the NEXT one
+    (the two bins whose purchases can cover it), and the purchase side
+    keeps ONE row at its own bin — so an unmatched purchase is exactly
+    one null row, and a matching event meets each purchase through
+    exactly one of its two advertised bins (no dedup needed). Note the
+    state tradeoff: the 2× explode sits on the (bigger) event side
+    here, the price of clean outer multiplicity.
+
+    Operational caveat: both sides derive from the SAME input stream
+    and the query watermark is the MIN of the two side watermarks
+    (``spark.sql.streaming.multipleWatermarkPolicy`` default), so null
+    rows only flush while new PURCHASES keep arriving — a purchase
+    drought pins the purchase-side watermark and defers (not drops)
+    the unmatched emissions. Monitor ``eventTime.watermark`` in query
+    progress if downstream latency matters.
+    """
+    from spotify_data_pipeline_spark.operators.rangejoin import _floordiv_sql
+
+    bin_w = _interval_micros(window)
+    ev = (
+        events.select("event_id", "ts")
+        .withWatermark("ts", watermark)
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.array(
+                    F.expr(_floordiv_sql("unix_micros(ts)", bin_w)),
+                    F.expr(_floordiv_sql("unix_micros(ts)", bin_w) + " + 1"),
+                )
+            ),
+        )
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+        .withColumn("_bin", F.expr(_floordiv_sql("unix_micros(p_ts)", bin_w)))
+    )
+    cond = F.expr(
+        f"ev._bin = p._bin AND ts > p_ts - interval {window}"
+        " AND ts <= p_ts AND event_id != purchase_id"
+    )
+    return (
+        purchases.alias("p")
+        .join(ev.alias("ev"), cond, "left_outer")
+        .select("purchase_id", "event_id", "ts", "p_ts")
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
     §2.10): per-user lifetime running totals (event count + value sum),

@@ -283,3 +283,66 @@ def test_purchase_window_join_rejects_unparseable_window(spark, tmp_path):
     assert _interval_micros("30 minutes") == 1_800_000_000
     with pytest.raises(ValueError, match="window must look like"):
         _interval_micros("1 fortnight")
+
+
+def test_purchase_window_join_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream interval join: purchases with an empty
+    preceding window emit exactly ONE null-event row (the exploded-side
+    flip prevents per-bin phantom nulls), matched purchases emit their
+    match rows, and the result equals the batch left theta join."""
+    from spotify_data_pipeline_spark.streaming.events import (
+        purchase_window_join_outer,
+    )
+
+    rows1 = [
+        (1, _TS(2024, 1, 1, 10, 0), 10, "click", 1.0),
+        (2, _TS(2024, 1, 1, 10, 45), 11, "purchase", 9.0),   # sees event 1
+        (3, _TS(2024, 1, 1, 14, 0), 12, "purchase", 9.0),    # lonely purchase
+    ]
+    # Later batches must contain PURCHASES, not just clicks: both join
+    # sides read the same stream and the global watermark is the MIN of
+    # the two side watermarks (multipleWatermarkPolicy default) — the
+    # purchase side's only advances when new purchases arrive, so a
+    # click-only tail batch would pin the watermark and no null row
+    # would ever emit. rows3 exists because eviction uses the watermark
+    # computed at the PREVIOUS batch's end.
+    rows2 = [
+        (4, _TS(2024, 1, 3, 12, 0), 13, "purchase", 9.0),
+    ]
+    rows3 = [
+        (5, _TS(2024, 1, 5, 12, 0), 13, "purchase", 9.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = tmp_path / "pw_outer"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(str(d))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(rows3, schema).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = purchase_window_join_outer(_read_stream(spark, str(d)))
+    got = {
+        (r.purchase_id, r.event_id)
+        for r in _run_stream(spark, stream, "t_pwjoin_outer", "append")
+    }
+
+    # The batch twin, restricted to purchases whose windows the final
+    # watermark has passed (5 is still buffered in join state at stream
+    # end — its null row is correctly WITHHELD, not dropped; 4 sits
+    # exactly on the eviction bound p_ts = watermark + delay and Spark
+    # evicts at equality).
+    batch = spark.createDataFrame(rows1 + rows2 + rows3, schema)
+    p = batch.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    want = {
+        (r.purchase_id, r.event_id)
+        for r in p.join(
+            batch,
+            F.expr("ts > p_ts - interval 1 hour AND ts <= p_ts AND event_id != purchase_id"),
+            "left_outer",
+        ).collect()
+        if r.purchase_id <= 4
+    }
+    assert got == want
+    assert (2, 1) in got          # matched pair
+    assert (3, None) in got       # lonely purchase: exactly one null row
+    assert sum(1 for pid, eid in got if pid == 3) == 1
