@@ -74,3 +74,34 @@ def write_parquet_partition(df: DataFrame, base: str, run_date: str, name: str) 
     """Silver parquet sink, Hive-style date partitioning (SURVEY S11,
     §1.3: every zone keyed by run date)."""
     df.write.mode("overwrite").parquet(f"{base}/{name}/run_date={run_date}")
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Schema-drift-tolerant parquet scan over date-partitioned zones
+    whose layout evolved across days (columns added/retired as the
+    upstream API changed — the silver-zone reality the reference's
+    fixed 5-column projection papers over).
+
+    ``mergeSchema=true`` unions the footer schemas of every file (older
+    files NULL-pad columns they predate); the optional declared
+    ``schema`` then applies ``enforce_schema`` so consumers see a fixed
+    contract regardless of which partitions the scan touched — reads
+    stay partition-prunable and column-pruned (parquet readers only
+    materialize requested columns; absent ones are constant-NULL).
+
+    Scale note: schema merging reads every file's FOOTER at planning
+    time. On a 100 TB zone with millions of files prefer a declared
+    ``schema`` (skips the merge entirely when passed alone — Spark
+    then reads by name with missing columns NULL) or maintain the
+    merged schema in a catalog; mergeSchema is the discovery tool, not
+    the steady-state path.
+    """
+    if schema is not None:
+        # declared contract: no footer sweep needed — project by name
+        df = spark.read.schema(
+            T.StructType([f for f in schema.fields])
+        ).parquet(path)
+        return enforce_schema(df, schema)
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -88,3 +88,39 @@ def test_id_pool_set_union(spark, search_client, names_file):
     assert len(ids) == len(set(ids))  # U2 distinct
     assert "shared000" in ids and ids.count("shared000") == 1  # cross-name dedup
     assert "qh001" in ids
+
+
+def test_read_parquet_evolved_handles_schema_drift(spark, tmp_path):
+    """Silver-zone schema drift: day 1 lacks a column day 2 adds, and
+    day 1 carries a column later retired. mergeSchema discovery unions
+    them; the declared-schema path pins the consumer contract (missing
+    -> NULL, retired -> dropped) without a footer sweep."""
+    from pyspark.sql import types as T
+
+    from spotify_data_pipeline_spark.sources.files import read_parquet_evolved
+
+    base = str(tmp_path / "silver_drift")
+    spark.createDataFrame(
+        [(1, "a", 9.0)], "id long, name string, retired double"
+    ).write.parquet(f"{base}/run_date=20240101")
+    spark.createDataFrame(
+        [(2, "b", 5)], "id long, name string, added int"
+    ).write.parquet(f"{base}/run_date=20240102")
+
+    merged = read_parquet_evolved(spark, base)
+    assert {"id", "name", "retired", "added", "run_date"} <= set(merged.columns)
+    rows = {r.id: (r.retired, r.added) for r in merged.collect()}
+    assert rows[1] == (9.0, None) and rows[2] == (None, 5)
+
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("added", T.LongType()),  # cast int -> long
+            T.StructField("never_existed", T.StringType()),  # NULL-pad
+        ]
+    )
+    fixed = read_parquet_evolved(spark, base, schema=contract)
+    assert [f.name for f in fixed.schema.fields] == ["id", "name", "added", "never_existed"]
+    got = {r.id: (r.added, r.never_existed) for r in fixed.collect()}
+    assert got[1] == (None, None) and got[2] == (5, None)
