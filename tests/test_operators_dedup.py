@@ -184,3 +184,27 @@ def test_tfidf_cosine_weights_rare_overlap_above_boilerplate(spark):
         for r in tfidf_shingle_cosine_pairs(df, threshold=0.0).collect()
     }
     assert got[(100, 101)] > got[(102, 103)]
+
+
+def test_first_wins_agg_equals_window_form(spark):
+    """The skew-proof aggregate form must pick exactly the same winners
+    as the window form, including duplicate-order tiebreaks resolved by
+    the extended key."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.operators.dedup import (
+        first_wins_dedup,
+        first_wins_dedup_agg,
+    )
+
+    rows = [
+        (1, 2, "b"), (1, 1, "a"), (1, 3, "c"),     # key 1: order 1 wins
+        (2, 5, "x"), (2, 5, "y"),                   # key 2: tie on order -> payload breaks
+        (3, 7, "z"),                                # singleton
+    ]
+    df = spark.createDataFrame(rows, "k long, o long, payload string")
+    w = first_wins_dedup(df, ["k"], [F.col("o").asc(), F.col("payload").asc()])
+    a = first_wins_dedup_agg(df, ["k"], ["o", "payload"])
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, a.collect()))
+    got = {r.k: r.payload for r in a.collect()}
+    assert got == {1: "a", 2: "x", 3: "z"}
