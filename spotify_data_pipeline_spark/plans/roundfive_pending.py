@@ -364,6 +364,40 @@ _TOP_SESSIONS_ORACLE = """
 """
 
 
+def events_sliding_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 1-hour sliding window (20-min slide) per
+    event type — the DAU-style engagement metric where plain counts
+    (``events_sliding_window``) overcount multi-event users.
+
+    Exact distinct over sliding windows without per-window user sets:
+    pre-group to (window, event_type, user) — the slide already
+    replicates each event into its ≤3 covering windows, so one
+    dropDuplicates-shaped agg then one count gives the exact distinct.
+    Shuffle volume is bounded by (windows × active users), not events.
+    Output (window_start, event_type, n_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.select(
+        F.window("ts", "1 hour", "20 minutes").alias("w"), "event_type", "user_id"
+    ).distinct()
+    return per_user.groupBy(
+        F.col("w.start").alias("window_start"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+_SLIDING_DISTINCT_ORACLE = """
+    WITH slides AS (
+      SELECT user_id, event_type,
+             time_bucket(INTERVAL 20 MINUTE, ts) - (s.i * INTERVAL 20 MINUTE) AS window_start
+      FROM events, (SELECT unnest(range(0, 3)) AS i) s
+      WHERE time_bucket(INTERVAL 20 MINUTE, ts) - (s.i * INTERVAL 20 MINUTE)
+            > ts - INTERVAL 1 HOUR
+    )
+    SELECT window_start, event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM slides
+    GROUP BY 1, 2
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -403,5 +437,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_top_sessions_query,
         _TOP_SESSIONS_ORACLE,
         tags=("events", "session", "topk"),
+    ),
+    PendingQuery(
+        "events_sliding_distinct",
+        events_sliding_distinct_query,
+        _SLIDING_DISTINCT_ORACLE,
+        tags=("events", "window", "distinct"),
     ),
 )
