@@ -81,7 +81,64 @@ def main() -> None:
     out["bucketed_join_probe"] = _bucketed_join_probe(spark, sf_dir)
     out["incremental_probe"] = _incremental_probe(spark, sf_dir)
     out["rangejoin_probe"] = _rangejoin_probe(spark, sf_dir)
+    out["dpp_probe"] = _dpp_probe(spark, sf_dir)
     print(json.dumps(out))
+
+
+def _dpp_probe(spark, sf_dir: str) -> dict:
+    """Dynamic partition pruning: the date-partitioned zone layout
+    (SURVEY §1.3) only pays off if a selective dim join prunes the
+    fact scan at RUNTIME — at 100 TB a star-join that scans every date
+    partition is the difference between touching one day and the whole
+    lake. Fact = orders partitioned by order year (written once,
+    outside the timers); dim = a 1-row year table the optimizer can't
+    see through statically (the filter is on a non-partition column),
+    so pruning must come from DPP. Reports timings plus whether the
+    pruned plan actually declares dynamicpruning — the structural
+    claim the timing rides on."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+
+    base = tempfile.mkdtemp(prefix="dpp_orders_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        )
+        orders.write.mode("overwrite").partitionBy("o_year").parquet(base)
+        fact = spark.read.parquet(base)
+        years = (
+            orders.select("o_year").distinct()
+            .withColumn("tag", F.concat(F.lit("y"), F.col("o_year")))
+        )
+        dim_all = years
+        dim_one = years.where(F.col("tag") == "y1997")  # non-partition-col filter
+
+        def agg(dim):
+            return (
+                fact.join(dim, "o_year")
+                .groupBy("tag")
+                .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+            )
+
+        def timed(df):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+        plan = agg(dim_one)._jdf.queryExecution().executedPlan().toString()
+        pruning_declared = "dynamicpruning" in plan.lower()
+        timed(agg(dim_all)), timed(agg(dim_one))  # warm both
+        return {
+            "full_scan_sec": timed(agg(dim_all)),
+            "pruned_sec": timed(agg(dim_one)),
+            "dpp_in_plan": pruning_declared,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _rangejoin_probe(spark, sf_dir: str) -> dict:
