@@ -100,3 +100,22 @@ def test_exact_passage_plan_has_no_join(spark):
     for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_staged_queries_repartition_invariant(spark):
+    """Determinism under physical layout: the staged pair/distinct
+    queries must produce identical row sets whatever the input
+    partitioning (the engine-wide seeded-sampling discipline applied
+    to the new operators)."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+        exact_passage_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {tuple(r) for r in exact_passage_pairs(docs).collect()}
+    b = {tuple(r) for r in exact_passage_pairs(docs.repartition(7, "source")).collect()}
+    c = {tuple(r) for r in exact_passage_pairs(docs.repartition(3)).collect()}
+    assert a == b == c
