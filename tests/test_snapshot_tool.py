@@ -1,0 +1,97 @@
+"""Unit tests for the evidence-hash refresh rule
+(tools/snapshot_evidence.refresh) — the mechanism that makes prior-round
+driver evidence valid only for the exact code the driver ran.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "snapshot_evidence",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "snapshot_evidence.py"),
+)
+snapshot_evidence = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and snapshot_evidence)
+refresh = snapshot_evidence.refresh
+
+
+def _prev(files, queries):
+    return {"_meta": {"correctness_files": files}, "queries": queries}
+
+
+def test_first_snapshot_records_current_hashes():
+    out, refused = refresh(
+        _prev([], {}),
+        {"q1": ["r01"], "q2": ["r02"]},
+        {"q1": "aaa", "q2": "bbb"},
+        ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"],
+    )
+    assert refused == []
+    assert out == {
+        "q1": {"sha256": "aaa", "rounds": ["r01"]},
+        "q2": {"sha256": "bbb", "rounds": ["r02"]},
+    }
+
+
+def test_unchanged_hash_updates_rounds_quietly():
+    prev = _prev(["CORRECTNESS_r01.json"], {"q1": {"sha256": "aaa", "rounds": ["r01"]}})
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01", "r02"]},
+        {"q1": "aaa"},
+        ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"],
+    )
+    assert refused == []
+    assert out["q1"] == {"sha256": "aaa", "rounds": ["r01", "r02"]}
+
+
+def test_edited_query_without_fresh_evidence_is_refused():
+    """The tamper case: hash differs but no NEW correctness file proves
+    the current code — the stored (evidenced) hash must be kept."""
+    prev = _prev(["CORRECTNESS_r01.json"], {"q1": {"sha256": "aaa", "rounds": ["r01"]}})
+    out, refused = refresh(
+        prev, {"q1": ["r01"]}, {"q1": "EDITED"}, ["CORRECTNESS_r01.json"]
+    )
+    assert refused == ["q1"]
+    assert out["q1"]["sha256"] == "aaa"
+
+
+def test_edited_query_with_fresh_green_row_rehashes():
+    """Round-start flow: code changed last round AND the new round's
+    correctness file carries a green row — the driver proved the
+    current code, so the hash updates."""
+    prev = _prev(["CORRECTNESS_r01.json"], {"q1": {"sha256": "aaa", "rounds": ["r01"]}})
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01", "r02"]},
+        {"q1": "NEWHASH"},
+        ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"],
+    )
+    assert refused == []
+    assert out["q1"] == {"sha256": "NEWHASH", "rounds": ["r01", "r02"]}
+
+
+def test_stale_green_row_in_old_file_does_not_authorize_rehash():
+    """A green row in an ALREADY-SEEN file must not authorize a hash
+    change — only evidence newer than the last snapshot counts."""
+    prev = _prev(
+        ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"],
+        {"q1": {"sha256": "aaa", "rounds": ["r01", "r02"]}},
+    )
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01", "r02"]},
+        {"q1": "EDITED"},
+        ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"],
+    )
+    assert refused == ["q1"]
+    assert out["q1"]["sha256"] == "aaa"
+
+
+def test_unregistered_evidenced_name_is_dropped():
+    out, refused = refresh(
+        _prev([], {}), {"gone": ["r01"]}, {}, ["CORRECTNESS_r01.json"]
+    )
+    assert out == {} and refused == []

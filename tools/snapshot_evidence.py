@@ -58,6 +58,37 @@ def green_rounds() -> dict[str, list[str]]:
     return {k: sorted(v) for k, v in out.items()}
 
 
+def refresh(
+    prev: dict,
+    greens: dict[str, list[str]],
+    current_hashes: dict[str, str],
+    correctness_files: list[str],
+) -> tuple[dict[str, dict], list[str]]:
+    """Pure refresh rule (unit-tested in tests/test_snapshot_tool.py):
+    returns (new queries-section, refused names). A stored hash may only
+    change when a correctness file NEW since the last snapshot carries a
+    green row for that name — otherwise the stored (evidenced) hash is
+    kept and the name reported as refused."""
+    new_files = set(correctness_files) - set(prev["_meta"]["correctness_files"])
+    out: dict[str, dict] = {}
+    refused: list[str] = []
+    for name, rounds in sorted(greens.items()):
+        if name not in current_hashes:
+            continue  # evidenced under an old name no longer registered
+        cur = current_hashes[name]
+        stored = prev["queries"].get(name)
+        if stored is None or stored["sha256"] == cur:
+            out[name] = {"sha256": cur, "rounds": rounds}
+        else:
+            fresh = any(r for r in rounds if f"CORRECTNESS_{r}.json" in new_files)
+            if fresh:
+                out[name] = {"sha256": cur, "rounds": rounds}
+            else:
+                refused.append(name)
+                out[name] = stored  # keep the evidenced hash
+    return out, refused
+
+
 def main() -> int:
     sys.path.insert(0, _REPO)
     from spotify_data_pipeline_spark.plans import all_queries
@@ -69,26 +100,9 @@ def main() -> int:
     if os.path.exists(SNAPSHOT):
         with open(SNAPSHOT) as f:
             prev = json.load(f)
-    new_files = set(correctness_files) - set(prev["_meta"]["correctness_files"])
 
-    greens = green_rounds()
-    queries = all_queries()
-    out: dict[str, dict] = {}
-    refused: list[str] = []
-    for name, rounds in sorted(greens.items()):
-        if name not in queries:
-            continue  # evidenced under an old name no longer registered
-        cur = source_hash(queries[name].fn)
-        stored = prev["queries"].get(name)
-        if stored is None or stored["sha256"] == cur:
-            out[name] = {"sha256": cur, "rounds": rounds}
-        else:
-            fresh = any(r for r in rounds if f"CORRECTNESS_{r}.json" in new_files)
-            if fresh:
-                out[name] = {"sha256": cur, "rounds": rounds}
-            else:
-                refused.append(name)
-                out[name] = stored  # keep the evidenced hash
+    current_hashes = {name: source_hash(q.fn) for name, q in all_queries().items()}
+    out, refused = refresh(prev, green_rounds(), current_hashes, correctness_files)
 
     if refused:
         print(
