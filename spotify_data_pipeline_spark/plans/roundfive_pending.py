@@ -398,6 +398,74 @@ _SLIDING_DISTINCT_ORACLE = """
 """
 
 
+def llm_pack_efficiency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing observability: per source, how well the concat-and-chunk
+    step (hash-matched ``llm_sequence_packing`` lineage) fills its
+    512-token training sequences — doc/sequence counts, exact total
+    tokens, and the fill ratio a data team watches to size budgets
+    (chronically low fill ⇒ wasted context window; the trailing partial
+    sequence makes fill < 1 even at perfect packing).
+
+    Exactness: token counts and sequence counts are exact bigints; the
+    single fill division is one float64 op rounded 4dp on both engines.
+    One extra hash agg over the packed frame — the packing plan itself
+    is unchanged (two-phase running sum, no per-source funneling)."""
+    from spotify_data_pipeline_spark.functions.text import is_nonblank, tokens
+    from spotify_data_pipeline_spark.operators.packing import packed_sequence_ids
+    from spotify_data_pipeline_spark.plans.llmops_queries import _PACK_BUDGET
+    from spotify_data_pipeline_spark.plans.parity import rnd
+
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    weighted = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = packed_sequence_ids(
+        weighted, group_col="source", order_col="doc_id",
+        weight_col="n_tokens", budget=_PACK_BUDGET,
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("seq_id").cast("long").alias("n_seqs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_seqs",
+            "total_tokens",
+            rnd(
+                F.col("total_tokens") / (F.col("n_seqs") * F.lit(_PACK_BUDGET)), 4
+            ).alias("fill"),
+        )
+    )
+
+
+_PACK_EFFICIENCY_ORACLE = r"""
+    WITH packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 512) AS BIGINT) AS seq_id
+      FROM (
+        SELECT doc_id, source,
+               CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           floor(CAST(sum(n_tokens) AS DOUBLE)
+                 / (count(DISTINCT seq_id) * 512) * 10000 + 0.5) / 10000 AS fill
+    FROM packed
+    GROUP BY source
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -443,5 +511,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_sliding_distinct_query,
         _SLIDING_DISTINCT_ORACLE,
         tags=("events", "window", "distinct"),
+    ),
+    PendingQuery(
+        "llm_pack_efficiency",
+        llm_pack_efficiency_query,
+        _PACK_EFFICIENCY_ORACLE,
+        tags=("llmops", "packing", "observability"),
     ),
 )
