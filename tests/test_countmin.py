@@ -1,0 +1,75 @@
+"""Count-Min sketch guarantees (operators/countmin.py), pinned the same
+way as the quantile sketch and Misra–Gries next door: over-count-only
+estimates with the ε·n bound, and bit-equal mergeability for any split.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.operators.countmin import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+DEPTH, WIDTH = 5, 256
+
+
+def _zipfish(spark):
+    """Skewed value distribution across two groups: value k appears
+    ~1000/k times — heavy head, long tail."""
+    rows = []
+    for g in ("a", "b"):
+        for k in range(1, 60):
+            rows += [(g, f"v{k}")] * (1000 // k)
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_estimates_overcount_only_and_within_epsilon_n(spark):
+    df = _zipfish(spark)
+    truth = {(r.g, r.v): r.n for r in df.groupBy("g", "v").agg(F.count("*").alias("n")).collect()}
+    n_per_group = {g: sum(v for (gg, _), v in truth.items() if gg == g) for g in ("a", "b")}
+
+    state = cms_build(df, ["g"], "v", depth=DEPTH, width=WIDTH)
+    values = df.select("g", "v").distinct()
+    est = {(r.g, r.v): r.est for r in cms_estimate(state, values, ["g"], "v", DEPTH, WIDTH).collect()}
+
+    eps_n = {g: 2.718 / WIDTH * n for g, n in n_per_group.items()}
+    for key, true_n in truth.items():
+        assert est[key] >= true_n, key  # over-count only, never under
+        # the 1-δ bound holds per query; over all ~118 queries allow the
+        # deterministic fixture a small slack factor on ε·n
+        assert est[key] <= true_n + 3 * eps_n[key[0]], (key, est[key], true_n)
+    # the heavy head must be tight: top value has no room for big error
+    assert est[("a", "v1")] <= truth[("a", "v1")] * 1.15
+
+
+def test_merge_is_bit_equal_to_full_build_any_split(spark):
+    df = _zipfish(spark).withColumn(
+        "_part", F.xxhash64("v") % 3
+    )
+    full = cms_build(df, ["g"], "v", DEPTH, WIDTH)
+    parts = [
+        cms_build(df.where(F.col("_part") == i), ["g"], "v", DEPTH, WIDTH)
+        for i in (-2, -1, 0, 1, 2)
+    ]
+    merged = cms_merge(["g"], *[p for p in parts])
+    a = {r.g: (r.cms_state, r.cms_n) for r in full.collect()}
+    b = {r.g: (r.cms_state, r.cms_n) for r in merged.collect()}
+    assert a == b  # bit-equal counters AND totals
+
+
+def test_unseen_value_estimate_is_collision_noise_only(spark):
+    df = _zipfish(spark)
+    state = cms_build(df, ["g"], "v", DEPTH, WIDTH)
+    probe = spark.createDataFrame([("a", "never-seen")], "g string, v string")
+    est = cms_estimate(state, probe, ["g"], "v", DEPTH, WIDTH).collect()[0].est
+    n_a = df.where(F.col("g") == "a").count()
+    assert 0 <= est <= 3 * 2.718 / WIDTH * n_a
+
+
+def test_merge_requires_state(spark):
+    with pytest.raises(ValueError):
+        cms_merge(["g"])
