@@ -30,6 +30,15 @@ is not mergeable at all and forces a full rescan per refresh.
 
 Scale: state is one row per group; each refresh shuffles ONLY the new
 batch (map-side combined) plus the state rows — never the history.
+
+Non-scalar mergeable state lives in the sibling sketch modules, each
+with the same fold-equals-rebuild contract and its own build/merge
+pair: ``quantiles.py`` (HDR histogram — bit-equal merge),
+``heavyhitters.py`` (Misra–Gries top-k — guarantee-preserving merge),
+``countmin.py`` (CMS frequency grid — bit-equal merge). Their state
+tables key on the same group columns, so a refresh job folds them
+side-by-side with this module's scalar state and joins the finalized
+outputs on the groups.
 """
 
 from __future__ import annotations

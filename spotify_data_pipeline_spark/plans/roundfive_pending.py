@@ -466,6 +466,118 @@ _PACK_EFFICIENCY_ORACLE = r"""
 """
 
 
+def text_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty scoring — the redundancy curve a curation
+    pipeline uses to order or prune an ingest stream: what fraction of
+    each document's distinct 3-token shingles was never seen in any
+    EARLIER document (doc_id order = arrival order)? Repeated
+    boilerplate scores near 0, fresh content near 1.
+
+    Plan: one tokenization pass (the shared shingle pipeline), one
+    shingle-keyed agg for first-seen doc (min doc_id — the same
+    first-seen trick as events_cumulative_users, applied to content
+    instead of users), join back on shingle, one per-doc agg. The
+    novelty ratio is one float division of exact bigints, rounded 4dp.
+    Output (doc_id, n_shingles, n_novel, novelty).
+    """
+    from spotify_data_pipeline_spark.operators.dedup import shingle_hash_sets
+    from spotify_data_pipeline_spark.plans.parity import rnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_sets(docs, id_col="doc_id", text_col="text").select(
+        "doc_id", F.explode("hset").alias("_h")
+    )
+    first_seen = sh.groupBy("_h").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(first_seen, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            rnd(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
+        )
+    )
+
+
+# Shingle identity matches the Spark side via the string domain (the
+# xxhash64-vs-string equivalence argument of the contamination screen:
+# distinct hashed shingles ≡ distinct shingle strings up to ~2^-32).
+_TEXT_NOVELTY_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), fs AS (
+      SELECT sh, min(doc_id) AS first_seen FROM s GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN fs.first_seen = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           floor(CAST(sum(CASE WHEN fs.first_seen = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS novelty
+    FROM s JOIN fs USING (sh)
+    GROUP BY s.doc_id
+"""
+
+
+def events_pareto_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-concentration (Pareto) curve: users ranked by event count
+    descending, with each rank's cumulative share of all events — the
+    "top 20% of users drive X% of activity" curve, and the skew signal
+    that decides whether a user-keyed operator needs salting.
+
+    Plan: one user agg (events collapse to ≤|users| rows), then rank +
+    cumulative sums as windows over the aggregated frame (bounded by
+    the user count, the events_anomaly lesson); the total is an in-plan
+    window sum, not a driver round-trip. Shares are float divisions of
+    exact bigints, 4dp. Output (rank, user_id, n_events, cum_share)."""
+    from pyspark.sql import Window
+
+    from spotify_data_pipeline_spark.plans.parity import rnd
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return per_user.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        rnd(
+            F.sum("n").over(w_cum).cast("double") / F.sum("n").over(w_all), 4
+        ).alias("cum_share"),
+    )
+
+
+_EVENTS_PARETO_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
+           user_id,
+           CAST(n AS BIGINT) AS n_events,
+           floor(CAST(sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / (SELECT sum(n) FROM per_user) * 10000 + 0.5) / 10000 AS cum_share
+    FROM per_user
+    WINDOW w AS (ORDER BY n DESC, user_id ASC)
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -517,5 +629,17 @@ PENDING: tuple[PendingQuery, ...] = (
         llm_pack_efficiency_query,
         _PACK_EFFICIENCY_ORACLE,
         tags=("llmops", "packing", "observability"),
+    ),
+    PendingQuery(
+        "text_novelty",
+        text_novelty_query,
+        _TEXT_NOVELTY_ORACLE,
+        tags=("text", "curation", "novelty"),
+    ),
+    PendingQuery(
+        "events_pareto",
+        events_pareto_query,
+        _EVENTS_PARETO_ORACLE,
+        tags=("events", "analytics", "skew"),
     ),
 )
