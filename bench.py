@@ -136,6 +136,11 @@ def _dpp_probe(spark, sf_dir: str) -> dict:
             "full_scan_sec": timed(agg(dim_all)),
             "pruned_sec": timed(agg(dim_one)),
             "dpp_in_plan": pruning_declared,
+            # at bench SF the fact is a few MB, so the DPP subquery's
+            # fixed overhead can exceed the scan savings — the claim
+            # that scales is dpp_in_plan (partitions skipped), not the
+            # toy-scale delta
+            "note": "structural check; timing delta meaningful only at scale",
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
