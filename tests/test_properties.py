@@ -223,3 +223,76 @@ def test_hdr_merge_equals_build_any_split(spark, vals, n_splits):
     a = {(r.bucket_lo, r.cnt) for r in merged.collect()}
     b = {(r.bucket_lo, r.cnt) for r in full.collect()}
     assert a == b
+
+
+# --- content-defined exact-passage dedup vs an independent Python model
+
+_passage_chunk = st.text(
+    # printable ASCII only: Java's \s (Spark regexp) and Python's \s
+    # disagree on unicode whitespace — the operator contract is defined
+    # on the Java side, and the fixtures' documents are ASCII
+    alphabet=st.sampled_from("abcdefgh XY.,!?"),
+    min_size=0,
+    max_size=120,
+)
+_shared_passages = st.lists(
+    st.text(alphabet=st.sampled_from("pqrstuv "), min_size=64, max_size=160),
+    min_size=1,
+    max_size=2,
+)
+
+
+@given(
+    chunks=st.lists(_passage_chunk, min_size=1, max_size=5),
+    shared=_shared_passages,
+    embed=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1)), max_size=6),
+)
+@settings(**_SETTINGS)
+def test_exact_passage_pairs_match_python_model(spark, chunks, shared, embed):
+    """The whole pipeline (normalize → all-offset md5 fingerprints →
+    hex-digit selection → capped buckets → pair counts) must agree with
+    a direct Python implementation of the same definition — docs built
+    from random chunks with shared passages embedded at arbitrary
+    (unaligned) offsets."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+        exact_passage_pairs,
+    )
+
+    docs = list(chunks)
+    for doc_idx, passage_idx in embed:
+        if doc_idx < len(docs) and passage_idx < len(shared):
+            docs[doc_idx] = docs[doc_idx] + shared[passage_idx]
+    rows = [(i, t) for i, t in enumerate(docs)]
+
+    # Python model: identical definition, independent implementation
+    fps: dict[int, set] = {}
+    for i, t in rows:
+        s = re.sub(r"[ \t\n\r\f\v]+", " ", t).strip().lower()
+        if len(s) < 64:
+            continue
+        sel = {
+            h
+            for p in range(len(s) - 63)
+            if (h := hashlib.md5(s[p : p + 64].encode()).hexdigest())[-1] == "0"
+        }
+        if sel:
+            fps[i] = sel
+    docs_per_fp = defaultdict(set)
+    for i, sel in fps.items():
+        for h in sel:
+            docs_per_fp[h].add(i)
+    want: dict[tuple, int] = defaultdict(int)
+    for h, ds in docs_per_fp.items():
+        if 2 <= len(ds) <= 50:
+            o = sorted(ds)
+            for a in range(len(o)):
+                for b in range(a + 1, len(o)):
+                    want[(o[a], o[b])] += 1
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.n_shared for r in exact_passage_pairs(df).collect()}
+    assert got == dict(want)
