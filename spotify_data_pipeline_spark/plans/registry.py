@@ -40,22 +40,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tools/snapshot_evidence.py) — both enforced by tests/test_registry.py,
 # so a silent edit to a tail query's body fails pytest.
 #
-# Round-4 front-loading: roundfour (the 17 queries staged in round 3,
-# positions 0–16), then windows/multimodal/dedup/similarity/text — all
-# 33 green in r03 — complete the 50-slot window; events/llmops/
-# aggregates/relational (48 queries, all r01∪r02∪r03-green) are the
-# hash-pinned tail.
+# Round-5 front-loading: roundfive (the 9 queries staged in round 4,
+# positions 0–8), then the OLDEST-evidence blocks rotate back into the
+# window for fresh re-proofs — events(6) + llmops(11) + aggregates(12)
+# + relational's first 12 complete the 50-slot window. Tail: relational
+# 7 + roundfour 17 + windows 9 + multimodal 3 + dedup 6 + similarity 4
+# + text 11 — every one r01∪r02∪r03∪r04-green and hash-pinned (snapshot
+# refreshed at round-5 start before any edit).
 _QUERY_MODULES = (
+    "spotify_data_pipeline_spark.plans.roundfive",
+    "spotify_data_pipeline_spark.plans.events_queries",
+    "spotify_data_pipeline_spark.plans.llmops_queries",
+    "spotify_data_pipeline_spark.plans.aggregates",
+    "spotify_data_pipeline_spark.plans.relational",
     "spotify_data_pipeline_spark.plans.roundfour",
     "spotify_data_pipeline_spark.plans.windows",
     "spotify_data_pipeline_spark.plans.multimodal_queries",
     "spotify_data_pipeline_spark.plans.dedup_queries",
     "spotify_data_pipeline_spark.plans.similarity_queries",
     "spotify_data_pipeline_spark.plans.text_queries",
-    "spotify_data_pipeline_spark.plans.events_queries",
-    "spotify_data_pipeline_spark.plans.llmops_queries",
-    "spotify_data_pipeline_spark.plans.aggregates",
-    "spotify_data_pipeline_spark.plans.relational",
 )
 
 

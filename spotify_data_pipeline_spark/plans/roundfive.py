@@ -1,12 +1,10 @@
-"""Round-5 declared-query staging area (same pattern as round 3's
-``roundfour_pending``: the driver's 50-row evidence window is exactly
-full of queries needing their round-4 rows, so these are built and
-oracle-verified NOW but deliberately NOT ``declare``d — activation in
-round 5 is registration-only, after ``tools/snapshot_evidence.py``
-refreshes the evidence hashes).
+"""Round-5 declared queries (staged and oracle-verified in round 4 as
+``roundfive_pending``, ACTIVATED in round 5 after
+``tools/snapshot_evidence.py`` refreshed the evidence hashes —
+registration-only change, query bodies untouched).
 
 Each entry: exact-oracle query + DuckDB SQL, exercised by
-``tests/test_roundfive_pending.py`` with the driver-shaped comparison.
+``tests/test_roundfive.py`` with the driver-shaped comparison.
 """
 
 from __future__ import annotations
@@ -17,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.plans.registry import declare
 
 
 def dedup_exact_passage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,6 +591,7 @@ PENDING: tuple[PendingQuery, ...] = (
         "dedup_exact_passage",
         dedup_exact_passage_query,
         _EXACT_PASSAGE_ORACLE,
+        headline=True,  # the round's new physical shape: char-level fingerprint dedup
         tags=("dedup", "text", "passage", "charlevel"),
     ),
     PendingQuery(
@@ -643,3 +643,10 @@ PENDING: tuple[PendingQuery, ...] = (
         tags=("events", "analytics", "skew"),
     ),
 )
+
+# Activation (round 5): register every staged query in PENDING order.
+# declare() records a monotonic sequence per name, and registry order is
+# pinned to _QUERY_MODULES order (registry._module_rank), so these nine
+# occupy positions 0-8 of the driver's evidence window.
+for _pq in PENDING:
+    declare(_pq.name, oracle=_pq.oracle, headline=_pq.headline, tags=_pq.tags)(_pq.fn)

@@ -258,7 +258,7 @@ def test_exact_passage_pairs_match_python_model(spark, chunks, shared, embed):
     import re
     from collections import defaultdict
 
-    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+    from spotify_data_pipeline_spark.plans.roundfive import (
         exact_passage_pairs,
     )
 

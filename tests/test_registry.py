@@ -79,16 +79,29 @@ def test_tail_queries_have_prior_driver_evidence():
     )
 
 
+def _snapshot_tool():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "snapshot_evidence", os.path.join(_REPO, "tools", "snapshot_evidence.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_tail_queries_code_pinned():
     """Prior-round evidence is only valid for the code the driver ran:
-    each tail query's current source hash must equal the snapshot taken
-    at evidence time. (Round-3 verdict: name-pinning alone let a silent
-    edit keep stale evidence looking valid.)"""
+    each tail query's current source hash AND transitive-dependency
+    hash (its module plus every package module it imports — operators,
+    functions, sources, io; ADVICE r04 closed the shared-helper hole)
+    must equal the snapshot taken at evidence time."""
     names = _driver_view()
     from spotify_data_pipeline_spark.plans import all_queries
 
     with open(os.path.join(_REPO, "tests", "evidence_hashes.json")) as f:
         snapshot = json.load(f)["queries"]
+    tool = _snapshot_tool()
     qs = all_queries()
     bad = []
     for n in names[50:]:
@@ -102,7 +115,30 @@ def test_tail_queries_code_pinned():
                 f"(rounds {snapshot[n]['rounds']}) — rotate it into the "
                 "first-50 window or revert"
             )
+            continue
+        if "deps_sha256" in snapshot[n] and tool.deps_hash(qs[n].fn) != snapshot[n]["deps_sha256"]:
+            bad.append(
+                f"{n}: a module in its import closure changed since its "
+                f"driver evidence (rounds {snapshot[n]['rounds']}) — a "
+                "shared operator/helper edit invalidates tail evidence; "
+                "rotate the query into the first-50 window or revert"
+            )
     assert not bad, "; ".join(bad)
+
+
+def test_closure_covers_operator_modules():
+    """The deps pin is only as good as the closure: a representative
+    tail query that calls into operators/ must have that operator
+    module in its hashed closure."""
+    tool = _snapshot_tool()
+    from spotify_data_pipeline_spark.plans import all_queries
+
+    qs = all_queries()
+    closure = tool.module_closure(qs["dedup_minhash_lsh"].fn.__module__)
+    assert "spotify_data_pipeline_spark.operators.dedup" in closure
+    assert "spotify_data_pipeline_spark.io" in closure
+    # registry (pure registration plumbing) is deliberately excluded
+    assert "spotify_data_pipeline_spark.plans.registry" not in closure
 
 
 def test_unproven_queries_front_loaded():

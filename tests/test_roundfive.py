@@ -1,4 +1,4 @@
-"""Round-5 staged queries (plans/roundfive_pending.py) get the SAME
+"""Round-5 activated queries (plans/roundfive.py) get the SAME
 driver-shaped oracle check as declared queries — so activating them in
 round 5 is registration-only (after the evidence-hash refresh).
 """
@@ -9,7 +9,7 @@ import os
 
 import pytest
 
-from spotify_data_pipeline_spark.plans.roundfive_pending import PENDING
+from spotify_data_pipeline_spark.plans.roundfive import PENDING
 from tests.oracle_check import compare, run_oracle
 
 SF_DIR = os.environ.get("ORACLE_SF", "/root/testdata/sf0.001")
@@ -23,14 +23,16 @@ def test_pending_oracle_match(spark, pq):
     assert not errs, f"{pq.name}: " + "; ".join(errs)
 
 
-def test_pending_not_registered(spark):
-    """Staged queries must NOT appear in the driver's view: the window
-    is exactly full of queries needing their round-4 rows; an
-    unevidenced tail entry is what the registry invariants prevent."""
+def test_pending_registered_in_window(spark):
+    """Round-5 activation: every staged query is registered AND sits
+    inside the driver's first-50 evidence window (positions 0-8 — the
+    registry pins roundfive first in _QUERY_MODULES)."""
     from spotify_data_pipeline_spark.plans import all_queries
 
-    names = set(all_queries())
-    assert not names & {pq.name for pq in PENDING}
+    names = list(all_queries())
+    for pq in PENDING:
+        assert pq.name in names, pq.name
+        assert names.index(pq.name) < 50, (pq.name, names.index(pq.name))
 
 
 def test_pending_names_unique_and_oracle_bearing():
@@ -45,7 +47,7 @@ def test_exact_passage_alignment_independent_detection(spark):
     different case, different surrounding whitespace, must still pair —
     a strided scheme misses this whenever prefixes differ mod stride.
     Unrelated docs must not pair."""
-    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+    from spotify_data_pipeline_spark.plans.roundfive import (
         exact_passage_pairs,
     )
 
@@ -77,7 +79,7 @@ def test_point_in_time_plan_is_equi_key_join(spark):
     """The validity range predicate must ride on the custkey equi key —
     a BroadcastNestedLoopJoin/CartesianProduct here would be the
     both-sides-large scale-killer the docstring rules out."""
-    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+    from spotify_data_pipeline_spark.plans.roundfive import (
         join_point_in_time_query,
     )
 
@@ -90,7 +92,7 @@ def test_exact_passage_plan_has_no_join(spark):
     """Candidate generation is the capped-bucket in-array device: two
     exchanges (fingerprint group, pair agg), NO join operator at all."""
     from spotify_data_pipeline_spark.io import load_table
-    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+    from spotify_data_pipeline_spark.plans.roundfive import (
         exact_passage_pairs,
     )
 
@@ -110,7 +112,7 @@ def test_staged_queries_repartition_invariant(spark):
     from pyspark.sql import functions as F
 
     from spotify_data_pipeline_spark.io import load_table
-    from spotify_data_pipeline_spark.plans.roundfive_pending import (
+    from spotify_data_pipeline_spark.plans.roundfive import (
         exact_passage_pairs,
     )
 

@@ -95,3 +95,52 @@ def test_unregistered_evidenced_name_is_dropped():
         _prev([], {}), {"gone": ["r01"]}, {}, ["CORRECTNESS_r01.json"]
     )
     assert out == {} and refused == []
+
+
+def test_deps_change_without_fresh_evidence_is_refused():
+    """Round-5 extension (ADVICE r04): the pin covers the query's import
+    closure. A shared-helper edit changes deps_sha256 while the fn hash
+    still matches — that must refuse exactly like an fn-body edit."""
+    prev = _prev(
+        ["CORRECTNESS_r01.json"],
+        {"q1": {"sha256": "aaa", "deps_sha256": "ddd", "rounds": ["r01"]}},
+    )
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01"]},
+        {"q1": {"sha256": "aaa", "deps_sha256": "EDITED"}},
+        ["CORRECTNESS_r01.json"],
+    )
+    assert refused == ["q1"]
+    assert out["q1"]["deps_sha256"] == "ddd"
+
+
+def test_missing_deps_field_upgrades_in_place():
+    """Format migration: a legacy entry without deps_sha256 gains one
+    from the current tree without needing fresh evidence (the field is
+    populated at the round-start snapshot, when the tree IS the
+    evidence-time code)."""
+    prev = _prev(["CORRECTNESS_r01.json"], {"q1": {"sha256": "aaa", "rounds": ["r01"]}})
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01"]},
+        {"q1": {"sha256": "aaa", "deps_sha256": "ddd"}},
+        ["CORRECTNESS_r01.json"],
+    )
+    assert refused == []
+    assert out["q1"] == {"sha256": "aaa", "deps_sha256": "ddd", "rounds": ["r01"]}
+
+
+def test_deps_change_with_fresh_green_row_rehashes():
+    prev = _prev(
+        ["CORRECTNESS_r01.json"],
+        {"q1": {"sha256": "aaa", "deps_sha256": "ddd", "rounds": ["r01"]}},
+    )
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01", "r02"]},
+        {"q1": {"sha256": "aaa", "deps_sha256": "NEW"}},
+        ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"],
+    )
+    assert refused == []
+    assert out["q1"]["deps_sha256"] == "NEW"

@@ -28,19 +28,99 @@ Refresh rules (tamper-safe):
 
 from __future__ import annotations
 
+import ast
 import glob
 import hashlib
 import inspect
 import json
 import os
 import sys
+from functools import lru_cache
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT = os.path.join(_REPO, "tests", "evidence_hashes.json")
+_PKG = "spotify_data_pipeline_spark"
+
+# Excluded from the dependency closure: pure registration plumbing with
+# no query semantics (its ordering effects are separately pinned by
+# tests/test_registry.py's order invariants). Everything else a query
+# module transitively imports — operators/, functions/, sources/, io,
+# session — IS part of what the driver proved, so a tail query's
+# evidence is invalidated when any of it changes (ADVICE r04: hashing
+# only the query fn let shared-helper edits slip past the pin).
+_CLOSURE_EXCLUDE = {f"{_PKG}.plans.registry"}
 
 
 def source_hash(fn) -> str:
     return hashlib.sha256(inspect.getsource(fn).encode("utf-8")).hexdigest()
+
+
+def _module_path(mod: str) -> str | None:
+    """Filesystem path of a package module, or None if not ours."""
+    if not (mod == _PKG or mod.startswith(_PKG + ".")):
+        return None
+    base = os.path.join(_REPO, *mod.split("."))
+    if os.path.isfile(base + ".py"):
+        return base + ".py"
+    init = os.path.join(base, "__init__.py")
+    return init if os.path.isfile(init) else None
+
+
+@lru_cache(maxsize=None)
+def _direct_imports(mod: str) -> tuple[str, ...]:
+    """Package-internal modules ``mod`` imports, by AST (the package
+    uses absolute imports only — asserted by the closure tests)."""
+    path = _module_path(mod)
+    if path is None:
+        return ()
+    with open(path, encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    found: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if _module_path(a.name):
+                    found.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if node.level:  # relative import — not used in this package
+                raise ValueError(f"relative import in {mod}; closure assumes absolute")
+            if _module_path(node.module):
+                found.add(node.module)
+                # `from pkg.mod import name` may also bind a submodule
+                for a in node.names:
+                    sub = f"{node.module}.{a.name}"
+                    if _module_path(sub):
+                        found.add(sub)
+    return tuple(sorted(found - _CLOSURE_EXCLUDE))
+
+
+@lru_cache(maxsize=None)
+def _file_hash(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def module_closure(mod: str) -> tuple[str, ...]:
+    """Transitive package-internal import closure of ``mod``, including
+    ``mod`` itself, excluding _CLOSURE_EXCLUDE."""
+    seen: set[str] = set()
+    stack = [mod]
+    while stack:
+        m = stack.pop()
+        if m in seen or m in _CLOSURE_EXCLUDE or _module_path(m) is None:
+            continue
+        seen.add(m)
+        stack.extend(_direct_imports(m))
+    return tuple(sorted(seen))
+
+
+def deps_hash(fn) -> str:
+    """Hash of every package source file in the query's module closure:
+    pins tail evidence to shared operator/helper code, not just the
+    query fn body."""
+    mod = getattr(fn, "__module__", "")
+    lines = [f"{m}:{_file_hash(_module_path(m))}" for m in module_closure(mod)]
+    return hashlib.sha256("\n".join(lines).encode("utf-8")).hexdigest()
 
 
 def green_rounds() -> dict[str, list[str]]:
@@ -76,13 +156,21 @@ def refresh(
         if name not in current_hashes:
             continue  # evidenced under an old name no longer registered
         cur = current_hashes[name]
+        if isinstance(cur, str):  # legacy callers (unit tests) pass fn hash only
+            cur = {"sha256": cur}
         stored = prev["queries"].get(name)
-        if stored is None or stored["sha256"] == cur:
-            out[name] = {"sha256": cur, "rounds": rounds}
+        # A hash may silently refresh only if every PINNED component is
+        # unchanged; a missing component in the stored entry is a format
+        # upgrade (deps_sha256 added round 5) and is populated in place.
+        unchanged = stored is not None and all(
+            k not in stored or stored[k] == v for k, v in cur.items()
+        )
+        if stored is None or unchanged:
+            out[name] = {**cur, "rounds": rounds}
         else:
             fresh = any(r for r in rounds if f"CORRECTNESS_{r}.json" in new_files)
             if fresh:
-                out[name] = {"sha256": cur, "rounds": rounds}
+                out[name] = {**cur, "rounds": rounds}
             else:
                 refused.append(name)
                 out[name] = stored  # keep the evidenced hash
@@ -101,7 +189,10 @@ def main() -> int:
         with open(SNAPSHOT) as f:
             prev = json.load(f)
 
-    current_hashes = {name: source_hash(q.fn) for name, q in all_queries().items()}
+    current_hashes = {
+        name: {"sha256": source_hash(q.fn), "deps_sha256": deps_hash(q.fn)}
+        for name, q in all_queries().items()
+    }
     out, refused = refresh(prev, green_rounds(), current_hashes, correctness_files)
 
     if refused:
