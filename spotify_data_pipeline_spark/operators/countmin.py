@@ -95,12 +95,24 @@ def cms_merge(groups: Sequence[str], *states: DataFrame) -> DataFrame:
     """Counter addition: merged state is BIT-equal to a build over the
     concatenated inputs, for any split/order (tested). Groups absent
     from one side pass through unchanged (zip with the other side's
-    zeros would be identity anyway)."""
+    zeros would be identity anyway).
+
+    Merging states built with different depth×width would silently
+    produce a garbage grid, so grid size is validated IN-PLAN: any two
+    input rows (across all groups — parameter mismatch is a per-input
+    property, not per-group) with different ``size(cms_state)`` fail
+    the job via ``raise_error`` (ADVICE r04)."""
     if not states:
         raise ValueError("need at least one state")
     unioned = states[0]
     for s in states[1:]:
         unioned = unioned.unionByName(s)
+    # Global size check: a 1-row aggregate of (min, max) grid size,
+    # cross-joined (broadcast) into the merge so the error fires on any
+    # mismatch even when the differing groups never meet in a join.
+    size_check = unioned.select(F.size(_STATE).alias("_sz")).agg(
+        F.min("_sz").alias("_szmin"), F.max("_sz").alias("_szmax")
+    )
     summed = (
         unioned.select(*groups, F.posexplode(_STATE).alias("_cell", "_c"))
         .groupBy(*groups, "_cell")
@@ -110,11 +122,15 @@ def cms_merge(groups: Sequence[str], *states: DataFrame) -> DataFrame:
             F.map_from_arrays(F.collect_list("_cell"), F.collect_list("_c")).alias("_m"),
             (F.max("_cell") + 1).alias("_len"),
         )
+        .crossJoin(F.broadcast(size_check))
         .select(
             *groups,
             F.expr(
-                "transform(sequence(0, CAST(_len AS INT) - 1),"
-                " i -> coalesce(element_at(_m, i), CAST(0 AS LONG)))"
+                "CASE WHEN _szmin <> _szmax THEN"
+                " raise_error(concat('cms_merge: incompatible sketch sizes ',"
+                " _szmin, ' vs ', _szmax, ' — all states must share depth*width'))"
+                " ELSE transform(sequence(0, CAST(_len AS INT) - 1),"
+                " i -> coalesce(element_at(_m, i), CAST(0 AS LONG))) END"
             ).alias(_STATE),
         )
     )
@@ -134,7 +150,12 @@ def cms_estimate(
     estimate min over hash rows of that row's bucket counter. Output:
     ``values``' columns + ``est`` (≥ true count). ``depth``/``width``
     must match the build. Join is per-group; broadcast the small side
-    at call site if known."""
+    at call site if known.
+
+    NULL probe values estimate 0, mirroring ``cms_build``'s isNotNull
+    guard (ADVICE r04: xxhash64(NULL) degenerates to the seed, which
+    silently returned one arbitrary bucket's count; build-side never
+    counts NULLs, so 0 is the exact answer, and 0 keeps est ≥ true)."""
     probes: list[Column] = [
         F.expr(
             f"element_at({_STATE}, {r} * {width} + "
@@ -145,6 +166,11 @@ def cms_estimate(
     v = values.withColumn("_v", F.col(value_col).cast("string"))
     return (
         v.join(state.select(*groups, _STATE), on=list(groups))
-        .withColumn("est", F.least(*probes).cast("long"))
+        .withColumn(
+            "est",
+            F.when(F.col("_v").isNull(), F.lit(0))
+            .otherwise(F.least(*probes))
+            .cast("long"),
+        )
         .drop(_STATE, "_v")
     )

@@ -73,3 +73,34 @@ def test_unseen_value_estimate_is_collision_noise_only(spark):
 def test_merge_requires_state(spark):
     with pytest.raises(ValueError):
         cms_merge(["g"])
+
+
+def test_null_probe_estimates_zero(spark):
+    """ADVICE r04: xxhash64(NULL) degenerates to the hash seed, so a
+    NULL probe used to return one arbitrary bucket's count. Build-side
+    never counts NULLs — the exact answer is 0, on every group."""
+    df = _zipfish(spark)
+    state = cms_build(df, ["g"], "v", DEPTH, WIDTH)
+    probe = spark.createDataFrame(
+        [("a", None), ("b", None), ("a", "v1")], "g string, v string"
+    )
+    got = {
+        (r.g, r.v): r.est
+        for r in cms_estimate(state, probe, ["g"], "v", DEPTH, WIDTH).collect()
+    }
+    assert got[("a", None)] == 0
+    assert got[("b", None)] == 0
+    assert got[("a", "v1")] >= 1000  # non-NULL probes unaffected
+
+
+def test_merge_rejects_mismatched_grid_sizes(spark):
+    """ADVICE r04: merging states built with different depth*width must
+    fail in-plan, not produce a garbage grid — even when the differing
+    groups never share a key."""
+
+    df = _zipfish(spark)
+    s1 = cms_build(df.where(F.col("g") == "a"), ["g"], "v", DEPTH, WIDTH)
+    s2 = cms_build(df.where(F.col("g") == "b"), ["g"], "v", DEPTH, 128)
+    with pytest.raises(Exception) as ei:
+        cms_merge(["g"], s1, s2).collect()
+    assert "incompatible sketch sizes" in str(ei.value)
