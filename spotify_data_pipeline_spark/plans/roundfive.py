@@ -577,6 +577,64 @@ _EVENTS_PARETO_ORACLE = """
 """
 
 
+def events_interval_join_outer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER interval join
+    (streaming/events.py::purchase_window_join_outer), declared so the
+    round-4 round's most subtle streaming semantics — exactly ONE null
+    row per lonely purchase — is driver-proven against a naive LEFT
+    theta join oracle, not just pytest-pinned (r04 verdict item 4).
+
+    Same composition as the streaming form: Structured Streaming (and
+    any 100 TB batch plan) cannot afford the BroadcastNestedLoopJoin a
+    naive theta join produces, so each EVENT advertises into its own
+    5-minute bin and the next one (the two bins whose purchase windows
+    can cover it) while each purchase keeps ONE row at its own bin —
+    an unmatched purchase survives the left join as exactly one null
+    row, and a matching event meets each purchase through exactly one
+    advertised bin (e_bin ∈ {p_bin-1, p_bin} ⇒ p_bin is in the event's
+    {e_bin, e_bin+1} exactly once), so no dedup pass is needed.
+    Purchases are restricted by a deterministic key filter (id % 4 = 3)
+    purely to bound driver-compared output; both engines apply it.
+    """
+    from spotify_data_pipeline_spark.operators.rangejoin import _floordiv_sql
+
+    win_us = 5 * 60 * 1_000_000
+    ev_all = load_table(spark, sf_dir, "events")
+    ev = ev_all.select("event_id", "ts").withColumn(
+        "_bin",
+        F.explode(
+            F.array(
+                F.expr(_floordiv_sql("unix_micros(ts)", win_us)),
+                F.expr(_floordiv_sql("unix_micros(ts)", win_us) + " + 1"),
+            )
+        ),
+    )
+    purchases = (
+        ev_all.where((F.col("event_type") == "purchase") & (F.col("event_id") % 4 == 3))
+        .select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withColumn("_bin", F.expr(_floordiv_sql("unix_micros(p_ts)", win_us)))
+    )
+    cond = F.expr(
+        "ev._bin = p._bin AND ts > p_ts - interval 5 minutes"
+        " AND ts <= p_ts AND event_id != purchase_id"
+    )
+    return (
+        purchases.alias("p")
+        .join(ev.alias("ev"), cond, "left_outer")
+        .select("purchase_id", "p_ts", "event_id", F.col("ts").alias("ev_ts"))
+    )
+
+
+_INTERVAL_OUTER_ORACLE = """
+    SELECT p.event_id AS purchase_id, p.ts AS p_ts,
+           e.event_id AS event_id, e.ts AS ev_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND event_id % 4 = 3) p
+    LEFT JOIN events e
+      ON e.ts > p.ts - INTERVAL 5 MINUTE AND e.ts <= p.ts
+     AND e.event_id <> p.event_id
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -641,6 +699,12 @@ PENDING: tuple[PendingQuery, ...] = (
         events_pareto_query,
         _EVENTS_PARETO_ORACLE,
         tags=("events", "analytics", "skew"),
+    ),
+    PendingQuery(
+        "events_interval_join_outer",
+        events_interval_join_outer_query,
+        _INTERVAL_OUTER_ORACLE,
+        tags=("events", "join", "interval", "outer", "streaming-twin"),
     ),
 )
 

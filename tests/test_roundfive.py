@@ -104,6 +104,32 @@ def test_exact_passage_plan_has_no_join(spark):
         assert op not in plan, op
 
 
+def test_interval_outer_plan_and_null_multiplicity(spark):
+    """The batch twin of the streaming LEFT OUTER interval join: the
+    bin-equality key must keep the join out of BNLJ territory, and a
+    lonely purchase must yield EXACTLY one null row despite the event
+    side's 2-bin explode (the side-flip design point)."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.plans.roundfive import (
+        events_interval_join_outer_query,
+    )
+
+    df = events_interval_join_outer_query(spark, "/root/testdata/sf0.001")
+    plan = _plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    nulls = (
+        df.where(F.col("event_id").isNull())
+        .groupBy("purchase_id")
+        .count()
+        .where(F.col("count") != 1)
+        .count()
+    )
+    assert nulls == 0  # never 2 null rows per lonely purchase
+    assert df.where(F.col("event_id").isNull()).count() > 0  # exercised
+
+
 def test_staged_queries_repartition_invariant(spark):
     """Determinism under physical layout: the staged pair/distinct
     queries must produce identical row sets whatever the input
