@@ -8,15 +8,33 @@ prints ONE JSON line:
      "queries": {"q": sec, ...}, "sf": ...}
 
 Execution is forced with the noop sink (full pipeline runs, nothing
-collected to the driver). Each query runs once after a warm-up of the
-session (JVM + parquet footer caches are shared, as they would be on a
-long-running cluster).
+collected to the driver).
+
+Round-5 measurement hardening (r04 verdict: a +41% warm swing across
+provably unchanged plans went unexplained — the bench must carry the
+evidence to attribute such swings to the host, not the code):
+
+- COLD is the per-query MEDIAN of 3 fully separate processes (fresh
+  JVM, fresh parquet footer caches each time), matching the warm
+  series' median-of-3 discipline. Single cold timings on this host
+  swing ±25% (BENCH_r02); raw per-run totals are kept in ``env``.
+- WARM is measured in its own session, as before (median of 3 on the
+  same DataFrames after an untimed warm-up pass).
+- PROBES run in a separate SparkSession created after the warm session
+  is stopped, so probe state (bucketed tables, caches, DPP writes)
+  cannot share executor memory with the headline measurements.
+- ``env`` records host load (before/after), memory, CPU count, and a
+  testdata fingerprint (per-table file sizes + newest mtime): the
+  driver has regenerated testdata mid-round before, and a layout
+  change uniformly shifts scan-bound timings — exactly the r04
+  signature.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,36 +44,92 @@ from spotify_data_pipeline_spark.plans.registry import headline_queries
 from spotify_data_pipeline_spark.session import get_spark
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-
-    spark = get_spark(app_name="bench")
-
-    # Warm up the session the way a long-running cluster is warm: JVM
-    # JIT + codegen infrastructure + the parquet read path (footer
-    # parsing, vectorized reader classes) via a tiny-scale scan of every
-    # table. Timed queries then measure the plans, not class loading.
+def _cold_pass(sf_dir: str) -> dict[str, float]:
+    """One cold run of every headline query in THIS process's fresh
+    session (JVM warm-up + tiny-scale scans first, so timings measure
+    the plans, not class loading)."""
+    spark = get_spark(app_name="bench-cold")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from spotify_data_pipeline_spark.io import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, "/root/testdata/sf0.001", t).count()
-
     timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    dfs: dict[str, object] = {}
     for name, q in sorted(headline_queries().items()):
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def _testdata_fingerprint(sf_dir: str) -> dict:
+    files = sorted(
+        f for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    ) if os.path.isdir(sf_dir) else []
+    sizes = {f: os.path.getsize(os.path.join(sf_dir, f)) for f in files}
+    return {
+        "total_bytes": sum(sizes.values()),
+        "per_table_bytes": sizes,
+        "newest_mtime": round(
+            max((os.path.getmtime(os.path.join(sf_dir, f)) for f in files), default=0)
+        ),
+    }
+
+
+def _env_snapshot() -> dict:
+    mem = {}
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                if k in ("MemTotal", "MemAvailable"):
+                    mem[k] = int(v.strip().split()[0]) // 1024  # MiB
+    except OSError:
+        pass
+    return {
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "cpu_count": os.cpu_count(),
+        "mem_total_mib": mem.get("MemTotal"),
+        "mem_available_mib": mem.get("MemAvailable"),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    if "--cold-once" in sys.argv:
+        print(json.dumps(_cold_pass(sf_dir)))
+        return
+
+    env_start = _env_snapshot()
+
+    # Cold: median over 3 separate processes (each a fresh JVM).
+    cold_runs: list[dict[str, float]] = []
+    for _ in range(3):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cold-once"],
+            capture_output=True,
+            text=True,
+            env=os.environ.copy(),
+            check=True,
+        )
+        cold_runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    names = sorted(cold_runs[0])
+    timings = {n: sorted(r[n] for r in cold_runs)[1] for n in names}
+
+    # Warm: own session; one untimed pass compiles codegen and fills
+    # caches, then median-of-3 on the SAME DataFrames — the
+    # long-running-cluster steady state.
+    spark = get_spark(app_name="bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm: dict[str, float] = {}
+    dfs: dict[str, object] = {}
+    for name, q in sorted(headline_queries().items()):
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # untimed warm-up
         dfs[name] = df  # hold the reference: cache lifetimes stay put
-    # warm passes on the SAME DataFrames: steady-state numbers with
-    # codegen compiled and caches resident — the long-running-cluster
-    # figure. Median of 3 runs: single cold timings on this host swing
-    # ±25% (BENCH_r02 showed three byte-identical plans "regress" 24-27%
-    # cold), so the stable series is the one to compare across rounds.
     for name, df in dfs.items():
         runs = []
         for _ in range(3):
@@ -72,16 +146,27 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
-        "n_queries": len(timings),  # headline count grew r02→r03 (11→13);
+        "n_queries": len(timings),  # headline count grows round to round;
         # compare totals per-query or warm-series across rounds
         "sf": sf,
     }
+
+    # Probes: fresh session so probe state can't touch headline numbers.
+    dfs.clear()
+    spark.stop()
+    spark = get_spark(app_name="bench-probes")
     out["skew_guard"] = _skew_guard(spark, sf_dir)
     out["scale_probe"] = _scale_probe(spark, sf_dir)
     out["bucketed_join_probe"] = _bucketed_join_probe(spark, sf_dir)
     out["incremental_probe"] = _incremental_probe(spark, sf_dir)
     out["rangejoin_probe"] = _rangejoin_probe(spark, sf_dir)
     out["dpp_probe"] = _dpp_probe(spark, sf_dir)
+    out["env"] = {
+        **env_start,
+        "loadavg_end": _env_snapshot()["loadavg"],
+        "cold_run_totals": [round(sum(r.values()), 3) for r in cold_runs],
+        "testdata": _testdata_fingerprint(sf_dir),
+    }
     print(json.dumps(out))
 
 

@@ -577,6 +577,87 @@ _EVENTS_PARETO_ORACLE = """
 """
 
 
+def dedup_passage_removal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage REMOVAL (operators/passage.py) over the
+    documents table: the Lee et al. 2022 span-cutting step that
+    completes the substring-dedup story (detection is
+    ``dedup_exact_passage``). Driver-proven end to end: the oracle
+    replicates normalization, content-defined fingerprint selection,
+    winner election, gaps-and-islands extent merging, AND the stitched
+    clean text (compared by md5 + length — both engines compute
+    identical md5 hex)."""
+    from spotify_data_pipeline_spark.operators.passage import (
+        remove_duplicate_passages,
+    )
+
+    cleaned = remove_duplicate_passages(load_table(spark, sf_dir, "documents"))
+    return cleaned.select(
+        "doc_id",
+        "n_extents",
+        "n_cut",
+        F.length("text_clean").cast("long").alias("clean_len"),
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+_PASSAGE_REMOVAL_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+      FROM documents
+    ), fpos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             md5(substring(s, CAST(i AS BIGINT), 64)) AS f
+      FROM t, unnest(range(1, length(s) - 62)) AS u(i)
+      WHERE length(s) >= 64
+        AND substring(md5(substring(s, CAST(i AS BIGINT), 64)), 32, 1) = '0'
+    ), winners AS (
+      SELECT f, min(doc_id) AS w
+      FROM fpos GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), ext AS (
+      SELECT fpos.doc_id, p AS lo, p + 63 AS hi
+      FROM fpos JOIN winners USING (f)
+      WHERE fpos.doc_id <> winners.w
+    ), isl AS (
+      SELECT doc_id, lo, hi,
+             CASE WHEN max(hi) OVER w IS NULL OR lo > max(hi) OVER w + 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM ext
+      WINDOW w AS (PARTITION BY doc_id ORDER BY lo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl2 AS (
+      SELECT doc_id, lo, hi,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY lo
+                           ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    ), merged AS (
+      SELECT doc_id, g, min(lo) AS lo, max(hi) AS hi
+      FROM isl2 GROUP BY 1, 2
+    ), segs AS (
+      SELECT doc_id, lo, hi,
+             coalesce(lag(hi) OVER (PARTITION BY doc_id ORDER BY lo), 0) + 1 AS ss
+      FROM merged
+    ), agg AS (
+      SELECT segs.doc_id,
+             string_agg(substring(t.s, CAST(ss AS BIGINT), CAST(lo - ss AS BIGINT)), ''
+                        ORDER BY lo) AS head,
+             max(hi) AS maxhi,
+             CAST(count(*) AS BIGINT) AS n_extents,
+             CAST(sum(hi - lo + 1) AS BIGINT) AS n_cut
+      FROM segs JOIN t ON t.doc_id = segs.doc_id
+      GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(a.n_extents, 0) AS BIGINT) AS n_extents,
+           CAST(coalesce(a.n_cut, 0) AS BIGINT) AS n_cut,
+           CAST(length(CASE WHEN a.doc_id IS NULL THEN t.s
+                ELSE a.head || substring(t.s, CAST(maxhi AS BIGINT) + 1) END) AS BIGINT)
+             AS clean_len,
+           md5(CASE WHEN a.doc_id IS NULL THEN t.s
+               ELSE a.head || substring(t.s, CAST(maxhi AS BIGINT) + 1) END) AS clean_md5
+    FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
 def events_interval_join_outer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream LEFT OUTER interval join
     (streaming/events.py::purchase_window_join_outer), declared so the
@@ -705,6 +786,12 @@ PENDING: tuple[PendingQuery, ...] = (
         events_interval_join_outer_query,
         _INTERVAL_OUTER_ORACLE,
         tags=("events", "join", "interval", "outer", "streaming-twin"),
+    ),
+    PendingQuery(
+        "dedup_passage_removal",
+        dedup_passage_removal_query,
+        _PASSAGE_REMOVAL_ORACLE,
+        tags=("dedup", "text", "passage", "removal", "charlevel"),
     ),
 )
 

@@ -296,3 +296,81 @@ def test_exact_passage_pairs_match_python_model(spark, chunks, shared, embed):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.id_a, r.id_b): r.n_shared for r in exact_passage_pairs(df).collect()}
     assert got == dict(want)
+
+
+@given(
+    chunks=st.lists(_passage_chunk, min_size=1, max_size=5),
+    shared=_shared_passages,
+    embed=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1)), max_size=6),
+)
+@settings(**_SETTINGS)
+def test_passage_removal_matches_python_model(spark, chunks, shared, embed):
+    """The removal half (operators/passage.py) against an independent
+    Python implementation of the same definition: normalize →
+    fingerprint-select → min-id winner per duplicated fingerprint →
+    merge each loser's extents → cut. Clean text, extent count, and cut
+    size must all agree, on docs with passages embedded at arbitrary
+    unaligned offsets."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from spotify_data_pipeline_spark.operators.passage import (
+        remove_duplicate_passages,
+    )
+
+    docs = list(chunks)
+    for doc_idx, passage_idx in embed:
+        if doc_idx < len(docs) and passage_idx < len(shared):
+            docs[doc_idx] = docs[doc_idx] + shared[passage_idx]
+    rows = [(i, t) for i, t in enumerate(docs)]
+
+    # Python model: identical definition, independent implementation
+    norm = {}
+    sel_pos: dict[int, dict[str, list[int]]] = {}
+    for i, t in rows:
+        s = re.sub(r"[ \t\n\r\f\v]+", " ", t).strip().lower()
+        norm[i] = s
+        if len(s) < 64:
+            continue
+        per = defaultdict(list)
+        for p in range(len(s) - 63):
+            h = hashlib.md5(s[p : p + 64].encode()).hexdigest()
+            if h[-1] == "0":
+                per[h].append(p)  # 0-based here; Spark side is 1-based
+        sel_pos[i] = per
+    docs_per_fp = defaultdict(set)
+    for i, per in sel_pos.items():
+        for h in per:
+            docs_per_fp[h].add(i)
+    want = {}
+    for i, t in rows:
+        s = norm[i]
+        extents = []
+        for h, ps in sel_pos.get(i, {}).items():
+            ds = docs_per_fp[h]
+            if len(ds) >= 2 and i != min(ds):
+                extents += [(p, p + 63) for p in ps]
+        if not extents:
+            want[i] = (s, 0, 0)
+            continue
+        extents.sort()
+        merged = [list(extents[0])]
+        for lo, hi in extents[1:]:
+            if lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        kept, prev = [], 0
+        for lo, hi in merged:
+            kept.append(s[prev:lo])
+            prev = hi + 1
+        kept.append(s[prev:])
+        want[i] = ("".join(kept), len(merged), sum(hi - lo + 1 for lo, hi in merged))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_extents, r.n_cut)
+        for r in remove_duplicate_passages(df).collect()
+    }
+    assert got == want
