@@ -1,0 +1,172 @@
+"""Round-6 declared-query staging area (the established pattern:
+built and oracle-verified NOW, deliberately NOT ``declare``d — the
+round-5 evidence window is full; activation next round is
+registration-only after ``tools/snapshot_evidence.py`` refreshes).
+
+Each entry: exact-oracle query + DuckDB SQL, exercised by
+``tests/test_roundsix_pending.py`` with the driver-shaped comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.io import load_table
+
+
+def join_fuzzy_levenshtein_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance self-join (operators/fuzzyjoin.py) on
+    customer names: every pair within Levenshtein distance 1, found by
+    frequency-ordered prefix filtering (Chaudhuri et al. ICDE'06,
+    Bayardo et al. WWW'07) — NOT the all-pairs comparison the oracle
+    brute-forces. Customer names share a long constant prefix
+    ('Customer#0000...'), so the common grams are maximally hot — the
+    rare-first prefix ordering is what keeps candidate generation off
+    them; a naive gram join would quadratically blow up on exactly this
+    input. Restricted to c_custkey % 8 = 1 on both sides purely to
+    bound driver-compared output; both engines apply it."""
+    from spotify_data_pipeline_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 8 == 1)
+        .select("c_custkey", "c_name")
+    )
+    return fuzzy_self_join(cust, "c_custkey", "c_name", max_dist=1, q=3)
+
+
+_FUZZY_ORACLE = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    WHERE a.c_custkey % 8 = 1 AND b.c_custkey % 8 = 1
+"""
+
+
+def llm_weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample (operators/weighted.py,
+    systematic PPS, Madow 1949) of the documents table, weighted by
+    n_chars with k = 40 picks at seed 7 — the training-mixture builder
+    primitive. Integer-exact end to end (md5-hex seeded order +
+    cross-multiplied pick-in-interval tests), so the oracle replicates
+    the ENTIRE selection with zero float-tie risk."""
+    from spotify_data_pipeline_spark.operators.weighted import (
+        pps_systematic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pps_systematic_sample(docs, "doc_id", "n_chars", k=40, seed=7)
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+    WITH r AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             md5('7:' || CAST(doc_id AS VARCHAR)) AS o
+      FROM documents WHERE n_chars > 0
+    ), t AS (SELECT sum(w) AS wt FROM r),
+    c AS (
+      SELECT doc_id, w,
+             sum(w) OVER (ORDER BY o, doc_id ROWS UNBOUNDED PRECEDING) AS c
+      FROM r
+    )
+    SELECT * FROM (
+      SELECT doc_id, w AS weight,
+             CAST((CASE WHEN 80 * c.c < t.wt THEN 0
+                        ELSE least(40, (80 * c.c - t.wt) // (2 * t.wt) + 1) END)
+                - (CASE WHEN 80 * (c.c - c.w) < t.wt THEN 0
+                        ELSE least(40, (80 * (c.c - c.w) - t.wt) // (2 * t.wt) + 1) END)
+               AS BIGINT) AS n_picks
+      FROM c, t
+    ) WHERE n_picks >= 1
+"""
+
+
+def events_ab_welch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B comparison: users are deterministically split
+    into variants by id parity (the hash-bucketing every experiment
+    platform uses), and the value metric is compared with Welch's
+    unequal-variance t statistic — the correct test when variant sizes
+    and variances differ. Pure aggregate math: one scan, one hash agg,
+    map-side combinable; the statistic is computed from (n, mean, var)
+    per cell, never from row pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.withColumn("_v", (F.col("user_id") % 2 == 0).cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("_v") == 1, 1)).alias("n_a"),
+            F.count(F.when(F.col("_v") == 0, 1)).alias("n_b"),
+            F.avg(F.when(F.col("_v") == 1, F.col("value"))).alias("_ma"),
+            F.avg(F.when(F.col("_v") == 0, F.col("value"))).alias("_mb"),
+            F.var_samp(F.when(F.col("_v") == 1, F.col("value"))).alias("_va"),
+            F.var_samp(F.when(F.col("_v") == 0, F.col("value"))).alias("_vb"),
+        )
+    )
+    se = F.sqrt(F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b"))
+    return cells.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("_ma", 4).alias("mean_a"),
+        F.round("_mb", 4).alias("mean_b"),
+        F.round((F.col("_ma") - F.col("_mb")) / se, 4).alias("welch_t"),
+    )
+
+
+_AB_WELCH_ORACLE = """
+    WITH cells AS (
+      SELECT event_type,
+             count(*) FILTER (user_id % 2 = 0)  AS n_a,
+             count(*) FILTER (user_id % 2 <> 0) AS n_b,
+             avg(value) FILTER (user_id % 2 = 0)  AS ma,
+             avg(value) FILTER (user_id % 2 <> 0) AS mb,
+             var_samp(value) FILTER (user_id % 2 = 0)  AS va,
+             var_samp(value) FILTER (user_id % 2 <> 0) AS vb
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(ma, 4) AS mean_a,
+           round(mb, 4) AS mean_b,
+           round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS welch_t
+    FROM cells
+"""
+
+
+@dataclass(frozen=True)
+class PendingQuery:
+    name: str
+    fn: object
+    oracle: str | None
+    headline: bool = False
+    tags: tuple[str, ...] = ()
+
+
+PENDING: tuple[PendingQuery, ...] = (
+    PendingQuery(
+        "join_fuzzy_levenshtein",
+        join_fuzzy_levenshtein_query,
+        _FUZZY_ORACLE,
+        tags=("join", "fuzzy", "similarity", "entity-resolution"),
+    ),
+    PendingQuery(
+        "llm_weighted_sample",
+        llm_weighted_sample_query,
+        _WEIGHTED_SAMPLE_ORACLE,
+        tags=("llmops", "sampling", "weighted", "mixture"),
+    ),
+    PendingQuery(
+        "events_ab_welch",
+        events_ab_welch_query,
+        _AB_WELCH_ORACLE,
+        tags=("events", "analytics", "abtest", "statistics"),
+    ),
+)
