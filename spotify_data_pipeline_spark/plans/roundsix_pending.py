@@ -141,6 +141,155 @@ _AB_WELCH_ORACLE = """
 """
 
 
+def join_star_local_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table star join (region → nation → customer →
+    orders → lineitem → supplier with the local-supplier condition
+    s_nationkey = c_nationkey): revenue by nation for one region and a
+    one-year order-date band. The declarative form is the whole point
+    at 100 TB — Catalyst reorders the joins, broadcasts the small dims
+    (region/nation/supplier), pushes r_name and the date band to the
+    scans, and AQE re-plans the big orders⋈lineitem side at runtime;
+    nothing here is hand-scheduled. Plan-asserted: no BNLJ/cartesian,
+    date filter reaches the orders scan."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        region.join(nation, nation["n_regionkey"] == region["r_regionkey"])
+        .join(customer, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(orders, orders["o_custkey"] == customer["c_custkey"])
+        .join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            supplier,
+            (supplier["s_suppkey"] == lineitem["l_suppkey"])
+            & (supplier["s_nationkey"] == customer["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
+        )
+    )
+
+
+_STAR_ORACLE = """
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+"""
+
+
+def join_bloom_semireduction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction with a driver-provable EXACT result:
+    orders rows are pre-filtered through a broadcast Bloom filter built
+    on the qualifying customers' keys (operators/bloom.py), then the
+    exact equi-join runs on the survivors. No false negatives means no
+    true match is lost; the join itself removes the false positives —
+    so the optimized plan's RESULT is bit-equal to the plain join the
+    oracle states, whatever the FPR. This is the declared-query proof
+    of the 100 TB pattern: at scale the filter drops non-matching fact
+    rows BEFORE the shuffle."""
+    from spotify_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0))
+        .select("c_custkey", "c_nationkey")
+    )
+    state = bloom_build(dim.withColumn("_g", F.lit(1)), ["_g"], "c_custkey")
+    fact = load_table(spark, sf_dir, "orders").withColumn("_g", F.lit(1))
+    pruned = (
+        bloom_might_contain(F.broadcast(state), fact, ["_g"], "o_custkey")
+        .where(F.col("might_contain"))
+        .drop("might_contain", "_g")
+    )
+    return (
+        pruned.join(dim, pruned["o_custkey"] == dim["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_BLOOM_SEMIRED_ORACLE = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN (SELECT c_custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0) c
+      ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
+def text_skipgram_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (the word2vec/GloVe statistics
+    pass): ordered token pairs within a ±3 window across the documents
+    corpus, top 40 by count. Computed WITHOUT a self-join: each doc's
+    token array pairs in-array (slice the next 3 tokens per position,
+    flatten) — one scan, one hash agg; a position self-join would
+    shuffle the tokenized corpus twice for the same answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ").alias("_t")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_t"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_t"), i + 2, 3),
+                        lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(40)
+    )
+
+
+_SKIPGRAM_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, t[CAST(i AS BIGINT)] AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    )
+    SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3
+    GROUP BY 1, 2
+    ORDER BY n DESC, w1, w2
+    LIMIT 40
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -168,5 +317,23 @@ PENDING: tuple[PendingQuery, ...] = (
         events_ab_welch_query,
         _AB_WELCH_ORACLE,
         tags=("events", "analytics", "abtest", "statistics"),
+    ),
+    PendingQuery(
+        "join_star_local_supplier",
+        join_star_local_supplier_query,
+        _STAR_ORACLE,
+        tags=("join", "star", "tpch", "q5"),
+    ),
+    PendingQuery(
+        "join_bloom_semireduction",
+        join_bloom_semireduction_query,
+        _BLOOM_SEMIRED_ORACLE,
+        tags=("join", "bloom", "semireduction", "sketch"),
+    ),
+    PendingQuery(
+        "text_skipgram_pairs",
+        text_skipgram_pairs_query,
+        _SKIPGRAM_ORACLE,
+        tags=("text", "nlp", "cooccurrence", "skipgram"),
     ),
 )

@@ -55,6 +55,60 @@ def test_fuzzy_join_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_star_join_plan_pushed_and_no_bnlj(spark):
+    """Catalyst must broadcast the dims and push the date band to the
+    orders scan — the declarative 100 TB star-join contract."""
+    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+        join_star_local_supplier_query,
+    )
+
+    df = join_star_local_supplier_query(spark, "/root/testdata/sf0.001")
+    plan = _plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan  # date band / r_name reach the scans
+
+
+def test_skipgram_plan_is_join_free(spark):
+    """In-array pair generation: one scan + one agg, no self-join."""
+    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+        text_skipgram_pairs_query,
+    )
+
+    plan = _plan_of(text_skipgram_pairs_query(spark, "/root/testdata/sf0.001"))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_bloom_semireduction_prunes_but_stays_exact(spark):
+    """The optimized path must (a) actually prune fact rows before the
+    join and (b) produce the exact plain-join answer (oracle test
+    covers cross-engine; this pins the pruning really happened)."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dim = (
+        load_table(spark, sf, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0))
+        .select("c_custkey")
+    )
+    state = bloom_build(dim.withColumn("_g", F.lit(1)), ["_g"], "c_custkey")
+    fact = load_table(spark, sf, "orders").withColumn("_g", F.lit(1))
+    flagged = bloom_might_contain(F.broadcast(state), fact, ["_g"], "o_custkey")
+    kept = flagged.where(F.col("might_contain")).count()
+    total = fact.count()
+    true_matches = fact.join(dim, fact["o_custkey"] == dim["c_custkey"]).count()
+    assert kept < total          # pruning happened
+    assert kept >= true_matches  # and lost no true match
+
+
 def test_weighted_sample_sums_to_k(spark):
     """Systematic PPS invariant: Σ n_picks = k exactly, whatever the
     weight distribution."""
