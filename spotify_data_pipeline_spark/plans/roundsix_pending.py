@@ -290,6 +290,41 @@ _SKIPGRAM_ORACLE = r"""
 """
 
 
+def agg_decimal_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money aggregation — the type-system surface the
+    float-based money queries deliberately avoid (they round through
+    integer cents). Prices cast to DECIMAL(18,2), the revenue product
+    widened to DECIMAL(18,4), summed in Spark's exact decimal
+    arithmetic (which at 100 TB runs in Tungsten's 128-bit
+    UnsafeArrayData path — no float summation-order drift, no rounding
+    convention needed at all). Results are emitted as decimal STRINGS,
+    so the driver compares exact digits: any engine disagreement at any
+    scale fails the hash, with zero float tolerance in the loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(
+            "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS STRING)"
+        ).alias("rev_exact"),
+        F.expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)").alias("gross_exact"),
+        F.expr("CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)").alias("min_price"),
+        F.expr("CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)").alias("max_price"),
+        F.count("*").alias("n"),
+    )
+
+
+_DECIMAL_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS VARCHAR) AS rev_exact,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS gross_exact,
+           CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS min_price,
+           CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -335,5 +370,11 @@ PENDING: tuple[PendingQuery, ...] = (
         text_skipgram_pairs_query,
         _SKIPGRAM_ORACLE,
         tags=("text", "nlp", "cooccurrence", "skipgram"),
+    ),
+    PendingQuery(
+        "agg_decimal_exact",
+        agg_decimal_exact_query,
+        _DECIMAL_ORACLE,
+        tags=("aggregate", "decimal", "typesystem", "money"),
     ),
 )
