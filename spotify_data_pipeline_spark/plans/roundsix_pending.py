@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
@@ -325,6 +325,112 @@ _DECIMAL_ORACLE = """
 """
 
 
+def agg_correlation_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance across three column pairs of lineitem — the
+    feature-engineering sanity pass (leakage screens, redundant-feature
+    detection) as ONE map-side-combinable hash agg (corr/covar are
+    algebraic aggregates: Spark accumulates (n, Σx, Σy, Σxy, Σx², Σy²)
+    partials, so this is exactly as scalable as a SUM)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )
+
+
+_CORR_ORACLE = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(corr(l_discount, l_tax), 4) AS corr_disc_tax,
+           round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem GROUP BY 1
+"""
+
+
+def agg_equidepth_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram of lineitem prices: 10
+    ntile buckets with exact boundaries and counts — the statistics a
+    cost-based optimizer or a skew diagnostic wants, complementing the
+    equi-WIDTH `agg_histogram`. Ties broken by the (orderkey, line
+    number) unique key so the bucket assignment — and therefore every
+    boundary — is deterministic on both engines. One global-sort window
+    at toy scale; at 100 TB the same statistic comes from the HDR
+    sketch (`agg_quantile_sketch`) — this query is the exact anchor the
+    sketch is judged against."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("bucket", F.ntile(10).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+_EQUIDEPTH_ORACLE = """
+    WITH t AS (
+      SELECT l_extendedprice AS p,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           round(min(p), 2) AS lo, round(max(p), 2) AS hi
+    FROM t GROUP BY 1
+"""
+
+
+def fn_null_semantics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity suite: coalesce / nullif / null-safe
+    equality (<=> vs IS NOT DISTINCT FROM) / NULL-in-aggregate /
+    COUNT(col) vs COUNT(*) — the silent-corruption corner every
+    engine port gets subtly wrong somewhere. Probed through the
+    events.props JSON column, whose extracted keys are genuinely NULL
+    for most rows."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("_k").alias("n_k_nonnull"),
+            F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).cast("long").alias("n_k_null"),
+            F.sum(F.coalesce("_k", F.lit(0))).cast("long").alias("sum_k_coalesced"),
+            F.sum("_k").cast("long").alias("sum_k_skipnull"),
+            F.count(F.nullif(F.col("_k"), F.lit(7))).alias("n_k_not7"),
+            F.sum(F.expr("CAST(_k <=> CAST(NULL AS BIGINT) AS INT)")).cast("long").alias("n_nullsafe_eq_null"),
+        )
+    )
+
+
+_NULL_SEMANTICS_ORACLE = """
+    WITH t AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(k) AS BIGINT) AS n_k_nonnull,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k_null,
+           CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k_coalesced,
+           CAST(sum(k) AS BIGINT) AS sum_k_skipnull,
+           CAST(count(nullif(k, 7)) AS BIGINT) AS n_k_not7,
+           CAST(sum(CASE WHEN k IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nullsafe_eq_null
+    FROM t GROUP BY 1
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -376,5 +482,23 @@ PENDING: tuple[PendingQuery, ...] = (
         agg_decimal_exact_query,
         _DECIMAL_ORACLE,
         tags=("aggregate", "decimal", "typesystem", "money"),
+    ),
+    PendingQuery(
+        "agg_correlation_stats",
+        agg_correlation_stats_query,
+        _CORR_ORACLE,
+        tags=("aggregate", "statistics", "correlation"),
+    ),
+    PendingQuery(
+        "agg_equidepth_histogram",
+        agg_equidepth_histogram_query,
+        _EQUIDEPTH_ORACLE,
+        tags=("aggregate", "histogram", "quantile"),
+    ),
+    PendingQuery(
+        "fn_null_semantics",
+        fn_null_semantics_query,
+        _NULL_SEMANTICS_ORACLE,
+        tags=("functions", "null", "semantics"),
     ),
 )
