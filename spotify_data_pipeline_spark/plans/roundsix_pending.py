@@ -431,6 +431,74 @@ _NULL_SEMANTICS_ORACLE = """
 """
 
 
+def graph_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graphrank.py) over the supplier→customer
+    fulfillment graph (distinct (l_suppkey, o_custkey) edges from
+    lineitem⋈orders): which customers aggregate the most supplier
+    attention — a real centrality scoring over a naturally bipartite
+    DIRECTED graph where every customer is a dangling node, so the
+    dangling-mass redistribution (the part naive PageRank ports drop,
+    leaking rank each round) is load-bearing in every iteration and
+    pinned by the oracle. Fixed 6 iterations, damping 0.85; ranks
+    rounded to 6dp (summation-order double drift across engines is
+    ~1e-13 after 6 damped rounds)."""
+    from spotify_data_pipeline_spark.operators.graphrank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        # customer ids offset so the two key spaces cannot collide
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=6, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs — DuckDB
+    replicates the operator's exact semantics (uniform init, damped
+    inflow, per-round dangling redistribution) without recursion."""
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS o FROM edges GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    iters = []
+    for t in range(iterations):
+        iters.append(f"""
+    d{t} AS (
+      SELECT coalesce(sum(rank), 0.0) AS dang FROM r{t}
+      WHERE node NOT IN (SELECT src FROM outdeg)
+    ), i{t} AS (
+      SELECT e.dst AS node, sum(r.rank / o.o) AS inflow
+      FROM edges e JOIN r{t} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+      GROUP BY 1
+    ), r{t + 1} AS (
+      SELECT n.node,
+             (1 - {damping}) / nn.n
+             + {damping} * (coalesce(i.inflow, 0.0) + d{t}.dang / nn.n) AS rank
+      FROM nodes n LEFT JOIN i{t} i ON n.node = i.node, nn, d{t}
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"\n    SELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+_PAGERANK_ORACLE = _pagerank_oracle_sql()
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -500,5 +568,11 @@ PENDING: tuple[PendingQuery, ...] = (
         fn_null_semantics_query,
         _NULL_SEMANTICS_ORACLE,
         tags=("functions", "null", "semantics"),
+    ),
+    PendingQuery(
+        "graph_pagerank",
+        graph_pagerank_query,
+        _PAGERANK_ORACLE,
+        tags=("graph", "pagerank", "iterative", "centrality"),
     ),
 )
