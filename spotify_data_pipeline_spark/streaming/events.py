@@ -326,3 +326,89 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def session_close_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Closed-session statistics via ``applyInPandasWithState`` with
+    EVENT-TIME TIMEOUT eviction — the custom-state shape an unbounded
+    key space needs at 100 TB: state for a quiet user is not merely
+    unused, it is EVICTED (and its session emitted) once the watermark
+    passes ``last_ts + gap``, so state size tracks ACTIVE users, not
+    all users ever seen. ``running_user_totals`` next door shows the
+    NoTimeout form; this is the production companion.
+
+    Emits one row per CLOSED session: (user_id, session_start,
+    session_end, n_events, total_value). A session closes either
+    in-batch (a same-user event arrives more than ``gap`` later) or by
+    timeout (watermark passes the open session's end + gap — the
+    'user went quiet' signal no data-driven operator can give).
+
+    Ordering caveat (documented contract, asserted by the batch-twin
+    test): rows are processed in event-time order WITHIN each
+    (micro-batch, user) group; an event older than a session already
+    CLOSED in an earlier batch starts a new (late) session rather than
+    reopening the emitted one — the standard at-watermark tradeoff.
+    The built-in ``session_aggregate`` (F.session_window) handles
+    within-watermark reordering natively; this operator exists for
+    custom per-session state beyond what the built-in can carry.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    gap_us = _interval_micros(gap)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n, total = state.get
+                closed.append((key[0], start_us, last_us, n, total))
+            state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+            for ts, value in zip(rows["ts"], rows["value"]):
+                ts_us = int(pd.Timestamp(ts).value // 1_000)
+                if cur is None:
+                    cur = [ts_us, ts_us, 0, 0.0]
+                elif ts_us - cur[1] > gap_us:
+                    closed.append((key[0], cur[0], cur[1], cur[2], cur[3]))
+                    cur = [ts_us, ts_us, 0, 0.0]
+                cur[1] = max(cur[1], ts_us)
+                cur[2] += 1
+                cur[3] += float(value)
+            state.update(tuple(cur))
+            # evict when the watermark passes session end + gap; clamped
+            # a tick past the current watermark (Spark rejects timeouts
+            # at-or-before it — reachable when processing late rows)
+            state.setTimeoutTimestamp(
+                max((cur[1] + gap_us) // 1_000, state.getCurrentWatermarkMs() + 1)
+            )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1] * 1_000) for c in closed],
+                    "session_end": [pd.Timestamp(c[2] * 1_000) for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "total_value": [round(c[4], 2) for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, session_start timestamp, session_end timestamp,"
+                " n_events long, total_value double"
+            ),
+            stateStructType="start_us long, last_us long, n long, total double",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

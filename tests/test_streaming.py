@@ -346,3 +346,80 @@ def test_purchase_window_join_outer_emits_unmatched(spark, tmp_path):
     assert (2, 1) in got          # matched pair
     assert (3, None) in got       # lonely purchase: exactly one null row
     assert sum(1 for pid, eid in got if pid == 3) == 1
+
+
+def test_session_close_stats_timeout_eviction(spark, tmp_path):
+    """EventTimeTimeout custom-state operator: sessions close in-batch
+    on a gap, and by TIMEOUT (watermark passage) for quiet users —
+    state evicted, session emitted exactly once. Checked against the
+    batch lag-gap sessionization twin restricted to
+    watermark-closed sessions."""
+    from spotify_data_pipeline_spark.streaming.events import session_close_stats
+
+    rows1 = [
+        (1, _TS(2024, 1, 1, 10, 0), 10, "click", 1.0),
+        (2, _TS(2024, 1, 1, 10, 10), 10, "click", 2.0),
+        (3, _TS(2024, 1, 1, 11, 30), 10, "view", 3.0),   # >30m gap: closes s1 in-batch
+        (4, _TS(2024, 1, 1, 10, 5), 11, "click", 4.0),   # user 11 session opens
+    ]
+    rows2 = [
+        # advances the watermark to ~(13:00 - 1h) = 12:00, which passes
+        # user 11's (10:05 + 30m) timeout AND user 10's (11:30 + 30m)
+        (5, _TS(2024, 1, 1, 13, 0), 12, "click", 5.0),
+    ]
+    rows3 = [
+        # one more batch so the previous batch's watermark takes effect
+        (6, _TS(2024, 1, 1, 13, 30), 12, "click", 6.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = tmp_path / "sess_close"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(str(d))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(rows3, schema).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = session_close_stats(_read_stream(spark, str(d)))
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in _run_stream(spark, stream, "t_sess_close", "append")
+    }
+
+    # user 10 session 1 closed IN-BATCH by the 11:30 event; user 10
+    # session 2 (11:30) and user 11's session closed by TIMEOUT once
+    # the watermark reached 12:00+. User 12's session is still open
+    # (watermark 12:30 < 13:30 + 30m) — correctly NOT emitted.
+    want = {
+        (10, _TS(2024, 1, 1, 10, 0), _TS(2024, 1, 1, 10, 10)): (2, 3.0),
+        (10, _TS(2024, 1, 1, 11, 30), _TS(2024, 1, 1, 11, 30)): (1, 3.0),
+        (11, _TS(2024, 1, 1, 10, 5), _TS(2024, 1, 1, 10, 5)): (1, 4.0),
+    }
+    assert got == want
+
+    # batch twin: lag-gap sessionization over the same rows, restricted
+    # to sessions whose (end + gap) the final watermark passed
+    batch = spark.read.parquet(str(d))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        batch.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull())
+            | (F.col("ts").cast("long") - F.col("_prev").cast("long") > 1800),
+        )
+        .withColumn("_sid", F.sum(F.col("_new").cast("int")).over(w))
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    final_wm = _TS(2024, 1, 1, 12, 30)  # max ts 13:30 - 1h watermark
+    twin = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in sess.collect()
+        if r.session_end + dt.timedelta(minutes=30) < final_wm
+    }
+    assert got == twin
