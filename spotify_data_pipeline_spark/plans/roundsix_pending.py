@@ -499,6 +499,109 @@ def _pagerank_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
 _PAGERANK_ORACLE = _pagerank_oracle_sql()
 
 
+def events_chain_closure_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the next-event chain via Spark 4's native
+    ``WITH RECURSIVE`` — the recursive-CTE surface arriving in Spark
+    4.0+ (before it, the iterative operators in components.py/
+    graphrank.py were the only fixpoint path). Each event points to the
+    user's NEXT event when it follows within 1 hour; successors are
+    unique, so the chain graph is a union of paths — acyclic with
+    exactly one route between any reachable pair, which makes UNION ALL
+    recursion safe (Spark does not yet support dedup-UNION recursion)
+    and row counts exactly Σ C(chain_len, 2). Output: how many event
+    pairs sit N hops apart inside 1-hour activity chains — the
+    conversion-path-depth histogram. Depth capped at 50 in-query (the
+    engine-portable guard; Spark additionally enforces its maxRecursion
+    limit)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_ev_chain")
+    return spark.sql(
+        """
+        WITH nxt AS (
+          SELECT src, dst FROM (
+            SELECT event_id AS src,
+                   lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+                   unix_seconds(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                     - unix_seconds(ts) AS gap
+            FROM _ev_chain
+          ) WHERE dst IS NOT NULL AND gap <= 3600
+        )
+        SELECT hops, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM (
+          WITH RECURSIVE reach(src, dst, hops) AS (
+            SELECT src, dst, 1 FROM nxt
+            UNION ALL
+            SELECT r.src, n.dst, r.hops + 1
+            FROM reach r JOIN nxt n ON n.src = r.dst
+            WHERE r.hops < 50
+          )
+          SELECT * FROM reach
+        )
+        GROUP BY hops
+        """
+    )
+
+
+_CHAIN_CLOSURE_ORACLE = """
+    WITH nxt AS (
+      SELECT src, dst FROM (
+        SELECT event_id AS src,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+               date_diff('second', ts,
+                         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events
+      ) WHERE dst IS NOT NULL AND gap <= 3600
+    )
+    SELECT hops, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (
+      WITH RECURSIVE reach(src, dst, hops) AS (
+        SELECT src, dst, 1 FROM nxt
+        UNION ALL
+        SELECT r.src, n.dst, r.hops + 1
+        FROM reach r JOIN nxt n ON n.src = r.dst
+        WHERE r.hops < 50
+      )
+      SELECT * FROM reach
+    )
+    GROUP BY hops
+"""
+
+
+def events_variant_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type
+    (parse_json → variant_get): the open-schema path for event
+    payloads whose keys drift — complementing the fixed-schema
+    from_json map queries (events_json_extract / events_props_map).
+    Typed extraction with NULL for absent keys, aggregated per event
+    type so the output is schema-stable whatever the payload drift."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("_k"),
+            F.expr("variant_get(parse_json(props), '$.tag', 'string')").alias("_tag"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("_k").alias("n_k"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.count("_tag").alias("n_tag"),
+            F.countDistinct("_tag").alias("n_tag_distinct"),
+        )
+    )
+
+
+_VARIANT_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(json_extract_string(props, '$.tag')) AS BIGINT) AS n_tag,
+           CAST(count(DISTINCT json_extract_string(props, '$.tag')) AS BIGINT) AS n_tag_distinct
+    FROM events GROUP BY 1
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -574,5 +677,17 @@ PENDING: tuple[PendingQuery, ...] = (
         graph_pagerank_query,
         _PAGERANK_ORACLE,
         tags=("graph", "pagerank", "iterative", "centrality"),
+    ),
+    PendingQuery(
+        "events_chain_closure",
+        events_chain_closure_query,
+        _CHAIN_CLOSURE_ORACLE,
+        tags=("events", "recursive", "closure", "spark4"),
+    ),
+    PendingQuery(
+        "events_variant_extract",
+        events_variant_extract_query,
+        _VARIANT_ORACLE,
+        tags=("events", "variant", "semistructured", "spark4"),
     ),
 )
