@@ -602,6 +602,71 @@ _VARIANT_ORACLE = """
 """
 
 
+def events_gap_fill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling with last-observation-carried-forward — the
+    time-series hygiene every reporting layer needs: per event type, a
+    COMPLETE daily spine from the corpus min to max day (generated
+    in-plan with sequence(), never collected), missing days filled with
+    n = 0 and the value total carried forward from the last observed
+    day (NULL before the first observation). The LOCF is one
+    last(ignorenulls) window over the spine-joined frame — no loops, no
+    driver round trips, partitioned by type so the spine join scales by
+    key."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("_lo"), F.to_date(F.max("ts")).alias("_hi")
+    )
+    spine = (
+        daily.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(_lo, _hi, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+_GAP_FILL_ORACLE = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS day_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+    ), spine AS (
+      SELECT t.event_type, CAST(u.d AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM daily) t,
+           bounds, unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 DAY)) AS u(d)
+    )
+    SELECT s.event_type, CAST(s.day AS TIMESTAMP) AS day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -689,5 +754,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_variant_extract_query,
         _VARIANT_ORACLE,
         tags=("events", "variant", "semistructured", "spark4"),
+    ),
+    PendingQuery(
+        "events_gap_fill",
+        events_gap_fill_query,
+        _GAP_FILL_ORACLE,
+        tags=("events", "timeseries", "gapfill", "locf"),
     ),
 )
