@@ -156,6 +156,7 @@ def main() -> None:
     spark.stop()
     spark = get_spark(app_name="bench-probes")
     out["skew_guard"] = _skew_guard(spark, sf_dir)
+    out["bloom_probe"] = _bloom_probe(spark, sf_dir)
     out["scale_probe"] = _scale_probe(spark, sf_dir)
     out["bucketed_join_probe"] = _bucketed_join_probe(spark, sf_dir)
     out["incremental_probe"] = _incremental_probe(spark, sf_dir)
@@ -229,6 +230,65 @@ def _dpp_probe(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _bloom_probe(spark, sf_dir: str) -> dict:
+    """Bloom semi-join reduction payoff (operators/bloom.py): orders ⋈
+    selective customer subset with auto-broadcast DISABLED (the 100 TB
+    regime where the dim does not broadcast) — plain shuffled join vs
+    the same join over the bloom-prefiltered fact. The filter is built
+    once and broadcast (tiny state); the win is the fact rows that
+    never enter the join shuffle. Also reports the prune ratio — the
+    structural claim the timing rides on."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 2500))
+        .select("c_custkey")
+    )
+    fact = load_table(spark, sf_dir, "orders").withColumn("_g", F.lit(1))
+    state = bloom_build(dim.withColumn("_g", F.lit(1)), ["_g"], "c_custkey").localCheckpoint(
+        eager=True
+    )
+
+    def agg(f):
+        return (
+            f.join(dim, f["o_custkey"] == dim["c_custkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        )
+
+    pruned_fact = bloom_might_contain(F.broadcast(state), fact, ["_g"], "o_custkey").where(
+        F.col("might_contain")
+    )
+
+    def timed(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_total = fact.count()
+        n_kept = pruned_fact.count()
+        timed(agg(fact)), timed(agg(pruned_fact))  # warm both
+        return {
+            "plain_sec": timed(agg(fact)),
+            "bloom_pruned_sec": timed(agg(pruned_fact)),
+            "fact_rows": n_total,
+            "rows_into_join": n_kept,
+            "prune_ratio": round(1 - n_kept / max(n_total, 1), 3),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
 
 def _rangejoin_probe(spark, sf_dir: str) -> dict:
