@@ -667,6 +667,51 @@ _GAP_FILL_ORACLE = """
 """
 
 
+def geo_customer_neighbors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius self-join (operators/geo.py): customer pairs
+    within 200 km great-circle distance, found by the wrapped grid-cell
+    candidate join + exact haversine verify — the geo instance of the
+    engine's binned non-equi join family, never the all-pairs
+    comparison the oracle brute-forces. The testdata has no coordinate
+    columns, so positions are derived DETERMINISTICALLY from the
+    customer key with integer arithmetic (quadratic in the key so
+    points do not fall on a lattice line; |lat| ≤ 60 inside the
+    operator's guarded domain) — both engines derive identical doubles,
+    the same synthesized-input device as the multimodal netpbm
+    fixtures. The fixture includes genuine ±180° date-line neighbor
+    pairs, pinning the modular ring."""
+    from spotify_data_pipeline_spark.operators.geo import geo_neighbor_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 12000) / 100.0 - 60.0).alias("lat"),
+        (((F.col("c_custkey") * F.col("c_custkey")) % 99991 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return geo_neighbor_pairs(cust, "c_custkey", "lat", "lon", radius_km=200.0)
+
+
+_GEO_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 7919 % 12000) / 100.0 - 60.0 AS lat,
+             ((c_custkey * c_custkey) % 99991 % 36000) / 100.0 - 180.0 AS lon
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           round(2 * 6371.0088 * asin(sqrt(
+             sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+           )), 3) AS dist_km
+    FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+    WHERE round(2 * 6371.0088 * asin(sqrt(
+            sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+            + cos(radians(a.lat)) * cos(radians(b.lat))
+              * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+          )), 3) <= 200.0
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -760,5 +805,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_gap_fill_query,
         _GAP_FILL_ORACLE,
         tags=("events", "timeseries", "gapfill", "locf"),
+    ),
+    PendingQuery(
+        "geo_customer_neighbors",
+        geo_customer_neighbors_query,
+        _GEO_ORACLE,
+        tags=("geo", "join", "radius", "haversine"),
     ),
 )
