@@ -1,0 +1,71 @@
+"""Engine-wide physical-plan hygiene: no declared query may plan a
+CartesianProduct or a BroadcastNestedLoopJoin, except the explicitly
+whitelisted broadcast-1-row patterns (a scalar aggregate or a literal
+constant table cross-joined into a big side — O(n) by construction,
+the documented device in dedup caps / IVF probes / brute-force
+oracle anchors). A new query that accidentally plans the both-sides-
+large nested loop fails here before it ever reaches the driver."""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_data_pipeline_spark.plans import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin /
+# CartesianProduct — each against a broadcast side that is a 1-row
+# aggregate or a bounded literal table (reason noted).
+_BNLJ_WHITELIST = {
+    # shingle DF-cap filter: 1-row corpus-count aggregate broadcast
+    "dedup_ngram_jaccard",
+    "dedup_incremental_screen",
+    "dedup_tfidf_cosine",
+    "llm_neardup_source_matrix",
+    "dedup_components",
+    # brute-force exact-oracle anchors: documented O(n*k) broadcast of
+    # a bounded query/centroid set (k fixed, never corpus-sized)
+    "sim_cosine_topk",
+    "sim_quantized_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf_fixed",
+    "llm_ivf_assign",
+    # 1-row bounds/total aggregates broadcast into the spine/line
+    "events_cumulative_users",
+    "events_pareto",
+    "llm_weighted_sample",
+    "llm_source_mix",
+    "llm_train_val_split",
+    "text_novelty",
+    "llm_contamination_ngram",
+    "agg_approx_distinct",
+    "subquery_correlated_scalar",
+    # corpus-count 1-row aggregate broadcast into the doc-frequency cap
+    "llm_tfidf_top_terms",
+    # broadcast centroid literal table (k rows, k fixed)
+    "sim_ann_ivf",
+    # 1-row capacity/total aggregate broadcast
+    "text_heavy_hitters",
+    # constraint scalars (1-row aggregates) broadcast into the report
+    "data_quality_report",
+    # the DECLARED cross/theta-join surface itself: bounded dims
+    # (region x nation), the documented J6 suite entry
+    "join_cross_theta",
+    # banded theta join against a bounded literal band table
+    "join_range_bands",
+}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_unwhitelisted_nested_loop(spark, name):
+    q = all_queries()[name]
+    plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    has_bnlj = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    if name in _BNLJ_WHITELIST:
+        return  # documented broadcast-1-row / bounded-literal pattern
+    assert not has_bnlj, (
+        f"{name}: unwhitelisted BroadcastNestedLoopJoin/CartesianProduct — "
+        "either fix the plan (bin/bucket/broadcast the equi key) or, if this "
+        "is a genuine broadcast-1-row pattern, whitelist it WITH the reason"
+    )
