@@ -712,6 +712,80 @@ _GEO_ORACLE = """
 """
 
 
+def events_ewma_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per event
+    type — computed ENTIRELY in integers so the hash compare has zero
+    float risk: daily totals in cents (per-row round(value·100) casts,
+    the engine's money convention), then a 10-observation EWMA with
+    dyadic weights 2⁹..2⁰ (α = 1/2, observation-indexed) as explicit
+    lag terms — ``ewma_scaled = Σⱼ wⱼ·centsₜ₋ⱼ`` with
+    ``weight_norm = Σ wⱼ`` over the lags that exist, so the true EWMA
+    is the exact rational ewma_scaled/weight_norm and early-series rows
+    are first-class. A float EWMA would hash-drift on summation order;
+    integer weighted sums cannot."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lag_terms = []
+    norm_terms = []
+    for j in range(10):
+        wt = 2 ** (9 - j)
+        lag_c = F.lag("_cents", j).over(w)
+        lag_terms.append(F.coalesce(lag_c * wt, F.lit(0)))
+        norm_terms.append(F.when(lag_c.isNotNull(), F.lit(wt)).otherwise(F.lit(0)))
+    ewma = lag_terms[0]
+    norm = norm_terms[0]
+    for t, n in zip(lag_terms[1:], norm_terms[1:]):
+        ewma, norm = ewma + t, norm + n
+    return daily.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("_cents").alias("day_cents"),
+        ewma.cast("long").alias("ewma_scaled"),
+        norm.cast("long").alias("weight_norm"),
+    )
+
+
+_EWMA_ORACLE = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           CAST(cents AS BIGINT) AS day_cents,
+           CAST(
+             coalesce(512 * cents, 0)
+           + coalesce(256 * lag(cents, 1) OVER w, 0)
+           + coalesce(128 * lag(cents, 2) OVER w, 0)
+           + coalesce( 64 * lag(cents, 3) OVER w, 0)
+           + coalesce( 32 * lag(cents, 4) OVER w, 0)
+           + coalesce( 16 * lag(cents, 5) OVER w, 0)
+           + coalesce(  8 * lag(cents, 6) OVER w, 0)
+           + coalesce(  4 * lag(cents, 7) OVER w, 0)
+           + coalesce(  2 * lag(cents, 8) OVER w, 0)
+           + coalesce(  1 * lag(cents, 9) OVER w, 0) AS BIGINT) AS ewma_scaled,
+           CAST(
+             512
+           + CASE WHEN lag(cents, 1) OVER w IS NULL THEN 0 ELSE 256 END
+           + CASE WHEN lag(cents, 2) OVER w IS NULL THEN 0 ELSE 128 END
+           + CASE WHEN lag(cents, 3) OVER w IS NULL THEN 0 ELSE  64 END
+           + CASE WHEN lag(cents, 4) OVER w IS NULL THEN 0 ELSE  32 END
+           + CASE WHEN lag(cents, 5) OVER w IS NULL THEN 0 ELSE  16 END
+           + CASE WHEN lag(cents, 6) OVER w IS NULL THEN 0 ELSE   8 END
+           + CASE WHEN lag(cents, 7) OVER w IS NULL THEN 0 ELSE   4 END
+           + CASE WHEN lag(cents, 8) OVER w IS NULL THEN 0 ELSE   2 END
+           + CASE WHEN lag(cents, 9) OVER w IS NULL THEN 0 ELSE   1 END AS BIGINT)
+             AS weight_norm
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -811,5 +885,11 @@ PENDING: tuple[PendingQuery, ...] = (
         geo_customer_neighbors_query,
         _GEO_ORACLE,
         tags=("geo", "join", "radius", "haversine"),
+    ),
+    PendingQuery(
+        "events_ewma_daily",
+        events_ewma_daily_query,
+        _EWMA_ORACLE,
+        tags=("events", "timeseries", "ewma", "integer-exact"),
     ),
 )
