@@ -786,6 +786,55 @@ _EWMA_ORACLE = """
 """
 
 
+def agg_mad_robust_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic outlier-heavy pipelines use where stddev is poisoned by
+    the outliers themselves. Genuinely TWO-PHASE (unlike the algebraic
+    corr/var aggregates): phase 1 computes each group's exact median,
+    phase 2 re-scans with the per-group median joined back (broadcast —
+    one row per group) and takes the median of absolute deviations.
+    Also emits the classic robust z-threshold ``med + 3·1.4826·mad``
+    (the Gaussian-consistent MAD scaling). Exact interpolated
+    percentiles on both engines, 4dp rounding convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("_med"), 4).alias("med"),
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - _med), 0.5)"), 4
+            ).alias("mad"),
+            F.round(
+                F.first("_med") + 3 * 1.4826 * F.expr("percentile(abs(l_extendedprice - _med), 0.5)"),
+                4,
+            ).alias("robust_hi"),
+        )
+    )
+
+
+_MAD_ORACLE = """
+    WITH med AS (
+      SELECT l_returnflag,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS m
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(m), 4) AS med,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(l_extendedprice - m)), 4) AS mad,
+           round(any_value(m)
+                 + 3 * 1.4826 * percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(l_extendedprice - m)),
+                 4) AS robust_hi
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY 1
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -891,5 +940,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_ewma_daily_query,
         _EWMA_ORACLE,
         tags=("events", "timeseries", "ewma", "integer-exact"),
+    ),
+    PendingQuery(
+        "agg_mad_robust",
+        agg_mad_robust_query,
+        _MAD_ORACLE,
+        tags=("aggregate", "robust", "mad", "statistics"),
     ),
 )
