@@ -835,6 +835,74 @@ _MAD_ORACLE = """
 """
 
 
+def events_funnel_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED conversion funnel: signup → view → click →
+    purchase, where each stage must land strictly after the previous
+    stage's earliest qualifying event AND within 72 hours of it — the
+    realistic funnel form (an unconstrained funnel, `events_funnel`,
+    credits conversions months later). Same scale shape as the
+    unconstrained one: chained conditional min-aggregates, every
+    shuffle on user_id, per-stage frames shrink monotonically, no
+    per-user arrays."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stages = ["signup", "view", "click", "purchase"]
+    window_s = 72 * 3600
+
+    reached = ev.where(F.col("event_type") == stages[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t")
+    )
+    counts = [reached.agg(F.count("*").alias("n_users"))]
+    for s in stages[1:]:
+        nxt = (
+            ev.where(F.col("event_type") == s)
+            .join(reached.select("user_id", F.col("t").alias("_prev")), "user_id")
+            .where(
+                (F.col("ts") > F.col("_prev"))
+                & (F.unix_seconds("ts") - F.unix_seconds("_prev") <= window_s)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append(nxt.agg(F.count("*").alias("n_users")))
+        reached = nxt
+
+    out = None
+    for i, (s, c) in enumerate(zip(stages, counts)):
+        row = c.select(
+            F.lit(i + 1).cast("int").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+_FUNNEL_WINDOWED_ORACLE = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t
+        AND date_diff('second', s1.t, e.ts) <= 259200
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t
+        AND date_diff('second', s2.t, e.ts) <= 259200
+      GROUP BY 1
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t
+        AND date_diff('second', s3.t, e.ts) <= 259200
+      GROUP BY 1
+    )
+    SELECT 1 AS stage_idx, 'signup' AS stage, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL SELECT 2, 'view',     CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL SELECT 3, 'click',    CAST((SELECT count(*) FROM s3) AS BIGINT)
+    UNION ALL SELECT 4, 'purchase', CAST((SELECT count(*) FROM s4) AS BIGINT)
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -946,5 +1014,11 @@ PENDING: tuple[PendingQuery, ...] = (
         agg_mad_robust_query,
         _MAD_ORACLE,
         tags=("aggregate", "robust", "mad", "statistics"),
+    ),
+    PendingQuery(
+        "events_funnel_windowed",
+        events_funnel_windowed_query,
+        _FUNNEL_WINDOWED_ORACLE,
+        tags=("events", "funnel", "analytics", "windowed"),
     ),
 )
