@@ -903,6 +903,69 @@ _FUNNEL_WINDOWED_ORACLE = """
 """
 
 
+def events_dau_wau_mau_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-metric trio: daily / trailing-7-day / trailing-30-day
+    active users per calendar day, plus the DAU/MAU stickiness ratio.
+    Exact sliding distincts via the pre-grouping device
+    (`events_sliding_distinct` generalized to two horizons): the
+    (day, user) distinct grid — bounded by days×users, NOT events —
+    is built once and each horizon is a per-day membership count via a
+    range-keyed join on the day index; no window re-scans the event
+    history. Stickiness is rounded to 4dp."""
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = day_user.select("day").distinct()
+    # each (day, user) activity advertises into the 30 report days it
+    # contributes to — an EQUI join on the report day (the explode
+    # device; a theta join here would plan the nested loop comparing
+    # every grid row against every day)
+    grid = day_user.select(
+        "user_id",
+        F.col("day").alias("active_day"),
+        F.explode(
+            F.expr("sequence(day, day + interval 29 days, interval 1 day)")
+        ).alias("day"),
+    )
+    di = F.datediff(F.col("day"), F.col("active_day"))
+    return (
+        days.join(grid, "day")
+        .groupBy("day")
+        .agg(
+            F.countDistinct(F.when(di == 0, F.col("user_id"))).alias("dau"),
+            F.countDistinct(F.when(di <= 6, F.col("user_id"))).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
+        )
+    )
+
+
+_DAU_WAU_MAU_ORACLE = """
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT CASE WHEN date_diff('day', g.day, d.day) = 0
+                                    THEN g.user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT CASE WHEN date_diff('day', g.day, d.day) <= 6
+                                    THEN g.user_id END) AS BIGINT) AS wau,
+           CAST(count(DISTINCT g.user_id) AS BIGINT) AS mau,
+           round(count(DISTINCT CASE WHEN date_diff('day', g.day, d.day) = 0
+                                     THEN g.user_id END)
+                 / CAST(count(DISTINCT g.user_id) AS DOUBLE), 4) AS stickiness
+    FROM days d JOIN du g
+      ON date_diff('day', g.day, d.day) BETWEEN 0 AND 29
+    GROUP BY 1
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -1020,5 +1083,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_funnel_windowed_query,
         _FUNNEL_WINDOWED_ORACLE,
         tags=("events", "funnel", "analytics", "windowed"),
+    ),
+    PendingQuery(
+        "events_dau_wau_mau",
+        events_dau_wau_mau_query,
+        _DAU_WAU_MAU_ORACLE,
+        tags=("events", "analytics", "activeusers", "stickiness"),
     ),
 )
