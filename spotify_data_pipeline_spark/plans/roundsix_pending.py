@@ -966,6 +966,112 @@ _DAU_WAU_MAU_ORACLE = """
 """
 
 
+def _ndcg_discounts(k: int = 10):
+    import math
+
+    disc = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    ideal = [0.0]
+    for d in disc:
+        ideal.append(ideal[-1] + d)
+    return disc, ideal  # ideal[r] = DCG of r leading relevants
+
+
+def sim_ndcg_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@10 of the exact cosine
+    ranking against label-match relevance, per query vector — the
+    eval-pipeline metric that closes the similarity-search story
+    (build → serve → MEASURE). Log2 discounts and ideal-DCG partial
+    sums are embedded as LITERAL doubles in both engines (the
+    hyperplane-constant device from the LSH oracles), so the only
+    float ops at runtime are ≤10-term sums and one division, rounded
+    4dp. R (ideal relevant count) = min(k, same-label corpus size − 1);
+    queries with R = 0 emit NULL ndcg rather than a fake score."""
+    from spotify_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    disc, ideal = _ndcg_discounts(10)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    top = cosine_topk_bruteforce(queries, emb, k=10)
+    labels = emb.select("vec_id", "label")
+    label_sizes = emb.groupBy("label").agg(F.count("*").alias("_nlab"))
+
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    ideal_arr = F.array(*[F.lit(v) for v in ideal])
+    scored = (
+        top.join(
+            labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("_lq")),
+            "query_id",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_ln")),
+            "neighbor_id",
+        )
+        .withColumn("_rel", (F.col("_lq") == F.col("_ln")).cast("int"))
+        .groupBy("query_id", "_lq")
+        .agg(
+            F.sum("_rel").cast("long").alias("n_rel_topk"),
+            F.sum(F.col("_rel") * F.element_at(disc_arr, F.col("rn").cast("int"))).alias("_dcg"),
+        )
+    )
+    return (
+        scored.join(
+            F.broadcast(label_sizes.select(F.col("label").alias("_lq"), "_nlab")), "_lq"
+        )
+        .withColumn("_r", F.least(F.lit(10), F.col("_nlab") - 1).cast("int"))
+        .select(
+            "query_id",
+            "n_rel_topk",
+            F.round("_dcg", 4).alias("dcg"),
+            F.when(
+                F.col("_r") > 0,
+                F.round(F.col("_dcg") / F.element_at(ideal_arr, F.col("_r") + 1), 4),
+            ).alias("ndcg"),
+        )
+    )
+
+
+def _ndcg_oracle_sql() -> str:
+    disc, ideal = _ndcg_discounts(10)
+    disc_sql = ", ".join(repr(d) for d in disc)
+    ideal_sql = ", ".join(repr(v) for v in ideal)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS lq
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, q.lq, e.vec_id AS neighbor_id, e.label AS ln,
+             floor(list_dot_product(q.qv, e.embedding)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding, e.embedding)))
+                   * 10000 + 0.5) / 10000 AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, lq, ln,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ), top AS (SELECT * FROM ranked WHERE rn <= 10),
+    disc AS (SELECT CAST([{disc_sql}] AS DOUBLE[]) AS d),
+    ideal AS (SELECT CAST([{ideal_sql}] AS DOUBLE[]) AS v),
+    agg AS (
+      SELECT query_id, lq,
+             CAST(sum(CASE WHEN lq = ln THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+             sum(CASE WHEN lq = ln THEN d[rn] ELSE 0.0 END) AS dcg_raw
+      FROM top, disc GROUP BY 1, 2
+    ), sizes AS (SELECT label, count(*) AS nlab FROM embeddings GROUP BY 1)
+    SELECT a.query_id, a.n_rel_topk,
+           round(a.dcg_raw, 4) AS dcg,
+           CASE WHEN least(10, s.nlab - 1) > 0
+                THEN round(a.dcg_raw / v[CAST(least(10, s.nlab - 1) AS BIGINT) + 1], 4)
+           END AS ndcg
+    FROM agg a JOIN sizes s ON s.label = a.lq, ideal
+"""
+
+
+_NDCG_ORACLE = _ndcg_oracle_sql()
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -1089,5 +1195,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_dau_wau_mau_query,
         _DAU_WAU_MAU_ORACLE,
         tags=("events", "analytics", "activeusers", "stickiness"),
+    ),
+    PendingQuery(
+        "sim_ndcg_eval",
+        sim_ndcg_eval_query,
+        _NDCG_ORACLE,
+        tags=("similarity", "eval", "ndcg", "ranking"),
     ),
 )
