@@ -1072,6 +1072,60 @@ def _ndcg_oracle_sql() -> str:
 _NDCG_ORACLE = _ndcg_oracle_sql()
 
 
+def events_wallet_balance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per user — the loyalty-wallet/inventory
+    pattern window functions CANNOT express: earn on signup/click/view,
+    spend on purchase, and the balance floors at ZERO at every step
+    (max(0, acc + δ) is non-associative, so no frame aggregate computes
+    it). Spark side: per-user ordered event array folded with a
+    built-in ``aggregate`` HOF — per-KEY sequential, corpus-parallel,
+    no recursion depth limit, no Python. Amounts in integer cents end
+    to end, so the fold is exact cross-engine (DuckDB replicates it
+    with ``list_reduce`` over the identically ordered list). Per-user
+    event counts bound the array (~thousands at 100 TB — the same
+    per-key bound every sessionization op already relies on)."""
+    ev = load_table(spark, sf_dir, "events")
+    delta = (
+        F.when(
+            F.col("event_type").isin("signup", "click", "view"),
+            F.expr("CAST(round(value * 100) AS BIGINT)"),
+        )
+        .when(F.col("event_type") == "purchase", -F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .otherwise(F.lit(0))
+    )
+    per_user = (
+        ev.select("user_id", "ts", "event_id", delta.alias("_d"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "aggregate("
+                "  transform(array_sort(collect_list(struct(ts, event_id, _d))), s -> s._d),"
+                "  CAST(0 AS BIGINT),"
+                "  (acc, d) -> greatest(acc + d, CAST(0 AS BIGINT)))"
+            ).alias("balance_cents"),
+        )
+    )
+    return per_user.select("user_id", "n_events", "balance_cents")
+
+
+_WALLET_ORACLE = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list(CASE WHEN event_type IN ('signup', 'click', 'view')
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         WHEN event_type = 'purchase'
+                         THEN -CAST(round(value * 100) AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END
+                    ORDER BY ts, event_id)),
+             (acc, d) -> greatest(acc + d, CAST(0 AS BIGINT))
+           ) AS BIGINT) AS balance_cents
+    FROM events GROUP BY 1
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -1201,5 +1255,11 @@ PENDING: tuple[PendingQuery, ...] = (
         sim_ndcg_eval_query,
         _NDCG_ORACLE,
         tags=("similarity", "eval", "ndcg", "ranking"),
+    ),
+    PendingQuery(
+        "events_wallet_balance",
+        events_wallet_balance_query,
+        _WALLET_ORACLE,
+        tags=("events", "stateful", "fold", "nonassociative"),
     ),
 )
