@@ -54,6 +54,16 @@ _BNLJ_WHITELIST = {
     "join_cross_theta",
     # banded theta join against a bounded literal band table
     "join_range_bands",
+    # --- round-6 staged queries (pre-whitelisted for activation) ---
+    # (llm_weighted_sample already above: 1-row total-weight broadcast)
+    # 1-row broadcast bloom state joined on a constant group key
+    "join_bloom_semireduction",
+    # 1-row broadcast dangling-mass aggregate per iteration
+    "graph_pagerank",
+    # 1-row broadcast min/max date bounds under the calendar spine
+    "events_gap_fill",
+    # brute-force exact-oracle anchor: bounded 20-query broadcast
+    "sim_ndcg_eval",
 }
 
 
