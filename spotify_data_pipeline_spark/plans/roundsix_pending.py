@@ -1126,6 +1126,113 @@ _WALLET_ORACLE = """
 """
 
 
+def orders_rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse marketing
+    analysis: per customer, Recency (days from last order to the corpus
+    max date), Frequency (order count) and Monetary (total spend in
+    exact cents), each scored into ntile(5) quintiles with unique-key
+    tiebreaks so every quintile edge is deterministic cross-engine;
+    output is the per-(r,f,m)-cell census. One scan, one per-customer
+    agg, three cheap 1500-row windows — the heavy lifting is the agg,
+    which is map-side combinable."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("_maxd"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").alias("_freq"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("_maxd", "_last").alias("_rec"),
+            "_freq",
+            "_cents",
+        )
+    )
+    w_r = Window.orderBy("_rec", "o_custkey")  # smaller recency = better
+    w_f = Window.orderBy(F.desc("_freq"), "o_custkey")
+    w_m = Window.orderBy(F.desc("_cents"), "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+_RFM_ORACLE = """
+    WITH maxd AS (SELECT max(o_orderdate) AS d FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT d FROM maxd)) AS rec,
+             count(*) AS freq,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY rec ASC,   o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def join_relational_division_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — the textbook 'FOR ALL' query shape
+    (customers who have placed orders under EVERY order priority in
+    the corpus), the one classic relational operator family not yet in
+    the inventory. Set-cover by counting: a customer qualifies when
+    their DISTINCT priorities equal the corpus's distinct-priority
+    count — two hash aggs and one 1-row broadcast, no NOT EXISTS
+    double-negation (which plans two correlated anti-joins). The
+    divisor table is DERIVED from the data, not hardcoded, so the
+    query is a true division whatever the priority domain. Output: the
+    per-nation census of fully-covering customers."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    need = o.agg(F.countDistinct("o_orderpriority").alias("_need"))
+    covered = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("_have"))
+        .crossJoin(F.broadcast(need))
+        .where(F.col("_have") == F.col("_need"))
+    )
+    return (
+        covered.join(cust, covered["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_full_coverage"),
+            F.min("c_custkey").cast("long").alias("min_custkey"),
+        )
+    )
+
+
+_DIVISION_ORACLE = """
+    WITH need AS (SELECT count(DISTINCT o_orderpriority) AS n FROM orders),
+    covered AS (
+      SELECT o_custkey
+      FROM orders GROUP BY 1
+      HAVING count(DISTINCT o_orderpriority) = (SELECT n FROM need)
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_full_coverage,
+           CAST(min(c_custkey) AS BIGINT) AS min_custkey
+    FROM covered JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -1261,5 +1368,17 @@ PENDING: tuple[PendingQuery, ...] = (
         events_wallet_balance_query,
         _WALLET_ORACLE,
         tags=("events", "stateful", "fold", "nonassociative"),
+    ),
+    PendingQuery(
+        "orders_rfm_segments",
+        orders_rfm_segments_query,
+        _RFM_ORACLE,
+        tags=("analytics", "rfm", "segmentation", "marketing"),
+    ),
+    PendingQuery(
+        "join_relational_division",
+        join_relational_division_query,
+        _DIVISION_ORACLE,
+        tags=("join", "division", "forall", "setcover"),
     ),
 )
