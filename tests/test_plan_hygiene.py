@@ -64,6 +64,8 @@ _BNLJ_WHITELIST = {
     "events_gap_fill",
     # brute-force exact-oracle anchor: bounded 20-query broadcast
     "sim_ndcg_eval",
+    # 1-row broadcast corpus-max-date aggregate under the RFM scoring
+    "orders_rfm_segments",
 }
 
 
