@@ -82,3 +82,33 @@ def test_plan_no_cartesian(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(-5900, 5900),   # lat in 0.01-degree ticks
+            st.integers(-18000, 17999),  # lon in 0.01-degree ticks
+        ),
+        min_size=0,
+        max_size=25,
+        unique=True,
+    ),
+    radius=st.sampled_from([50.0, 500.0, 3000.0]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_matches_brute_force_hypothesis(spark, pts, radius):
+    """Random global scatters at three radii (including one where the
+    lon cell ring is coarse) — candidate generation must never miss a
+    brute-force pair."""
+    rows = [(i, la / 100.0, lo / 100.0) for i, (la, lo) in enumerate(pts)]
+    assert _run(spark, rows, radius) == _brute(rows, radius)

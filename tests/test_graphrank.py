@@ -75,3 +75,13 @@ def test_checkpoint_interval_does_not_change_result(spark):
     b = _run(spark, edges, iterations=5, checkpoint_every=100)
     for v in a:
         assert a[v] == pytest.approx(b[v], rel=1e-12)
+
+
+def test_empty_edge_list_returns_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df, iterations=3).count() == 0
+
+
+def test_self_loop_only_node_keeps_all_mass(spark):
+    got = _run(spark, [(1, 1)], iterations=4)
+    assert got[1] == pytest.approx(1.0, abs=1e-12)
