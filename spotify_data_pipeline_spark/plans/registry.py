@@ -41,15 +41,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # so a silent edit to a tail query's body fails pytest.
 #
 # Round-5 front-loading: roundfive (the 9 queries staged in round 4
-# plus events_interval_join_outer and dedup_passage_removal built this
-# round — 11 total, positions 0–10), then the OLDEST-evidence blocks
-# rotate back into the window for fresh re-proofs — events(6) +
-# llmops(11) + aggregates(12) + relational's first 10 complete the
-# 50-slot window. Tail: relational 9 + roundfour 17 + windows 9 +
-# multimodal 3 + dedup 6 + similarity 4 + text 11 — every one
-# r01∪r02∪r03∪r04-green and hash-pinned by BOTH fn-source and
-# import-closure hashes (snapshot refreshed at round-5 start before
-# any edit).
+# plus events_interval_join_outer, dedup_passage_removal and the
+# rows-only text_heavy_hitters_cms built this round — 12 total,
+# positions 0–11), then the OLDEST-evidence blocks rotate back into
+# the window for fresh re-proofs — events(6) + llmops(11) +
+# aggregates(12) + relational's first 9 complete the 50-slot window.
+# Tail: relational 10 + roundfour 17 + windows 9 + multimodal 3 +
+# dedup 6 + similarity 4 + text 11 — every one r01∪r02∪r03∪r04-green
+# and hash-pinned by BOTH fn-source and import-closure hashes
+# (snapshot refreshed at round-5 start before any edit).
 _QUERY_MODULES = (
     "spotify_data_pipeline_spark.plans.roundfive",
     "spotify_data_pipeline_spark.plans.events_queries",

@@ -801,3 +801,49 @@ PENDING: tuple[PendingQuery, ...] = (
 # occupy positions 0-8 of the driver's evidence window.
 for _pq in PENDING:
     declare(_pq.name, oracle=_pq.oracle, headline=_pq.headline, tags=_pq.tags)(_pq.fn)
+
+
+# --- Declared after the PENDING activation loop (window position 11):
+# the MG->CMS sketch composition (VERDICT r04 item 7). Rows-only by the
+# same structural reason as the HLL estimate and the LSH banding:
+# cms_estimate's probe buckets are xxhash64, which DuckDB cannot
+# replicate, so the (lower bound <= true <= estimate) bracket is pinned
+# by tests/test_countmin.py::test_mg_cms_composition_bracket on a
+# skewed fixture instead of a SQL oracle. The driver records rows>0.
+def text_heavy_hitters_cms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trending tokens with BOTH frequency bounds: the
+    Misra-Gries summary proposes the candidate heavy hitters (cnt_lb =
+    guaranteed lower bound, exact when never truncated), then the
+    Count-Min sketch tightens each candidate from above (est >= true
+    count) — the textbook two-sketch composition from
+    ``operators/countmin.py``: MG finds the candidates, CMS answers
+    point queries, and together they bracket the true count without
+    either sketch ever holding more than bounded per-group state.
+
+    Scale shape: ONE token scan feeds both builds (each a map-side-
+    combinable hash agg); the CMS state is depth*width longs per source
+    (80 KB at 5x2048) and is BROADCAST into the candidate probe join —
+    at 100 TB the candidate side is |sources| * k rows and the state
+    side |sources| rows, so nothing corpus-sized ever shuffles twice.
+    """
+    from spotify_data_pipeline_spark.functions.text import tokens
+    from spotify_data_pipeline_spark.operators.countmin import cms_build, cms_estimate
+    from spotify_data_pipeline_spark.operators.heavyhitters import mg_build, mg_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    candidates = mg_topk(mg_build(toks, ["source"], "tok", capacity=24), ["source"], 10)
+    cms_state = cms_build(toks, ["source"], "tok", depth=5, width=2048)
+    bracketed = cms_estimate(
+        F.broadcast(cms_state), candidates, ["source"], "v", depth=5, width=2048
+    )
+    return bracketed.select("source", "v", "cnt_lb", "est", "rank").orderBy(
+        "source", "rank"
+    )
+
+
+declare(
+    "text_heavy_hitters_cms",
+    oracle=None,  # xxhash64 probe buckets — see comment above
+    tags=("text", "sketch", "heavyhitters", "countmin", "composition"),
+)(text_heavy_hitters_cms_query)

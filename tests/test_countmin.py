@@ -104,3 +104,36 @@ def test_merge_rejects_mismatched_grid_sizes(spark):
     with pytest.raises(Exception) as ei:
         cms_merge(["g"], s1, s2).collect()
     assert "incompatible sketch sizes" in str(ei.value)
+
+
+def test_mg_cms_composition_bracket(spark):
+    """The declared composition (plans/roundfive.py
+    ``text_heavy_hitters_cms``): MG proposes candidates, CMS tightens
+    from above — for EVERY candidate, cnt_lb <= true count <= est, and
+    every value above the MG guarantee threshold n/(capacity+1) is
+    among the candidates (MG membership ∩ CMS over-count agreement)."""
+    from spotify_data_pipeline_spark.operators.heavyhitters import mg_build, mg_topk
+
+    capacity, k = 8, 8
+    df = _zipfish(spark)
+    truth = {
+        (r.g, r.v): r.n
+        for r in df.groupBy("g", "v").agg(F.count("*").alias("n")).collect()
+    }
+    n_per_group = {g: sum(v for (gg, _), v in truth.items() if gg == g) for g in ("a", "b")}
+
+    cand = mg_topk(mg_build(df, ["g"], "v", capacity=capacity), ["g"], k)
+    state = cms_build(df, ["g"], "v", depth=DEPTH, width=WIDTH)
+    rows = cms_estimate(state, cand, ["g"], "v", DEPTH, WIDTH).collect()
+    assert rows, "composition produced no candidates"
+    cand_by_group: dict[str, set[str]] = {}
+    for r in rows:
+        true_n = truth[(r.g, r.v)]
+        assert r.cnt_lb <= true_n, (r.g, r.v)  # MG lower bound
+        assert r.est >= true_n, (r.g, r.v)  # CMS upper bound
+        cand_by_group.setdefault(r.g, set()).add(r.v)
+    # MG membership guarantee carries through the composition: every
+    # value with true count > n/(capacity+1) appears bracketed.
+    for (g, v), true_n in truth.items():
+        if true_n > n_per_group[g] / (capacity + 1):
+            assert v in cand_by_group[g], (g, v, true_n)
