@@ -158,6 +158,7 @@ def main() -> None:
     out["skew_guard"] = _skew_guard(spark, sf_dir)
     out["bloom_probe"] = _bloom_probe(spark, sf_dir)
     out["scale_probe"] = _scale_probe(spark, sf_dir)
+    out["passage_scale_probe"] = _passage_scale_probe(spark, sf_dir)
     out["bucketed_join_probe"] = _bucketed_join_probe(spark, sf_dir)
     out["incremental_probe"] = _incremental_probe(spark, sf_dir)
     out["rangejoin_probe"] = _rangejoin_probe(spark, sf_dir)
@@ -517,6 +518,55 @@ def _scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
         "agg_1x_sec": a1,
         "agg_4x_sec": aN,
         "agg_ratio": round(aN / max(a1, 1e-9), 2),
+    }
+
+
+def _passage_scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
+    """Scaling evidence for the round-5 headline shape (VERDICT r04
+    item 6): content-defined passage dedup fingerprints EVERY char
+    offset, so it is the heaviest text scan in the engine — this probe
+    replicates the corpus ``factor``× (vowel-rotated, so replicas share
+    no verbatim 64-char passage with the originals: the scan grows
+    linearly while per-fingerprint bucket sizes stay constant) and
+    reports the runtime ratio. Near ``factor`` ⇒ the capped-bucket
+    in-array pair generation is scan-bound, not pair-bound."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundfive import exact_passage_pairs
+
+    rotations = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"][:factor]
+    docs = load_table(spark, sf_dir, "documents")
+    big = None
+    for i, rot in enumerate(rotations):
+        rep = docs.select(
+            (F.col("doc_id") * factor + i).alias("doc_id"),
+            F.translate("text", "aeiou", rot).alias("text"),
+        )
+        big = rep if big is None else big.unionByName(rep)
+
+    def timed(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    def steady(df) -> float:
+        timed(df)  # warm
+        return sorted(timed(df) for _ in range(3))[1]
+
+    # Equalize input parallelism: at bench SF the 1x corpus is a single
+    # parquet row-group (1 task) while the 4x union fans out to 4 — the
+    # ratio would then measure idle cores, not work growth (a 0.64
+    # "ratio" in testing). Both sides spread over the full core count,
+    # as a real cluster scan would be.
+    n_part = spark.sparkContext.defaultParallelism
+    t1 = steady(exact_passage_pairs(docs.repartition(n_part)))
+    tN = steady(exact_passage_pairs(big.repartition(n_part)))
+    return {
+        "factor": factor,
+        "passage_1x_sec": t1,
+        "passage_4x_sec": tN,
+        "passage_ratio": round(tN / max(t1, 1e-9), 2),
     }
 
 
