@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.plans.parity import rnd_cents
 
 
 def join_fuzzy_levenshtein_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,6 +1243,399 @@ class PendingQuery:
     tags: tuple[str, ...] = ()
 
 
+def join_shipping_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the classic 3-table star-with-fact-agg: BUILDING
+    customers' orders placed before 1998-01-01 with lineitems still
+    unshipped at that date, top-10 by revenue. Declarative joins let
+    Catalyst broadcast the filtered dims and push both date bands to
+    the scans; revenue accumulates in integer CENTS (per-item
+    half-up-rounded once) so the top-10 ranking has zero float-sum
+    order sensitivity across engines. Ties broken by o_orderkey."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                rnd_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("_cents")
+        )
+        .select(
+            "o_orderkey",
+            (F.col("_cents") / 100.0).alias("revenue"),
+            "o_orderdate",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+    SELECT o_orderkey,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0
+             AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+def orders_late_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS-semi-join order counting: 1997 orders
+    with at least one lineitem shipped more than 90 days after the
+    order date, counted per priority class. The semi join rides the
+    orderkey equi key; the lateness predicate is an extra join
+    condition, not a filter after a full join (no multiplicity bug
+    when an order has several late items)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_LATE_PRIORITY_ORACLE = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def agg_small_qty_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated-average rewritten as a per-key agg
+    join: revenue from lineitems whose quantity is below 20% of that
+    part's average quantity, per brand. The classic correlated scalar
+    subquery becomes ONE hash agg over lineitem joined back on
+    l_partkey (both sides shuffle on the same key — no per-row
+    re-aggregation, no broadcast of a corpus-sized side). Exactness:
+    quantities are integer-valued, so sum/count/divide is the same
+    IEEE double in both engines and the 0.2x threshold comparison
+    cannot flip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum("l_quantity") / F.count("*")).alias("_avg_qty")
+    )
+    small = (
+        li.join(avg_qty, li.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .join(part, li.l_partkey == part.p_partkey)
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small_items"),
+            (F.sum(rnd_cents("l_extendedprice")) / 100.0).alias("small_qty_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SMALL_QTY_ORACLE = """
+    WITH a AS (
+      SELECT l_partkey AS pk, sum(l_quantity) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_small_items,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+             AS small_qty_revenue
+    FROM lineitem
+    JOIN a ON l_partkey = a.pk
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+def join_waiting_suppliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — "who delayed the order": on orders with 2+
+    suppliers, the supplier holding the order's STRICT UNIQUE latest
+    ship date is the one everyone waited on; count delayed orders per
+    supplier, top 10. Two hash aggs on l_orderkey (max date + distinct
+    suppliers, map-side combinable) and an equi join back for the
+    at-max suppliers — the nested EXISTS / NOT EXISTS pair of the
+    original stated as plain relational algebra. Uniqueness of the max
+    (exactly one supplier at max_ship) replaces Q21's NOT EXISTS arm;
+    ties mean nobody is uniquely guilty and the order drops out —
+    deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("_max_ship"),
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+    )
+    at_max = (
+        li.join(per_order, "l_orderkey")
+        .where((F.col("l_shipdate") == F.col("_max_ship")) & (F.col("_n_supp") >= 2))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    lone = (
+        at_max.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n_at_max"), F.max("l_suppkey").alias("_delayer"))
+        .where(F.col("_n_at_max") == 1)
+    )
+    return (
+        lone.groupBy(F.col("_delayer").alias("s_suppkey"))
+        .agg(F.count("*").alias("n_delayed"))
+        .join(F.broadcast(supp), "s_suppkey")
+        .select("s_suppkey", "s_name", "n_delayed")
+        .orderBy(F.col("n_delayed").desc(), F.col("s_suppkey"))
+        .limit(10)
+    )
+
+
+_WAITING_SUPPLIERS_ORACLE = """
+    WITH per_order AS (
+      SELECT l_orderkey, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey
+    ), at_max AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+      WHERE l.l_shipdate = p.max_ship AND p.n_supp >= 2
+    ), lone AS (
+      SELECT l_orderkey, max(l_suppkey) AS delayer
+      FROM at_max GROUP BY l_orderkey HAVING count(*) = 1
+    )
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_delayed
+    FROM lone JOIN supplier ON delayer = s_suppkey
+    GROUP BY s_suppkey, s_name
+    ORDER BY n_delayed DESC, s_suppkey
+    LIMIT 10
+"""
+
+
+def graph_triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-order graph (parts shipped
+    together in the same order, first half of 1997 — the window bounds
+    the driver-compared graph; scale comes from the operator):
+    degree-ordered wedge enumeration (Suri & Vassilvitskii WWW'11,
+    operators/triangles.py) — per-vertex wedge fan-out is O(sqrt(m))
+    under the orientation, so the power-law hub that breaks naive
+    node-iterator (deg^2 wedges) cannot produce a straggler. Edges are
+    built with the capped in-array pair pattern shared with the
+    near-dup buckets. The oracle brute-forces the same graph with an
+    a<b<c three-way self-join."""
+    from spotify_data_pipeline_spark.operators.triangles import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges)
+
+
+_TRIANGLE_ORACLE = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+    ), sized AS (
+      SELECT l_orderkey FROM li GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 2 AND 200
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+    )
+    SELECT
+      (SELECT CAST(count(DISTINCT u) AS BIGINT)
+         FROM (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)) AS n_nodes,
+      (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      (SELECT CAST(count(*) AS BIGINT)
+         FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3
+           ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
+"""
+
+
+def orders_cohort_ltv_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve: customers cohorted by first-order
+    month; per (cohort, age-in-months) the active-customer count and
+    the cohort's CUMULATIVE revenue — the standard growth-analytics
+    triangle behind retention-adjusted LTV. Ages are exact integer
+    month arithmetic (year*12+month), revenue accumulates in integer
+    cents (running sums are order-insensitive), and the cohort
+    assignment is one min-agg over orders — no second scan of history.
+    Bounded to the first 8 cohort months to keep the driver-compared
+    surface stable while the shape (agg + window over agg) is
+    SF-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    mkey = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    per = orders.select(
+        "o_custkey",
+        mkey.alias("_m"),
+        rnd_cents("o_totalprice").alias("_cents"),
+    )
+    first = per.groupBy("o_custkey").agg(F.min("_m").alias("_m0"))
+    aged = (
+        per.join(first, "o_custkey")
+        .where(F.col("_m0") < 1995 * 12 + 8)  # cohorts of 1995-01..08
+        .groupBy(F.col("_m0"), (F.col("_m") - F.col("_m0")).alias("age_months"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("_cents").alias("_rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("_m0")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return aged.select(
+        F.make_date(
+            F.floor(F.col("_m0") / 12).cast("int"), F.col("_m0") % 12 + 1, F.lit(1)
+        )
+        .cast("timestamp")
+        .alias("cohort_month"),
+        F.col("age_months").cast("long").alias("age_months"),
+        F.col("n_active").cast("long").alias("n_active"),
+        (F.sum("_rev").over(w) / 100.0).alias("cum_revenue"),
+    ).orderBy("cohort_month", "age_months")
+
+
+_COHORT_LTV_ORACLE = """
+    WITH per AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), f AS (
+      SELECT o_custkey, min(m) AS m0 FROM per GROUP BY o_custkey
+    ), aged AS (
+      SELECT m0, per.m - m0 AS age_months,
+             count(DISTINCT per.o_custkey) AS n_active,
+             sum(cents) AS rev
+      FROM per JOIN f ON per.o_custkey = f.o_custkey
+      WHERE m0 < 1995 * 12 + 8
+      GROUP BY m0, per.m - m0
+    )
+    SELECT CAST(make_date(CAST(floor(m0 / 12.0) AS INT),
+                          CAST(m0 % 12 AS INT) + 1, 1) AS TIMESTAMP)
+             AS cohort_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(n_active AS BIGINT) AS n_active,
+           sum(rev) OVER (PARTITION BY m0 ORDER BY age_months
+                          ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_revenue
+    FROM aged
+    ORDER BY cohort_month, age_months
+"""
+
+
+def events_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent NON-purchase event within the preceding 30
+    minutes ('direct' if none) — the standard channel-revenue rollup.
+    One window pass per user (ordered by ts, event_id — fully
+    deterministic under equal timestamps): `last(... ignorenulls)` over
+    the preceding frame carries the (ts, type) of the latest candidate
+    touch, the 30-minute recency test happens outside the window, and
+    revenue sums in integer cents. At 100 TB this is one shuffle on
+    user_id; no self-join of events against events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("t"), F.col("event_type").alias("et")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.withColumn("_touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("_touch").isNotNull()
+                & (F.col("_touch.t") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+                F.col("_touch.et"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            rnd_cents("value").alias("_cents"),
+        )
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (F.sum("_cents") / 100.0).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+    WITH t AS (
+      SELECT event_type, ts, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN struct_pack(t := ts, et := event_type) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT CASE WHEN touch IS NOT NULL
+                 AND touch.t >= ts - INTERVAL 30 MINUTE
+                THEN touch.et ELSE 'direct' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+             AS attributed_revenue
+    FROM t
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "join_fuzzy_levenshtein",
@@ -1380,5 +1774,47 @@ PENDING: tuple[PendingQuery, ...] = (
         join_relational_division_query,
         _DIVISION_ORACLE,
         tags=("join", "division", "forall", "setcover"),
+    ),
+    PendingQuery(
+        "join_shipping_priority",
+        join_shipping_priority_query,
+        _SHIPPING_PRIORITY_ORACLE,
+        tags=("join", "star", "tpch", "topk"),
+    ),
+    PendingQuery(
+        "orders_late_priority",
+        orders_late_priority_query,
+        _LATE_PRIORITY_ORACLE,
+        tags=("join", "semi", "exists", "tpch"),
+    ),
+    PendingQuery(
+        "agg_small_qty_revenue",
+        agg_small_qty_revenue_query,
+        _SMALL_QTY_ORACLE,
+        tags=("agg", "correlated", "tpch"),
+    ),
+    PendingQuery(
+        "join_waiting_suppliers",
+        join_waiting_suppliers_query,
+        _WAITING_SUPPLIERS_ORACLE,
+        tags=("join", "tpch", "analytics"),
+    ),
+    PendingQuery(
+        "graph_triangle_count",
+        graph_triangle_count_query,
+        _TRIANGLE_ORACLE,
+        tags=("graph", "triangles", "cooccurrence"),
+    ),
+    PendingQuery(
+        "orders_cohort_ltv",
+        orders_cohort_ltv_query,
+        _COHORT_LTV_ORACLE,
+        tags=("analytics", "cohort", "ltv", "window"),
+    ),
+    PendingQuery(
+        "events_attribution",
+        events_attribution_query,
+        _ATTRIBUTION_ORACLE,
+        tags=("events", "attribution", "window", "analytics"),
     ),
 )

@@ -66,6 +66,9 @@ _BNLJ_WHITELIST = {
     "sim_ndcg_eval",
     # 1-row broadcast corpus-max-date aggregate under the RFM scoring
     "orders_rfm_segments",
+    # two broadcast-1-row aggregates (n_edges, n_triangles) assembled
+    # into the single stats row (operators/triangles.py)
+    "graph_triangle_count",
 }
 
 

@@ -120,3 +120,30 @@ def test_weighted_sample_sums_to_k(spark):
 
     out = llm_weighted_sample_query(spark, "/root/testdata/sf0.001")
     assert out.agg(F.sum("n_picks")).collect()[0][0] == 40
+
+
+def test_second_batch_plans_no_nested_loop(spark):
+    """The 7 late-round-5 staged queries (TPC-H shapes, cohort LTV,
+    attribution): all equi-join/window plans — no BNLJ, no Cartesian.
+    graph_triangle_count is exempt for its two documented
+    broadcast-1-row stat assemblies (pre-whitelisted in plan hygiene)."""
+    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+        agg_small_qty_revenue_query,
+        events_attribution_query,
+        join_shipping_priority_query,
+        join_waiting_suppliers_query,
+        orders_cohort_ltv_query,
+        orders_late_priority_query,
+    )
+
+    for fn in (
+        join_shipping_priority_query,
+        orders_late_priority_query,
+        agg_small_qty_revenue_query,
+        join_waiting_suppliers_query,
+        orders_cohort_ltv_query,
+        events_attribution_query,
+    ):
+        plan = _plan_of(fn(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
