@@ -1636,6 +1636,53 @@ _ATTRIBUTION_ORACLE = """
 """
 
 
+def incremental_join_fold_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance (operators/ivm.py, the
+    Blakeley-et-al delta rule) proven against a full rebuild: the
+    orders⋈customer view is materialized from the pre-1999 orders and
+    the 90% customer snapshot, then REFRESHED by folding only the
+    deltas (1999+ orders; the custkey%10=7 'new' customers) — all
+    three delta terms exercised (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB). The oracle
+    computes the plain full join: fold ≡ rebuild is the pinned claim,
+    aggregated per market segment in exact cents so the driver compares
+    a stable 5-row surface. At 100 TB the refresh shuffles only
+    batch-sized sides against the table — the snapshot never re-joins
+    itself."""
+    from spotify_data_pipeline_spark.operators.ivm import maintain_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    a_old = orders.where(F.col("o_orderdate") < cutoff)
+    delta_a = orders.where(F.col("o_orderdate") >= cutoff)
+    b_old = cust.where(F.col("custkey") % 10 != 7)
+    delta_b = cust.where(F.col("custkey") % 10 == 7)
+    view_old = a_old.join(b_old, "custkey")
+    maintained = maintain_join(view_old, a_old, delta_a, b_old, delta_b, ["custkey"])
+    return (
+        maintained.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(rnd_cents("o_totalprice")) / 100.0).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_INCREMENTAL_JOIN_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "join_fuzzy_levenshtein",
@@ -1816,5 +1863,11 @@ PENDING: tuple[PendingQuery, ...] = (
         events_attribution_query,
         _ATTRIBUTION_ORACLE,
         tags=("events", "attribution", "window", "analytics"),
+    ),
+    PendingQuery(
+        "incremental_join_fold",
+        incremental_join_fold_query,
+        _INCREMENTAL_JOIN_ORACLE,
+        tags=("warehouse", "incremental", "ivm", "join"),
     ),
 )
