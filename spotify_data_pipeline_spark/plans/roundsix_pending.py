@@ -1683,6 +1683,84 @@ _INCREMENTAL_JOIN_ORACLE = """
 """
 
 
+def graph_label_propagation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (operators/labelprop.py) on
+    the part co-order graph: 5% of parts seed their p_brand, 3
+    synchronous majority rounds spread brands through co-purchase
+    structure — the annotation-bootstrap primitive (Zhu & Ghahramani
+    2002) with DETERMINISTIC ties (smallest label) and immutable
+    seeds, which is what makes a fixed-iteration unrolled-SQL oracle
+    possible (the PageRank device). Same bounded graph window as
+    ``graph_triangle_count``; scale lives in the operator (one label⋈
+    adjacency equi join + one top-1 window per round)."""
+    from spotify_data_pipeline_spark.operators.labelprop import label_propagation
+    from spotify_data_pipeline_spark.operators.triangles import cooccurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 20 == 0)
+        .select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
+    )
+    return label_propagation(edges, seeds, iterations=3).orderBy("node")
+
+
+def _label_prop_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled synchronous label propagation as chained CTEs."""
+    head = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+    ), sized AS (
+      SELECT l_orderkey FROM li GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 2 AND 200
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+    ), adj AS (
+      SELECT src AS node, dst AS nbr FROM e
+      UNION ALL SELECT dst AS node, src AS nbr FROM e
+    ), seeds AS (
+      SELECT p_partkey AS node, p_brand AS label FROM part
+      WHERE p_partkey % 20 = 0
+    ), l0 AS (SELECT node, label FROM seeds)"""
+    iters = []
+    for t in range(iterations):
+        iters.append(f"""
+    v{t} AS (
+      SELECT a.node, l.label, count(*) AS c
+      FROM adj a JOIN l{t} l ON a.nbr = l.node
+      GROUP BY 1, 2
+    ), m{t} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM v{t}
+      ) WHERE rn = 1
+    ), l{t + 1} AS (
+      SELECT node, label FROM seeds
+      UNION ALL
+      SELECT node, label FROM m{t}
+      WHERE node NOT IN (SELECT node FROM seeds)
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"\n    SELECT node, label FROM l{iterations} ORDER BY node"
+    )
+
+
+_LABEL_PROP_ORACLE = _label_prop_oracle_sql()
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "join_fuzzy_levenshtein",
@@ -1869,5 +1947,11 @@ PENDING: tuple[PendingQuery, ...] = (
         incremental_join_fold_query,
         _INCREMENTAL_JOIN_ORACLE,
         tags=("warehouse", "incremental", "ivm", "join"),
+    ),
+    PendingQuery(
+        "graph_label_propagation",
+        graph_label_propagation_query,
+        _LABEL_PROP_ORACLE,
+        tags=("graph", "labelprop", "semisupervised"),
     ),
 )
