@@ -1761,6 +1761,65 @@ def _label_prop_oracle_sql(iterations: int = 3) -> str:
 _LABEL_PROP_ORACLE = _label_prop_oracle_sql()
 
 
+def agg_kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate through the KMV sketch
+    (operators/kmv.py) — the approximate-distinct whose APPROXIMATION
+    is driver-provable: selection keys on md5, which DuckDB computes
+    identically, so the oracle replicates the whole sketch (k-min
+    selection, the 52-bit hash-fraction arithmetic, the (k-1)/h_k
+    estimator) — unlike the HLL row, which is rows-only by xxhash64.
+    Below capacity the estimate IS the exact distinct count (pinned by
+    the small sources at low SF); above it the unbiased estimator
+    lands within ~1/sqrt(k-2) relative error (pytest-pinned). k=16
+    deliberately sits BELOW the ~31-token per-source vocabulary so the
+    driver exercises the estimator arithmetic, not just the exact
+    below-capacity branch."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+    from spotify_data_pipeline_spark.operators.kmv import kmv_build, kmv_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    state = kmv_build(toks, ["source"], "tok", k=16)
+    return kmv_estimate(state, ["source"], k=16).orderBy("source")
+
+
+def _kmv_oracle_sql(k: int = 16) -> str:
+    """The full KMV pipeline in DuckDB: same md5 13-hex prefix, same
+    positional polynomial (exact 52-bit integers), same estimator and
+    rounding."""
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(kth, {i + 1}, 1)) - 1) * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    return f"""
+    WITH t AS (
+      SELECT source,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS v
+      FROM documents WHERE length(trim(text)) > 0
+    ), d AS (
+      SELECT DISTINCT source, substr(md5(v), 1, 13) AS h FROM t
+    ), r AS (
+      SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM d
+    ), agg AS (
+      SELECT source, count(*) AS n_sample,
+             max(CASE WHEN rn = {k} THEN h END) AS kth
+      FROM r WHERE rn <= {k} GROUP BY source
+    )
+    SELECT source,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           floor(
+             CASE WHEN n_sample < {k} THEN CAST(n_sample AS DOUBLE)
+                  ELSE ({k} - 1) / (CAST({poly} AS DOUBLE) / {float(16 ** 13)})
+             END * 10000 + 0.5) / 10000 AS est_distinct
+    FROM agg
+    ORDER BY source
+"""
+
+
+_KMV_ORACLE = _kmv_oracle_sql()
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "join_fuzzy_levenshtein",
@@ -1953,5 +2012,11 @@ PENDING: tuple[PendingQuery, ...] = (
         graph_label_propagation_query,
         _LABEL_PROP_ORACLE,
         tags=("graph", "labelprop", "semisupervised"),
+    ),
+    PendingQuery(
+        "agg_kmv_distinct",
+        agg_kmv_distinct_query,
+        _KMV_ORACLE,
+        tags=("agg", "sketch", "kmv", "distinct"),
     ),
 )
