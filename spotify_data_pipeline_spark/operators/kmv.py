@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 __all__ = ["kmv_build", "kmv_merge", "kmv_estimate", "hash_frac_expr"]
 
 _STATE = "kmv_state"  # array<string>: the k smallest 13-hex-char prefixes, ascending
+_K = "kmv_k"  # the build capacity, carried in the state so misuse fails loudly
 
 _HEX = "0123456789abcdef"
 _PREFIX_LEN = 13  # 52 bits: exact in long and double
@@ -78,21 +79,51 @@ def kmv_build(
     )
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("_h")
     kept = distinct.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    return kept.groupBy(*groups).agg(F.array_sort(F.collect_list("_h")).alias(_STATE))
+    return kept.groupBy(*groups).agg(
+        F.array_sort(F.collect_list("_h")).alias(_STATE),
+        F.lit(k).cast("int").alias(_K),
+    )
+
+
+def _guard_k(df: DataFrame, k: int) -> DataFrame:
+    """In-plan capacity check (the cms_merge device): any state row
+    built with a different k than the caller claims fails the job —
+    a mismatched k silently truncates minima (merge) or returns the
+    capacity as an 'exact' count (estimate). Expressed as a FILTER so
+    column pruning cannot optimize the raise_error away."""
+    chk = F.when(
+        F.col(_K) != k,
+        F.raise_error(
+            F.concat(
+                F.lit("kmv: state built with k="),
+                F.col(_K).cast("string"),
+                F.lit(f" but called with k={k}"),
+            )
+        ).cast("int"),
+    ).otherwise(F.lit(k))
+    return df.where(chk == k)
 
 
 def kmv_merge(groups: Sequence[str], k: int, *states: DataFrame) -> DataFrame:
     """Union → dedup → re-take the k smallest: BIT-equal to a build
-    over the concatenated inputs for any split/order."""
+    over the concatenated inputs for any split/order. States built
+    with a different k fail in-plan."""
     if not states:
         raise ValueError("need at least one state")
     unioned = states[0]
     for s in states[1:]:
         unioned = unioned.unionByName(s)
-    exploded = unioned.select(*groups, F.explode(_STATE).alias("_h")).distinct()
+    exploded = (
+        _guard_k(unioned, k)
+        .select(*groups, F.explode(_STATE).alias("_h"))
+        .distinct()
+    )
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("_h")
     kept = exploded.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    return kept.groupBy(*groups).agg(F.array_sort(F.collect_list("_h")).alias(_STATE))
+    return kept.groupBy(*groups).agg(
+        F.array_sort(F.collect_list("_h")).alias(_STATE),
+        F.lit(k).cast("int").alias(_K),
+    )
 
 
 def kmv_estimate(state: DataFrame, groups: Sequence[str], k: int = 64) -> DataFrame:
@@ -103,7 +134,8 @@ def kmv_estimate(state: DataFrame, groups: Sequence[str], k: int = 64) -> DataFr
     n = F.size(F.col(_STATE))
     kth = F.try_element_at(F.col(_STATE), F.lit(k))  # NULL below capacity
     frac = (
-        state.select(*groups, n.alias("n_sample"), kth.alias("_kth"))
+        _guard_k(state, k)
+        .select(*groups, n.alias("n_sample"), kth.alias("_kth"))
         .withColumn("_f", hash_frac_expr("_kth"))
     )
     est = F.when(F.col("n_sample") < k, F.col("n_sample").cast("double")).otherwise(

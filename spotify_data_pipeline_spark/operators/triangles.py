@@ -60,7 +60,12 @@ def cooccurrence_edges(
         .agg(F.array_sort(F.collect_set("_i")).alias("_items"))
         .where(F.size("_items").between(2, max_items_per_group))
     )
-    # in-array pair generation: for i<j emit (items[i], items[j])
+    # in-array pair generation: for i<j emit (items[i], items[j]).
+    # Same HOF shape as the near-dup bucket pairs (operators/dedup.py
+    # ~314) — deliberately NOT shared: dedup.py is evidence-pinned for
+    # this round's tail queries (tests/evidence_hashes.json), so adding
+    # an export there would invalidate their driver proof; unify when
+    # dedup rotates through the window.
     pairs = items.select(
         F.explode(
             F.expr(
@@ -93,31 +98,45 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """One row (n_nodes, n_edges, n_triangles) for the undirected graph
-    ``edges`` (src, dst; self-loops ignored, direction/duplicates
-    normalized first). Each triangle counted exactly once via its
-    minimum-rank wedge center."""
-    edges = (
+def _normalized(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: self-loops dropped, src < dst by node
+    id, duplicates collapsed."""
+    return (
         edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
         .distinct()
     )
+
+
+def _closed_wedges(edges: DataFrame) -> DataFrame:
+    """(center, src, dst) for every triangle of the NORMALIZED graph,
+    exactly once: wedges (lo→b), (lo→c) centered at the min-rank vertex
+    with b < c by node id (the a.hi < b.hi filter — which also makes
+    (b, c) match the canonical closing-edge orientation), closed by a
+    semi join against the edge set."""
     o = _oriented(edges)
-    # wedges centered at the min-rank vertex: (lo→b), (lo→c) with b<c
-    # canonically by node id (each unordered {b, c} once)
     w = (
         o.alias("a")
         .join(o.alias("b"), F.col("a.lo") == F.col("b.lo"))
         .where(F.col("a.hi") < F.col("b.hi"))
         .select(
-            F.least("a.hi", "b.hi").alias("src"),
-            F.greatest("a.hi", "b.hi").alias("dst"),
+            F.col("a.lo").alias("center"),
+            F.col("a.hi").alias("src"),
+            F.col("b.hi").alias("dst"),
         )
     )
-    closed = w.join(edges, ["src", "dst"], "left_semi")
+    return w.join(edges, ["src", "dst"], "left_semi")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, n_triangles) for the undirected graph
+    ``edges`` (src, dst; self-loops ignored, direction/duplicates
+    normalized first). Each triangle counted exactly once via its
+    minimum-rank wedge center."""
+    edges = _normalized(edges)
+    closed = _closed_wedges(edges)
     # three 1-row aggregates assembled by broadcast cross join (the
     # documented broadcast-1-row pattern; O(1) rows on every side)
     nodes_df = (
@@ -137,25 +156,7 @@ def triangle_counts_per_vertex(edges: DataFrame) -> DataFrame:
     numerator of the local clustering coefficient. Same oriented-wedge
     enumeration, but each closed wedge credits all three corners (one
     shuffle more than the global count)."""
-    edges = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
-        .distinct()
-    )
-    o = _oriented(edges)
-    w = (
-        o.alias("a")
-        .join(o.alias("b"), F.col("a.lo") == F.col("b.lo"))
-        .where(F.col("a.hi") < F.col("b.hi"))
-        .select(
-            F.col("a.lo").alias("center"),
-            F.least("a.hi", "b.hi").alias("src"),
-            F.greatest("a.hi", "b.hi").alias("dst"),
-        )
-    )
-    closed = w.join(edges, ["src", "dst"], "left_semi")
+    closed = _closed_wedges(_normalized(edges))
     corners = (
         closed.select(F.col("center").alias("u"))
         .unionAll(closed.select(F.col("src").alias("u")))

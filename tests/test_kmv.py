@@ -94,3 +94,12 @@ def test_estimate_deterministic_under_repartition(spark):
         kmv_build(df.repartition(13), ["g"], "v", k=K), ["g"], k=K
     ).collect()
     assert e1 == e2
+
+
+def test_mismatched_k_fails_in_plan(spark):
+    rows = [("a", f"x{i}") for i in range(100)]
+    s16 = kmv_build(_df(spark, rows), ["g"], "v", k=16)
+    with pytest.raises(Exception, match="state built with k=16"):
+        kmv_estimate(s16, ["g"], k=K).collect()
+    with pytest.raises(Exception, match="state built with k=16"):
+        kmv_merge(["g"], K, s16, s16).collect()

@@ -123,10 +123,11 @@ def test_weighted_sample_sums_to_k(spark):
 
 
 def test_second_batch_plans_no_nested_loop(spark):
-    """The 7 late-round-5 staged queries (TPC-H shapes, cohort LTV,
-    attribution): all equi-join/window plans — no BNLJ, no Cartesian.
-    graph_triangle_count is exempt for its two documented
-    broadcast-1-row stat assemblies (pre-whitelisted in plan hygiene)."""
+    """The late-round-5 staged queries (TPC-H shapes, cohort LTV,
+    attribution, join IVM, label propagation, KMV): all equi-join/
+    window plans — no BNLJ, no Cartesian. graph_triangle_count is
+    exempt for its two documented broadcast-1-row stat assemblies
+    (pre-whitelisted in plan hygiene)."""
     from spotify_data_pipeline_spark.plans.roundsix_pending import (
         agg_small_qty_revenue_query,
         events_attribution_query,
@@ -136,6 +137,12 @@ def test_second_batch_plans_no_nested_loop(spark):
         orders_late_priority_query,
     )
 
+    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+        agg_kmv_distinct_query,
+        graph_label_propagation_query,
+        incremental_join_fold_query,
+    )
+
     for fn in (
         join_shipping_priority_query,
         orders_late_priority_query,
@@ -143,6 +150,9 @@ def test_second_batch_plans_no_nested_loop(spark):
         join_waiting_suppliers_query,
         orders_cohort_ltv_query,
         events_attribution_query,
+        incremental_join_fold_query,
+        graph_label_propagation_query,
+        agg_kmv_distinct_query,
     ):
         plan = _plan_of(fn(spark, "/root/testdata/sf0.001"))
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
