@@ -1963,6 +1963,10 @@ PENDING: tuple[PendingQuery, ...] = (
         "join_shipping_priority",
         join_shipping_priority_query,
         _SHIPPING_PRIORITY_ORACLE,
+        # headline at activation: the bench's join family has SMJ and
+        # broadcast-denormalize shapes but no star-join + TakeOrdered
+        # top-k — Q3 is the canonical representative of that plan.
+        headline=True,
         tags=("join", "star", "tpch", "topk"),
     ),
     PendingQuery(

@@ -104,3 +104,42 @@ def test_parameterized_types_survive_schema_roundtrip(spark, tmp_path):
     row = mj.view().collect()[0]
     assert row.price == Decimal("12.34") and row.tags == {"x": 1}
     assert [f.name for f in mj.view().schema.fields] == ["k", "price", "tags"]
+
+
+def test_foreachbatch_stream_wiring(spark, tmp_path):
+    """End-to-end through a REAL Structured Streaming query: a file
+    source of fact micro-batches (maxFilesPerTrigger=1) drives
+    apply_fact_batch from foreachBatch with the engine-provided
+    batch_id; the final view equals the batch rebuild."""
+    import uuid
+
+    src = tmp_path / "facts"
+    spark.createDataFrame([(1, 10), (2, 20)], A_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    spark.createDataFrame([(1, 11), (3, 30)], A_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    mj = MaintainedJoin(spark, str(tmp_path / "mj"), ["k"], A_SCHEMA, B_SCHEMA)
+    mj.apply_dim_batch(
+        spark.createDataFrame([(1, 100), (2, 200), (3, 300)], B_SCHEMA), 10_000
+    )
+
+    q = (
+        spark.readStream.schema(A_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(
+            lambda batch_df, batch_id: mj.apply_fact_batch(batch_df, batch_id)
+        )
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{uuid.uuid4().hex}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _bag(mj.view()) == _bag(mj.rebuild())
+    assert sum(_bag(mj.view()).values()) == 4  # all four facts joined
