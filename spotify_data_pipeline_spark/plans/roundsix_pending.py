@@ -1820,6 +1820,69 @@ def _kmv_oracle_sql(k: int = 16) -> str:
 _KMV_ORACLE = _kmv_oracle_sql()
 
 
+def llm_winsorize_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization report — the outlier-capping step a
+    curation pipeline runs before computing corpus statistics: clip
+    document lengths to the source's [P1, P99], count what was clipped
+    on each side, and report the winsorized mean. Two-phase: exact
+    DISCRETE percentiles per group (percentile_disc ↔ quantile_disc —
+    actual data values, so the clip bounds are INTEGERS and every
+    clipped value stays an exact integer-valued double; the winsorized
+    sum is order-independent, unlike interpolated-percentile clipping
+    whose fractional bounds would reintroduce float-sum drift), then
+    one broadcast-eligible join of the 20-row bounds table back onto
+    the corpus. At 100 TB: one sort-based agg per group + one map-side
+    clip pass."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    pct = docs.groupBy("source").agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY n_chars)").alias("_lo"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)").alias("_hi"),
+    )
+    j = docs.join(F.broadcast(pct), "source")
+    clip = F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("n_chars").cast("double")))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") < F.col("_lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("n_chars") > F.col("_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            F.first("_lo").cast("long").alias("p01_chars"),
+            F.first("_hi").cast("long").alias("p99_chars"),
+            (F.floor((F.sum(clip) / F.count("*")) * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_WINSORIZE_ORACLE = """
+    WITH pct AS (
+      SELECT source,
+             CAST(quantile_disc(n_chars, 0.01) AS DOUBLE) AS lo,
+             CAST(quantile_disc(n_chars, 0.99) AS DOUBLE) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.n_chars < p.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN d.n_chars > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           CAST(any_value(p.lo) AS BIGINT) AS p01_chars,
+           CAST(any_value(p.hi) AS BIGINT) AS p99_chars,
+           floor((sum(greatest(p.lo, least(p.hi, CAST(d.n_chars AS DOUBLE))))
+                  / count(*)) * 10000 + 0.5) / 10000 AS winsorized_mean
+    FROM documents d JOIN pct p ON d.source = p.source
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "join_fuzzy_levenshtein",
@@ -2022,5 +2085,11 @@ PENDING: tuple[PendingQuery, ...] = (
         agg_kmv_distinct_query,
         _KMV_ORACLE,
         tags=("agg", "sketch", "kmv", "distinct"),
+    ),
+    PendingQuery(
+        "llm_winsorize_stats",
+        llm_winsorize_stats_query,
+        _WINSORIZE_ORACLE,
+        tags=("llmops", "curation", "percentile", "winsorize"),
     ),
 )

@@ -141,6 +141,7 @@ def test_second_batch_plans_no_nested_loop(spark):
         agg_kmv_distinct_query,
         graph_label_propagation_query,
         incremental_join_fold_query,
+        llm_winsorize_stats_query,
     )
 
     for fn in (
@@ -153,6 +154,7 @@ def test_second_batch_plans_no_nested_loop(spark):
         incremental_join_fold_query,
         graph_label_propagation_query,
         agg_kmv_distinct_query,
+        llm_winsorize_stats_query,
     ):
         plan = _plan_of(fn(spark, "/root/testdata/sf0.001"))
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
