@@ -130,6 +130,7 @@ def main() -> None:
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # untimed warm-up
         dfs[name] = df  # hold the reference: cache lifetimes stay put
+    plan_stats: dict[str, dict] = {}
     for name, df in dfs.items():
         runs = []
         for _ in range(3):
@@ -137,6 +138,21 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         warm[name] = round(sorted(runs)[1], 3)
+        # Deterministic plan-shape fingerprint: wall times on this host
+        # swing ±35% with load (NOTES_r05), but exchange / codegen-span
+        # counts are pure functions of the plan — identical counts
+        # round-over-round prove the physical plans did not change, no
+        # matter what the timings did.
+        # NOTE: noop writes execute a CLONE of the plan, so this
+        # DataFrame's own AdaptiveSparkPlan stays isFinalPlan=false and
+        # codegen '*(n)' markers never materialize in its string —
+        # exchange and nested-loop counts are the two signals the
+        # initial plan carries reliably.
+        p = df._jdf.queryExecution().executedPlan().toString()
+        plan_stats[name] = {
+            "exchanges": p.count("Exchange"),
+            "bnlj": p.count("BroadcastNestedLoopJoin"),
+        }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -146,6 +162,7 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "plan_stats": plan_stats,
         "n_queries": len(timings),  # headline count grows round to round;
         # compare totals per-query or warm-series across rounds
         "sf": sf,
