@@ -1883,6 +1883,78 @@ _WINSORIZE_ORACLE = """
 """
 
 
+def agg_kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap WITHOUT comparing vocabularies:
+    the KMV Jaccard estimator (Beyer et al. SIGMOD'07) — for each
+    source pair, the k smallest hashes of the UNION are exactly the
+    k-min of the two per-source sketches merged (the mergeable-set
+    property), and the fraction of those present in BOTH sketches
+    estimates Jaccard similarity. Everything stays md5, so the whole
+    estimator is oracle-replicable like ``agg_kmv_distinct``. The pair
+    join is sketch-against-sketch (20 rows × k strings) — the corpus
+    is scanned ONCE for the states and never again, the exact shape
+    set-overlap analytics needs at 100 TB."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+    from spotify_data_pipeline_spark.operators.kmv import kmv_build
+
+    k = 16
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    st = kmv_build(toks, ["source"], "tok", k=k)
+    a = st.select(F.col("source").alias("src_a"), F.col("kmv_state").alias("_sa"))
+    b = st.select(F.col("source").alias("src_b"), F.col("kmv_state").alias("_sb"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    merged = F.slice(F.array_sort(F.array_union("_sa", "_sb")), 1, k)
+    inter = F.array_intersect(F.array_intersect(merged, F.col("_sa")), F.col("_sb"))
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            F.size(inter).cast("long").alias("k_overlap"),
+            (F.floor(F.size(inter) / F.lit(float(k)) * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "jaccard_est"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_KMV_OVERLAP_ORACLE = r"""
+    WITH t AS (
+      SELECT source,
+             unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS v
+      FROM documents WHERE length(trim(text)) > 0
+    ), d AS (
+      SELECT DISTINCT source, substr(md5(v), 1, 13) AS h FROM t
+    ), r AS (
+      SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM d
+    ), kept AS (
+      SELECT source, h FROM r WHERE rn <= 16
+    ), pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM (SELECT DISTINCT source FROM kept) a
+      JOIN (SELECT DISTINCT source FROM kept) b ON a.source < b.source
+    ), flagged AS (
+      SELECT p.sa, p.sb, k.h,
+             max(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN kept k ON k.source IN (p.sa, p.sb)
+      GROUP BY p.sa, p.sb, k.h
+    ), ranked AS (
+      SELECT sa, sb, in_a, in_b,
+             row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+      FROM flagged
+    )
+    SELECT sa AS src_a, sb AS src_b,
+           CAST(sum(in_a * in_b) AS BIGINT) AS k_overlap,
+           floor(sum(in_a * in_b) / 16.0 * 10000 + 0.5) / 10000 AS jaccard_est
+    FROM ranked WHERE rn <= 16
+    GROUP BY sa, sb
+    ORDER BY src_a, src_b
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "join_fuzzy_levenshtein",
@@ -2091,5 +2163,11 @@ PENDING: tuple[PendingQuery, ...] = (
         llm_winsorize_stats_query,
         _WINSORIZE_ORACLE,
         tags=("llmops", "curation", "percentile", "winsorize"),
+    ),
+    PendingQuery(
+        "agg_kmv_overlap",
+        agg_kmv_overlap_query,
+        _KMV_OVERLAP_ORACLE,
+        tags=("agg", "sketch", "kmv", "jaccard", "overlap"),
     ),
 )

@@ -103,3 +103,32 @@ def test_mismatched_k_fails_in_plan(spark):
         kmv_estimate(s16, ["g"], k=K).collect()
     with pytest.raises(Exception, match="state built with k=16"):
         kmv_merge(["g"], K, s16, s16).collect()
+
+
+def test_jaccard_overlap_estimator_on_planted_sets(spark):
+    """The pair-overlap estimator behind agg_kmv_overlap: merged k-min
+    ∩ both sketches / k ≈ Jaccard. Planted fixtures: identical sets
+    (J=1), disjoint sets (J=0), half-overlapping sets (J=1/3)."""
+    from pyspark.sql import functions as F
+
+    k = 16
+    full = [("a", f"s{i}") for i in range(200)]
+    same = [("b", f"s{i}") for i in range(200)]
+    disjoint = [("c", f"t{i}") for i in range(200)]
+    half = [("d", f"s{i}") for i in range(100)] + [("d", f"u{i}") for i in range(100)]
+    st = kmv_build(_df(spark, full + same + disjoint + half), ["g"], "v", k=k)
+    a = st.select(F.col("g").alias("ga"), F.col("kmv_state").alias("sa"))
+    b = st.select(F.col("g").alias("gb"), F.col("kmv_state").alias("sb"))
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    merged = F.slice(F.array_sort(F.array_union("sa", "sb")), 1, k)
+    inter = F.array_intersect(F.array_intersect(merged, F.col("sa")), F.col("sb"))
+    est = {
+        (r.ga, r.gb): r.j
+        for r in pairs.select(
+            "ga", "gb", (F.size(inter) / F.lit(float(k))).alias("j")
+        ).collect()
+    }
+    assert est[("a", "b")] == 1.0  # identical sets: exact
+    assert est[("a", "c")] == 0.0  # disjoint: exact
+    # half overlap: true J = 100/300 = 1/3; k=16 => sigma ~ 0.12
+    assert abs(est[("a", "d")] - 1 / 3) < 0.3

@@ -69,6 +69,10 @@ _BNLJ_WHITELIST = {
     # two broadcast-1-row aggregates (n_edges, n_triangles) assembled
     # into the single stats row (operators/triangles.py)
     "graph_triangle_count",
+    # sketch-vs-sketch pair join: |sources| rows of k-string states on
+    # each side (src_a < src_b theta) — bounded by construction, the
+    # corpus is never on either side
+    "agg_kmv_overlap",
 }
 
 
