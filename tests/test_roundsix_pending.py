@@ -159,3 +159,30 @@ def test_second_batch_plans_no_nested_loop(spark):
         plan = _plan_of(fn(spark, "/root/testdata/sf0.001"))
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_shipping_priority_plan_pushed_and_broadcast(spark):
+    """Q3's 100 TB contract: both date bands reach the parquet scans as
+    pushed filters, the filtered BUILDING-customer dim broadcasts, and
+    the top-10 is a TakeOrdered, not a global sort."""
+    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+        join_shipping_priority_query,
+    )
+
+    plan = _plan_of(join_shipping_priority_query(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in plan
+    assert "BroadcastHashJoin" in plan  # dim side broadcast, not shuffled
+    assert "TakeOrderedAndProject" in plan  # top-10 without a full sort
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_plan_single_user_shuffle(spark):
+    """events_attribution must be ONE window pass: a single exchange on
+    user_id plus the final 5-row agg — no events-against-events join."""
+    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+        events_attribution_query,
+    )
+
+    plan = _plan_of(events_attribution_query(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan  # window + agg only
+    assert plan.count("Window") == 1
