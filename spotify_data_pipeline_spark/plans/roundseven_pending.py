@@ -1,0 +1,219 @@
+"""Round-7 declared-query staging area (same contract as
+``roundsix_pending``: built and oracle-verified NOW, deliberately NOT
+declared — the round-6 activation window is already fully planned at
+35 staged + 15 re-proofs; these activate in round 7 after the usual
+evidence-hash refresh).
+
+Each entry: exact-oracle query + DuckDB SQL, exercised by
+``tests/test_roundseven_pending.py`` with the driver-shaped comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.plans.parity import rnd_cents
+
+
+@dataclass(frozen=True)
+class PendingQuery:
+    name: str
+    fn: object
+    oracle: str | None
+    headline: bool = False
+    tags: tuple[str, ...] = ()
+
+
+def events_session_paths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type paths across sessions — the
+    product-analytics "what do users actually do" query that funnels
+    (fixed order) and transition matrices (first-order only) both
+    miss. One window pass sessionizes (30-minute lag gap, the shared
+    sessionization rule), a second pass takes lead/lead2 WITHIN the
+    session partition — paths never straddle a session boundary by
+    construction, not by filtering. Counting is a 125-cell-max hash
+    agg; ties break on the path string. At 100 TB: two shuffles, both
+    on user-derived keys, no self-joins."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    _sec = F.col("ts").cast("timestamp").cast("long")  # NTZ-safe; UTC session
+    gap = _sec - F.lag(_sec).over(wu)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = ev.withColumn("_sid", F.sum(new_s).over(wu))
+    ws = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    grams = sess.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(ws).alias("step2"),
+        F.lead("event_type", 2).over(ws).alias("step3"),
+    ).where(F.col("step3").isNotNull())
+    return (
+        grams.groupBy("step1", "step2", "step3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "step1", "step2", "step3")
+        .limit(10)
+    )
+
+
+_SESSION_PATHS_ORACLE = """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), g AS (
+      SELECT event_type AS step1,
+             lead(event_type, 1) OVER w2 AS step2,
+             lead(event_type, 2) OVER w2 AS step3
+      FROM sid
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM g WHERE step3 IS NOT NULL
+    GROUP BY step1, step2, step3
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT 10
+"""
+
+
+def agg_revenue_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's revenue,
+    with the within-region rank — the percent-of-total window over an
+    aggregate (the report shape every BI layer emits). Revenue in
+    exact cents; the share divides two exact integers (deterministic
+    IEEE division, 4dp-rounded); dims broadcast; ONE fact shuffle for
+    the agg, then a 25-row window."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rnd_cents("o_totalprice")).alias("_cents"))
+    )
+    wr = Window.partitionBy("r_name")
+    wrank = Window.partitionBy("r_name").orderBy(F.col("_cents").desc(), F.col("n_name"))
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        (F.col("_cents") / 100.0).alias("revenue"),
+        (F.floor(F.col("_cents") / F.sum("_cents").over(wr) * 10000 + F.lit(0.5)) / 10000.0).alias(
+            "region_share"
+        ),
+        F.row_number().over(wrank).cast("long").alias("rank_in_region"),
+    ).orderBy("r_name", "rank_in_region")
+
+
+_REVENUE_SHARE_ORACLE = """
+    WITH per AS (
+      SELECT r_name, n_name,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           cents / 100.0 AS revenue,
+           floor(CAST(cents AS DOUBLE) / sum(cents) OVER (PARTITION BY r_name)
+                 * 10000 + 0.5) / 10000 AS region_share,
+           CAST(row_number() OVER (PARTITION BY r_name
+                                   ORDER BY cents DESC, n_name) AS BIGINT)
+             AS rank_in_region
+    FROM per
+    ORDER BY r_name, rank_in_region
+"""
+
+
+def orders_interpurchase_gap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per market segment: the median gap in
+    days between a customer's consecutive orders — the retention /
+    replenishment metric behind churn models. Per-customer gaps via
+    ONE lag window (integer day arithmetic — epoch floor-division, no
+    float dates), then a discrete median per segment
+    (percentile_disc ↔ quantile_disc, actual data values ⇒ integer
+    output, the winsorize device). Customers with one order contribute
+    no gap, deterministically on both engines."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.floor(F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
+    gaps = (
+        orders.withColumn("_gap", day - F.lag(day).over(w))
+        .where(F.col("_gap").isNotNull())
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        gaps.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _gap)")
+            .cast("long")
+            .alias("median_gap_days"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY _gap)")
+            .cast("long")
+            .alias("p90_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_INTERPURCHASE_ORACLE = """
+    WITH g AS (
+      SELECT o_custkey,
+             floor(epoch(o_orderdate) / 86400)
+             - lag(floor(epoch(o_orderdate) / 86400))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS gap
+      FROM orders
+    ), j AS (
+      SELECT c_mktsegment, gap FROM g
+      JOIN customer ON o_custkey = c_custkey
+      WHERE gap IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days,
+           CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_days
+    FROM j
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+PENDING: tuple[PendingQuery, ...] = (
+    PendingQuery(
+        "events_session_paths",
+        events_session_paths_query,
+        _SESSION_PATHS_ORACLE,
+        tags=("events", "session", "paths", "analytics"),
+    ),
+    PendingQuery(
+        "agg_revenue_share",
+        agg_revenue_share_query,
+        _REVENUE_SHARE_ORACLE,
+        tags=("agg", "window", "ratio-to-report"),
+    ),
+    PendingQuery(
+        "orders_interpurchase_gap",
+        orders_interpurchase_gap_query,
+        _INTERPURCHASE_ORACLE,
+        tags=("analytics", "retention", "percentile", "window"),
+    ),
+)

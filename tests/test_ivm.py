@@ -106,3 +106,22 @@ def test_property_any_split_folds_to_rebuild(spark, a, b, cut_a, cut_b):
     view_old = sa.join(sb, "k")
     maintained = maintain_join(view_old, sa, sda, sb, sdb, ["k"])
     assert _bag(maintained) == _full_join_bag(a, b)
+
+
+def test_null_join_keys_fold_like_rebuild(spark):
+    """NULL keys never match in an equi join — the fold must drop them
+    exactly like the rebuild does (on BOTH sides and in deltas)."""
+    a_old = [(None, 1), (1, 10)]
+    da = [(None, 2), (1, 11)]
+    b_old = [(1, 100), (None, 900)]
+    db = [(None, 901)]
+    sa = spark.createDataFrame(a_old, A_SCHEMA)
+    sda = spark.createDataFrame(da, A_SCHEMA)
+    sb = spark.createDataFrame(b_old, B_SCHEMA)
+    sdb = spark.createDataFrame(db, B_SCHEMA)
+    maintained = maintain_join(sa.join(sb, "k"), sa, sda, sb, sdb, ["k"])
+    want = _full_join_bag(
+        [(k, v) for k, v in a_old + da if k is not None],
+        [(k, v) for k, v in b_old + db if k is not None],
+    )
+    assert _bag(maintained) == want
