@@ -197,6 +197,73 @@ _INTERPURCHASE_ORACLE = """
 """
 
 
+def events_cusum_days_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection over the daily event
+    volume — the monitoring primitive that catches sustained drifts a
+    per-day 3σ rule (events_anomaly's shape) misses. The textbook
+    recursion S_d = max(0, S_{d-1} + x_d − μ − slack) looks
+    non-associative, but the identity S_d = P_d − min_{j≤d} P_j
+    (P = running residual sum) turns it into two plain ASSOCIATIVE
+    window aggregates — running sum + running min — so no fold HOF and
+    no cross-engine recursion. Exactness: residuals are scaled by
+    n_days (x_d·n − total − slack·n is an integer), so every prefix is
+    an exact integer; μ comes from an unpartitioned window over the
+    ~bounded daily frame, not a driver collect. Alarm when S exceeds
+    5·slack·n (slack = 5% of the mean)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    w_all = Window.partitionBy()
+    w_run = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = F.count("*").over(w_all)
+    total = F.sum("x").over(w_all)
+    # scaled residual: 20·(x·n − total) − total  ≡  20n·(x − μ − μ/20)
+    r = 20 * (F.col("x") * n - total) - total
+    scored = daily.withColumn("_r", r).withColumn(
+        "_p", F.sum("_r").over(w_run)
+    )
+    s = F.col("_p") - F.least(F.min("_p").over(w_run), F.lit(0))
+    # alarm threshold: 5·slack·20n = 5·total (in the scaled units)
+    return (
+        scored.select(
+            "day",
+            F.col("x").cast("long").alias("n_events"),
+            s.cast("long").alias("cusum_scaled"),
+            (s > 5 * total).alias("alarm"),
+        )
+        .orderBy("day")
+    )
+
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT day, x,
+             count(*) OVER () AS n,
+             sum(x) OVER () AS total
+      FROM daily
+    ), p AS (
+      SELECT day, x, total,
+             sum(20 * (x * n - total) - total)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pre
+      FROM c
+    )
+    SELECT day,
+           x AS n_events,
+           CAST(pre - least(min(pre) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+                AS BIGINT) AS cusum_scaled,
+           (pre - least(min(pre) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0))
+             > 5 * total AS alarm
+    FROM p
+    ORDER BY day
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -215,5 +282,11 @@ PENDING: tuple[PendingQuery, ...] = (
         orders_interpurchase_gap_query,
         _INTERPURCHASE_ORACLE,
         tags=("analytics", "retention", "percentile", "window"),
+    ),
+    PendingQuery(
+        "events_cusum_days",
+        events_cusum_days_query,
+        _CUSUM_ORACLE,
+        tags=("events", "monitoring", "cusum", "changepoint"),
     ),
 )

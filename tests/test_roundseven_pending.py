@@ -59,3 +59,33 @@ def test_session_paths_two_window_passes_no_self_join(spark):
 
     plan = _plan_of(events_session_paths_query(spark, SF_DIR))
     assert "Join" not in plan
+
+
+def test_cusum_identity_matches_textbook_recursion(spark):
+    """The load-bearing trick: S_d = P_d - min(0, min_{j<=d} P_j) must
+    equal the textbook S_d = max(0, S_{d-1} + r_d) exactly, including
+    a reset after a quiet stretch and an alarm under a planted drift."""
+    from pyspark.sql import functions as F
+
+    residuals = [5, -3, -9, 2, 4, 4, -1, 7, 7, 7, -30, 1, 1]
+    # textbook recursion in plain Python
+    want, s = [], 0
+    for r in residuals:
+        s = max(0, s + r)
+        want.append(s)
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(residuals)], "i long, r long"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy().orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    p = F.sum("r").over(w)
+    got = [
+        r.s
+        for r in df.select(
+            "i", (p - F.least(F.min(p).over(w), F.lit(0))).alias("s")
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == want
