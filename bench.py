@@ -176,6 +176,7 @@ def main() -> None:
     out["bloom_probe"] = _bloom_probe(spark, sf_dir)
     out["scale_probe"] = _scale_probe(spark, sf_dir)
     out["passage_scale_probe"] = _passage_scale_probe(spark, sf_dir)
+    out["graph_scale_probe"] = _graph_scale_probe(spark, sf_dir)
     out["bucketed_join_probe"] = _bucketed_join_probe(spark, sf_dir)
     out["incremental_probe"] = _incremental_probe(spark, sf_dir)
     out["rangejoin_probe"] = _rangejoin_probe(spark, sf_dir)
@@ -584,6 +585,55 @@ def _passage_scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
         "passage_1x_sec": t1,
         "passage_4x_sec": tN,
         "passage_ratio": round(tN / max(t1, 1e-9), 2),
+    }
+
+
+def _graph_scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
+    """Scaling evidence for the degree-ordered triangle pipeline
+    (operators/triangles.py): replicate the co-occurrence input
+    ``factor``× with DISJOINT part-id spaces (each replica is an
+    isomorphic copy of the graph — nodes, edges, wedges and triangles
+    all grow exactly ×factor, degree distribution unchanged), and
+    report the runtime ratio. Near ``factor`` ⇒ wedge generation is
+    degree-bounded as designed; superlinear would expose the Σdeg²
+    blow-up the orientation exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.triangles import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("l_orderkey", "l_partkey")
+    big = None
+    for i in range(factor):
+        rep = li.select(
+            (F.col("l_orderkey") * factor + i).alias("l_orderkey"),
+            (F.col("l_partkey") * factor + i).alias("l_partkey"),
+        )
+        big = rep if big is None else big.unionByName(rep)
+
+    def timed(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    def steady(df) -> float:
+        timed(df)
+        return sorted(timed(df) for _ in range(3))[1]
+
+    n_part = spark.sparkContext.defaultParallelism
+    t1 = steady(triangle_count(cooccurrence_edges(li.repartition(n_part), "l_orderkey", "l_partkey")))
+    tN = steady(triangle_count(cooccurrence_edges(big.repartition(n_part), "l_orderkey", "l_partkey")))
+    return {
+        "factor": factor,
+        "triangles_1x_sec": t1,
+        "triangles_4x_sec": tN,
+        "triangles_ratio": round(tN / max(t1, 1e-9), 2),
     }
 
 

@@ -1,0 +1,66 @@
+"""Plan audit: one markdown table of physical-plan facts for every
+declared query.
+
+Wall-clock on this host swings with load (NOTES_r05), but plan shape
+doesn't — this table is the deterministic cross-section a reviewer
+can regenerate and diff round-over-round:
+
+    python tools/plan_audit.py [sf_dir]          # default sf0.001
+
+Columns: exchanges (shuffles), joins by kind, BNLJ/Cartesian presence
+(with the hygiene-whitelist annotation), whether any scan reports
+pushed filters, and window-operator count. The BNLJ column should be
+nonzero ONLY for queries in tests/test_plan_hygiene.py's documented
+broadcast-1-row whitelist — the same invariant pytest enforces,
+surfaced as a readable artifact.
+"""
+
+from __future__ import annotations
+
+import sys
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.session import get_spark
+
+    sys.path.insert(0, f"{REPO}/tests")
+    from test_plan_hygiene import _BNLJ_WHITELIST
+
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"# Plan audit @ {sf_dir}\n")
+    print("| query | exchanges | SMJ | SHJ | BHJ | BNLJ | pushed | windows |")
+    print("|---|---|---|---|---|---|---|---|")
+    for name, q in all_queries().items():
+        try:
+            plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # surface, don't abort the table
+            print(f"| {name} | ERROR: {type(e).__name__} | | | | | | |")
+            continue
+        bnlj = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
+        flag = (
+            f"{bnlj} (whitelisted)"
+            if bnlj and name in _BNLJ_WHITELIST
+            else (f"{bnlj} **UNWHITELISTED**" if bnlj else "0")
+        )
+        print(
+            f"| {name} "
+            f"| {plan.count('Exchange')} "
+            f"| {plan.count('SortMergeJoin')} "
+            f"| {plan.count('ShuffledHashJoin')} "
+            f"| {plan.count('BroadcastHashJoin')} "
+            f"| {flag} "
+            f"| {'y' if 'PushedFilters' in plan else '-'} "
+            f"| {plan.count('Window')} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
