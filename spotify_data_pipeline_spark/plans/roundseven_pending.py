@@ -264,6 +264,152 @@ _CUSUM_ORACLE = """
 """
 
 
+def agg_forecast_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the canonical predicate-pushdown aggregate:
+    potential revenue uplift from discount changes, one filtered scan,
+    zero joins, zero shuffles past the 1-row agg. The simplest plan in
+    the book, kept as the pushdown/codegen canary: every predicate
+    (date band, discount band, quantity cap) must reach the parquet
+    scan. Revenue = Σ extendedprice·discount in exact cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(rnd_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0).alias(
+                "forecast_revenue"
+            ),
+        )
+    )
+
+
+_FORECAST_REVENUE_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) / 100.0
+             AS forecast_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def orders_basket_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered parts: for the
+    top part pairs, support / confidence / LIFT — the retail analytics
+    family (frequent itemsets at the pair level) none of the other
+    declared queries touch. Pair counts come from the capped in-array
+    co-occurrence pattern (operators/triangles.py — never a baskets×
+    baskets self-join); singleton counts are one hash agg; lift is a
+    ratio of exact integers, 4dp-rounded. Pairs with support < 5
+    baskets are cut before ranking (the classic min-support prune —
+    at 100 TB it is also what keeps the ranked set small). Top-15 by
+    lift, ties broken on the pair ids."""
+    from spotify_data_pipeline_spark.operators.triangles import cooccurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # basket = order; item = part. Pair occurrences WITH multiplicity of
+    # baskets: count each (basket, pair) once — cooccurrence_edges
+    # dedups per basket via distinct, so re-derive pair-per-basket
+    # counts by counting edges per pair across baskets.
+    items = li.distinct()
+    # 1-row broadcast basket-count aggregate (the documented device —
+    # no driver-side count() in a declared query path)
+    nb = items.agg(F.countDistinct("l_orderkey").alias("_n_baskets"))
+    pair_counts = (
+        cooccurrence_edges_with_counts(items)
+        .where(F.col("n_ab") >= 5)
+    )
+    single = items.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count("*").alias("n_single")
+    )
+    joined = (
+        pair_counts.join(
+            single.select(F.col("_pk").alias("src"), F.col("n_single").alias("n_a")),
+            "src",
+        )
+        .join(
+            single.select(F.col("_pk").alias("dst"), F.col("n_single").alias("n_b")),
+            "dst",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    lift = (F.col("n_ab") * F.col("_n_baskets")) / (F.col("n_a") * F.col("n_b"))
+    conf = F.col("n_ab") / F.col("n_a")
+    return (
+        joined.select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            F.col("n_ab").cast("long").alias("n_baskets_ab"),
+            (F.floor(conf * 10000 + F.lit(0.5)) / 10000.0).alias("confidence"),
+            (F.floor(lift * 10000 + F.lit(0.5)) / 10000.0).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(15)
+    )
+
+
+def cooccurrence_edges_with_counts(items: DataFrame) -> DataFrame:
+    """(src, dst, n_ab): distinct co-basket pairs with the number of
+    baskets containing both — the counted variant of
+    ``triangles.cooccurrence_edges`` (same capped in-array pair
+    generation, plus the per-pair basket count)."""
+    grouped = (
+        items.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_items"))
+        .where(F.size("_items").between(2, 200))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_items, (x, i) ->"
+                " transform(slice(_items, i + 2, size(_items) - i - 1),"
+                " y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("_e")
+    )
+    return (
+        pairs.select("_e.src", "_e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_ab"))
+    )
+
+
+_BASKET_LIFT_ORACLE = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), sized AS (
+      SELECT l_orderkey FROM items GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 2 AND 200
+    ), pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), singles AS (
+      SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1
+    ), nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items)
+    SELECT src AS part_a, dst AS part_b, n_ab AS n_baskets_ab,
+           floor(CAST(n_ab AS DOUBLE) / sa.n * 10000 + 0.5) / 10000 AS confidence,
+           floor(CAST(n_ab * nb.n_baskets AS DOUBLE) / (sa.n * sb.n) * 10000 + 0.5)
+             / 10000 AS lift
+    FROM pairs
+    JOIN singles sa ON src = sa.pk
+    JOIN singles sb ON dst = sb.pk, nb
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 15
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -288,5 +434,17 @@ PENDING: tuple[PendingQuery, ...] = (
         events_cusum_days_query,
         _CUSUM_ORACLE,
         tags=("events", "monitoring", "cusum", "changepoint"),
+    ),
+    PendingQuery(
+        "agg_forecast_revenue",
+        agg_forecast_revenue_query,
+        _FORECAST_REVENUE_ORACLE,
+        tags=("agg", "tpch", "pushdown"),
+    ),
+    PendingQuery(
+        "orders_basket_lift",
+        orders_basket_lift_query,
+        _BASKET_LIFT_ORACLE,
+        tags=("analytics", "basket", "association", "lift"),
     ),
 )

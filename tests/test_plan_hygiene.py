@@ -73,6 +73,9 @@ _BNLJ_WHITELIST = {
     # each side (src_a < src_b theta) — bounded by construction, the
     # corpus is never on either side
     "agg_kmv_overlap",
+    # --- round-7 staged (pre-whitelisted for activation) ---
+    # 1-row broadcast basket-count aggregate under the lift ratio
+    "orders_basket_lift",
 }
 
 
