@@ -410,6 +410,52 @@ _BASKET_LIFT_ORACLE = """
 """
 
 
+def orders_dow_seasonality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week order seasonality with a goodness-of-fit statistic:
+    per weekday the order count, its share, and the per-cell
+    contribution to the uniformity chi-square — scaled to INTEGERS
+    ((7·o_d − total)², the cross-multiplied form), so the statistic
+    carries no float-sum order risk; only the final display ratios
+    divide and 4dp-round. The chi-square-against-uniform test is the
+    standard seasonality screen before building per-weekday models.
+    One 7-cell hash agg + an unpartitioned 7-row window for the
+    total."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.count("*").alias("n_orders")
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("n_orders").over(w_all)
+    dev = 7 * F.col("n_orders") - total  # integer deviation, scaled by 7
+    return (
+        daily.select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            (F.floor(F.col("n_orders") / total * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "share"
+            ),
+            (dev * dev).cast("long").alias("chi2_cell_scaled"),
+        )
+        .orderBy("dow")
+    )
+
+
+_DOW_SEASONALITY_ORACLE = """
+    WITH d AS (
+      SELECT dayofweek(o_orderdate) + 1 AS dow, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT dow, n, sum(n) OVER () AS total FROM d
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           n AS n_orders,
+           floor(CAST(n AS DOUBLE) / total * 10000 + 0.5) / 10000 AS share,
+           CAST((7 * n - total) * (7 * n - total) AS BIGINT) AS chi2_cell_scaled
+    FROM t
+    ORDER BY dow
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -446,5 +492,11 @@ PENDING: tuple[PendingQuery, ...] = (
         orders_basket_lift_query,
         _BASKET_LIFT_ORACLE,
         tags=("analytics", "basket", "association", "lift"),
+    ),
+    PendingQuery(
+        "orders_dow_seasonality",
+        orders_dow_seasonality_query,
+        _DOW_SEASONALITY_ORACLE,
+        tags=("analytics", "seasonality", "chisquare"),
     ),
 )
