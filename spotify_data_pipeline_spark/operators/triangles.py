@@ -35,7 +35,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_edges", "triangle_count", "triangle_counts_per_vertex"]
+__all__ = [
+    "cooccurrence_edges",
+    "cooccurrence_counts",
+    "triangle_count",
+    "triangle_counts_per_vertex",
+]
+
+
+def _group_pairs(
+    df: DataFrame, group_col: str, item_col: str, max_items_per_group: int
+) -> DataFrame:
+    """One (src, dst) row per (group, unordered item pair), src < dst —
+    the single home of the capped in-array pair HOF. Same shape as the
+    near-dup bucket pairs (operators/dedup.py ~314) — deliberately NOT
+    shared with dedup: that module is evidence-pinned for this round's
+    tail queries (tests/evidence_hashes.json), so adding an export
+    there would invalidate their driver proof; unify when it rotates
+    through the window."""
+    items = (
+        df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+        .where(F.col("_i").isNotNull())
+        .distinct()
+        .groupBy("_g")
+        .agg(F.array_sort(F.collect_set("_i")).alias("_items"))
+        .where(F.size("_items").between(2, max_items_per_group))
+    )
+    return items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_items, (x, i) ->"
+                " transform(slice(_items, i + 2, size(_items) - i - 1),"
+                " y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
 
 
 def cooccurrence_edges(
@@ -52,30 +86,23 @@ def cooccurrence_edges(
     pair materializes, because pairs generate INSIDE the per-group
     sorted item array.
     """
-    items = (
-        df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
-        .where(F.col("_i").isNotNull())
-        .distinct()
-        .groupBy("_g")
-        .agg(F.array_sort(F.collect_set("_i")).alias("_items"))
-        .where(F.size("_items").between(2, max_items_per_group))
+    return _group_pairs(df, group_col, item_col, max_items_per_group).distinct()
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_items_per_group: int = 200,
+) -> DataFrame:
+    """(src, dst, n_ab): the counted variant — how many groups contain
+    both items (market-basket pair support). Same capped in-array pair
+    generation; the count replaces the distinct."""
+    return (
+        _group_pairs(df, group_col, item_col, max_items_per_group)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_ab"))
     )
-    # in-array pair generation: for i<j emit (items[i], items[j]).
-    # Same HOF shape as the near-dup bucket pairs (operators/dedup.py
-    # ~314) — deliberately NOT shared: dedup.py is evidence-pinned for
-    # this round's tail queries (tests/evidence_hashes.json), so adding
-    # an export there would invalidate their driver proof; unify when
-    # dedup rotates through the window.
-    pairs = items.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(_items, (x, i) ->"
-                " transform(slice(_items, i + 2, size(_items) - i - 1),"
-                " y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("_e")
-    )
-    return pairs.select("_e.src", "_e.dst").distinct()
 
 
 def _oriented(edges: DataFrame) -> DataFrame:

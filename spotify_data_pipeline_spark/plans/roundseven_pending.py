@@ -40,9 +40,12 @@ def events_session_paths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user-derived keys, no self-joins."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    _sec = F.col("ts").cast("timestamp").cast("long")  # NTZ-safe; UTC session
-    gap = _sec - F.lag(_sec).over(wu)
-    new_s = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # MICROSECOND gap arithmetic (the roundfive.py:321 pattern):
+    # whole-second truncation would disagree with the oracle's epoch_us
+    # for gaps inside (1800, 1801) s — sub-second event times are real.
+    _us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = _us - F.lag(_us).over(wu)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("_sid", F.sum(new_s).over(wu))
     ws = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
     grams = sess.select(
@@ -62,7 +65,7 @@ _SESSION_PATHS_ORACLE = """
     WITH s AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -208,8 +211,9 @@ def events_cusum_days_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cross-engine recursion. Exactness: residuals are scaled by
     n_days (x_d·n − total − slack·n is an integer), so every prefix is
     an exact integer; μ comes from an unpartitioned window over the
-    ~bounded daily frame, not a driver collect. Alarm when S exceeds
-    5·slack·n (slack = 5% of the mean)."""
+    ~bounded daily frame, not a driver collect. Alarm when the
+    UNSCALED statistic exceeds 5·slack ≡ scaled S > 5·total (the
+    inline derivation at the threshold; slack = 5% of the mean)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
         F.count("*").alias("x")
@@ -312,7 +316,7 @@ def orders_basket_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets are cut before ranking (the classic min-support prune —
     at 100 TB it is also what keeps the ranked set small). Top-15 by
     lift, ties broken on the pair ids."""
-    from spotify_data_pipeline_spark.operators.triangles import cooccurrence_edges
+    from spotify_data_pipeline_spark.operators.triangles import cooccurrence_counts
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # basket = order; item = part. Pair occurrences WITH multiplicity of
@@ -323,9 +327,8 @@ def orders_basket_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row broadcast basket-count aggregate (the documented device —
     # no driver-side count() in a declared query path)
     nb = items.agg(F.countDistinct("l_orderkey").alias("_n_baskets"))
-    pair_counts = (
-        cooccurrence_edges_with_counts(items)
-        .where(F.col("n_ab") >= 5)
+    pair_counts = cooccurrence_counts(items, "l_orderkey", "l_partkey").where(
+        F.col("n_ab") >= 5
     )
     single = items.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.count("*").alias("n_single")
@@ -353,32 +356,6 @@ def orders_basket_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(15)
-    )
-
-
-def cooccurrence_edges_with_counts(items: DataFrame) -> DataFrame:
-    """(src, dst, n_ab): distinct co-basket pairs with the number of
-    baskets containing both — the counted variant of
-    ``triangles.cooccurrence_edges`` (same capped in-array pair
-    generation, plus the per-pair basket count)."""
-    grouped = (
-        items.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_items"))
-        .where(F.size("_items").between(2, 200))
-    )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(_items, (x, i) ->"
-                " transform(slice(_items, i + 2, size(_items) - i - 1),"
-                " y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("_e")
-    )
-    return (
-        pairs.select("_e.src", "_e.dst")
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n_ab"))
     )
 
 

@@ -7,7 +7,8 @@ can regenerate and diff round-over-round:
 
     python tools/plan_audit.py [sf_dir]          # default sf0.001
 
-Columns: exchanges (shuffles), joins by kind, BNLJ/Cartesian presence
+Columns: shuffles (hash/range-partitioning exchanges — broadcast and
+reused exchanges counted separately), joins by kind, BNLJ/Cartesian presence
 (with the hygiene-whitelist annotation), whether any scan reports
 pushed filters, and window-operator count. The BNLJ column should be
 nonzero ONLY for queries in tests/test_plan_hygiene.py's documented
@@ -36,8 +37,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     print(f"# Plan audit @ {sf_dir}\n")
-    print("| query | exchanges | SMJ | SHJ | BHJ | BNLJ | pushed | windows |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("| query | shuffles | bcast | SMJ | SHJ | BHJ | BNLJ | pushed | windows |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for name, q in all_queries().items():
         try:
             plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -50,15 +51,19 @@ def main() -> None:
             if bnlj and name in _BNLJ_WHITELIST
             else (f"{bnlj} **UNWHITELISTED**" if bnlj else "0")
         )
+        shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        ) + plan.count("Exchange SinglePartition")
         print(
             f"| {name} "
-            f"| {plan.count('Exchange')} "
+            f"| {shuffles} "
+            f"| {plan.count('BroadcastExchange')} "
             f"| {plan.count('SortMergeJoin')} "
             f"| {plan.count('ShuffledHashJoin')} "
             f"| {plan.count('BroadcastHashJoin')} "
             f"| {flag} "
             f"| {'y' if 'PushedFilters' in plan else '-'} "
-            f"| {plan.count('Window')} |"
+            f"| {plan.count('Window') - plan.count('WindowGroupLimit')} |"
         )
 
 
