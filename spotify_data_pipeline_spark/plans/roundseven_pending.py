@@ -433,6 +433,57 @@ _DOW_SEASONALITY_ORACLE = """
 """
 
 
+def profile_orders_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic table profiling (operators/profiling.py) over orders —
+    the discovery report (null counts, exact distinct cardinality,
+    numeric ranges, top values) that precedes writing constraints.
+    Two passes total regardless of column count: one algebraic agg for
+    nulls/min/max/numeric-distinct, one stacked (column, value) agg
+    feeding string distinct counts AND the top-3 (count desc, value
+    asc — deterministic). Numerics are never stringified (cross-engine
+    float formatting is not deterministic), which is why min/max are
+    typed DOUBLE columns and top_values covers string columns only."""
+    from spotify_data_pipeline_spark.operators.profiling import profile_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    return profile_table(orders, top_k=3)
+
+
+def _profile_oracle_sql() -> str:
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    parts = []
+    for c in num_cols:
+        parts.append(f"""
+    SELECT '{c}' AS "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_num,
+           CAST(max({c}) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS top_values
+    FROM orders""")
+    for c in str_cols:
+        parts.append(f"""
+    SELECT '{c}' AS "column",
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders) AS n_null,
+           (SELECT CAST(count(DISTINCT {c}) AS BIGINT) FROM orders) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num,
+           CAST(NULL AS DOUBLE) AS max_num,
+           (SELECT string_agg(v || ':' || CAST(c2 AS VARCHAR), ',' ORDER BY c2 DESC, v)
+              FROM (SELECT {c} AS v, count(*) AS c2 FROM orders
+                    WHERE {c} IS NOT NULL
+                    GROUP BY {c} ORDER BY c2 DESC, v LIMIT 3)) AS top_values""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+_PROFILE_ORACLE = _profile_oracle_sql()
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -475,5 +526,11 @@ PENDING: tuple[PendingQuery, ...] = (
         orders_dow_seasonality_query,
         _DOW_SEASONALITY_ORACLE,
         tags=("analytics", "seasonality", "chisquare"),
+    ),
+    PendingQuery(
+        "profile_orders",
+        profile_orders_query,
+        _PROFILE_ORACLE,
+        tags=("profiling", "quality", "discovery"),
     ),
 )
