@@ -484,6 +484,73 @@ def _profile_oracle_sql() -> str:
 _PROFILE_ORACLE = _profile_oracle_sql()
 
 
+def graph_hop_distance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source hop distances (operators/hops.py) on the part
+    co-order graph: 1% of parts seed the frontier, 3 synchronous
+    relaxation rounds give every part within 3 hops its EXACT distance
+    — reach/blast-radius analysis, the distance member of the graph
+    family. Same bounded graph window as graph_triangle_count; the
+    unrolled-CTE oracle replicates every round (the PageRank/labelprop
+    device — pure min over integers, zero float risk)."""
+    from spotify_data_pipeline_spark.operators.hops import hop_distances
+    from spotify_data_pipeline_spark.operators.triangles import cooccurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 100 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return hop_distances(edges, seeds, max_hops=3).orderBy("node")
+
+
+def _hop_distance_oracle_sql(max_hops: int = 3) -> str:
+    head = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+    ), sized AS (
+      SELECT l_orderkey FROM li GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 2 AND 200
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+    ), adj AS (
+      SELECT src AS node, dst AS nbr FROM e
+      UNION ALL SELECT dst AS node, src AS nbr FROM e
+    ), d0 AS (
+      SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+      FROM part WHERE p_partkey % 100 = 0
+    )"""
+    iters = []
+    for t in range(max_hops):
+        iters.append(f"""
+    d{t + 1} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT a.node, d.dist + 1 AS dist
+        FROM adj a JOIN d{t} d ON a.nbr = d.node
+        UNION ALL
+        SELECT node, dist FROM d{t}
+      ) GROUP BY node
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"\n    SELECT node, dist FROM d{max_hops} ORDER BY node"
+    )
+
+
+_HOP_DISTANCE_ORACLE = _hop_distance_oracle_sql()
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -532,5 +599,11 @@ PENDING: tuple[PendingQuery, ...] = (
         profile_orders_query,
         _PROFILE_ORACLE,
         tags=("profiling", "quality", "discovery"),
+    ),
+    PendingQuery(
+        "graph_hop_distance",
+        graph_hop_distance_query,
+        _HOP_DISTANCE_ORACLE,
+        tags=("graph", "bfs", "distance", "reach"),
     ),
 )
