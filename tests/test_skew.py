@@ -83,3 +83,49 @@ def test_salted_join_rejects_unsupported_how(spark, skewed):
     for how in ("right", "full", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(skewed, dim, "k", salt_factor=4, how=how)
+
+
+def test_aqe_skew_join_engages_on_hot_partition(spark):
+    """The session config promises AQE skew-join handling
+    (session.py: spark.sql.adaptive.skewJoin.enabled) — prove it
+    actually ENGAGES: a 90%-hot-key join, with the detector thresholds
+    lowered to toy scale, must carry skew=true in the FINALIZED
+    adaptive plan (driven via this DataFrame's own execution — noop
+    writes execute a clone and never finalize it). The result stays
+    exact: hot key contributes 0, the 20 cold keys 5000·2k each."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(1_000_000).select(
+            (F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 200)).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        agg = big.join(dim, "k").agg(F.sum("w").alias("s"))
+        assert agg.collect()[0].s == 20_800_000
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE skew-join did not engage"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
