@@ -471,3 +471,21 @@ def test_transform_with_state_matches_legacy_operator(spark, events_dir):
     assert new == old
     # final lifetime totals present for both users
     assert (10, 4, 12.0) in new and (11, 2, 6.0) in new
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """Stream-static join — Structured Streaming's built-in dimension
+    enrichment: the static side joins per micro-batch with no state
+    store and no watermark requirement. Pinned against the batch twin
+    on the same files."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.5)],
+        "event_type string, weight double",
+    )
+    enriched = _read_stream(spark, events_dir).join(dim, "event_type")
+    got = _run_stream(spark, enriched, "t_static_join", "append")
+    want = spark.read.parquet(events_dir).join(dim, "event_type").collect()
+    assert len(got) == len(want)
+    assert {(r.event_id, r.weight) for r in got} == {
+        (r.event_id, r.weight) for r in want
+    }
