@@ -551,6 +551,84 @@ def _hop_distance_oracle_sql(max_hops: int = 3) -> str:
 _HOP_DISTANCE_ORACLE = _hop_distance_oracle_sql()
 
 
+def orders_benford_digits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screening of order totals — the classic
+    fabricated-numbers / data-quality test (Nigrini's fraud screen):
+    observed first-significant-digit counts vs the Benford expectation
+    log10(1+1/d). The digit extracts via INTEGER/STRING arithmetic
+    (first char of the truncated amount — no log10 of a double near a
+    power-of-ten boundary to disagree on); expected proportions enter
+    as literal constants shared by both engines (the LSH hyperplane
+    device); the deviation is (observed−expected·n) in 4dp-rounded
+    units. One 9-cell hash agg."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = orders.groupBy(digit.alias("digit")).agg(F.count("*").alias("n_orders"))
+    w_all = Window.partitionBy()
+    total = F.sum("n_orders").over(w_all)
+    import math
+
+    benford = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(round(math.log10(1 + 1 / d), 6)))
+        ]
+    )
+    exp = F.element_at(benford, F.col("digit"))
+    return (
+        counts.select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            (F.floor(F.col("n_orders") / total * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "observed_frac"
+            ),
+            exp.alias("benford_frac"),
+            (
+                F.floor(
+                    (F.col("n_orders") - exp * total) / total * 10000 + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle_sql() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN {round(math.log10(1 + 1 / d), 6)}" for d in range(1, 10)
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    ), t AS (
+      SELECT digit, n_orders, sum(n_orders) OVER () AS total,
+             CASE digit {cases} END AS benford_frac
+      FROM c
+    )
+    SELECT digit, n_orders,
+           floor(CAST(n_orders AS DOUBLE) / total * 10000 + 0.5) / 10000
+             AS observed_frac,
+           benford_frac,
+           floor((n_orders - benford_frac * total) / total * 10000 + 0.5) / 10000
+             AS deviation
+    FROM t
+    ORDER BY digit
+"""
+
+
+_BENFORD_ORACLE = _benford_oracle_sql()
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -605,5 +683,11 @@ PENDING: tuple[PendingQuery, ...] = (
         graph_hop_distance_query,
         _HOP_DISTANCE_ORACLE,
         tags=("graph", "bfs", "distance", "reach"),
+    ),
+    PendingQuery(
+        "orders_benford_digits",
+        orders_benford_digits_query,
+        _BENFORD_ORACLE,
+        tags=("quality", "benford", "fraud"),
     ),
 )
