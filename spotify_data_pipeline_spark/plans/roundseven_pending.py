@@ -629,6 +629,108 @@ def _benford_oracle_sql() -> str:
 _BENFORD_ORACLE = _benford_oracle_sql()
 
 
+def llm_ks_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift screen: each source's
+    document-length distribution against the REST of the corpus — the
+    distribution-shift gate a curation pipeline runs before mixing a
+    new source in. The KS statistic sup|F₁−F₂| is computed in
+    CROSS-MULTIPLIED INTEGERS: D·n₁·n₂ = max over values of
+    |cum₁·n₂ − cum₂·n₁| (cumulative counts via one window over the
+    per-(source,value) agg), so the supremum is exact — no float CDFs,
+    no interpolation; only the final display ratio divides and
+    4dp-rounds. Per source: one agg + one window + a 1-row-per-source
+    max. The alarm threshold 1.358·√((n₁+n₂)/(n₁n₂)) (α=0.05) is
+    classical but float — emitted as the exact integer statistic plus
+    the rounded ratio so the caller picks the cutoff."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    sources = docs.select("source").distinct()
+    # per (source, value): in-source count and rest-of-corpus count
+    per_val_all = docs.groupBy("n_chars").agg(F.count("*").alias("_c_all"))
+    per_val_src = docs.groupBy("source", "n_chars").agg(F.count("*").alias("_c_src"))
+    joined = (
+        sources.crossJoin(per_val_all)  # |sources| x |distinct lengths| grid
+        .join(per_val_src, ["source", "n_chars"], "left")
+        .withColumn("_c_src", F.coalesce("_c_src", F.lit(0)))
+        .withColumn("_c_rest", F.col("_c_all") - F.col("_c_src"))
+    )
+    w_tot = Window.partitionBy("source")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n1 = F.sum("_c_src").over(w_tot)
+    n2 = F.sum("_c_rest").over(w_tot)
+    d_scaled = F.abs(
+        F.sum("_c_src").over(w_cum) * n2 - F.sum("_c_rest").over(w_cum) * n1
+    )
+    scored = joined.select(
+        "source", n1.alias("_n1"), n2.alias("_n2"), d_scaled.alias("_d")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.first("_n1").alias("n_source"),
+            F.first("_n2").alias("n_rest"),
+            F.max("_d").alias("ks_scaled"),
+        )
+        .select(
+            "source",
+            F.col("n_source").cast("long").alias("n_source"),
+            F.col("n_rest").cast("long").alias("n_rest"),
+            F.col("ks_scaled").cast("long").alias("ks_scaled"),
+            (
+                F.floor(
+                    F.col("ks_scaled")
+                    / (F.col("n_source") * F.col("n_rest"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("ks_stat"),
+        )
+        .orderBy("source")
+    )
+
+
+_KS_DRIFT_ORACLE = """
+    WITH srcs AS (SELECT DISTINCT source FROM documents),
+    pv_all AS (
+      SELECT n_chars, CAST(count(*) AS BIGINT) AS c_all
+      FROM documents GROUP BY 1
+    ), pv_src AS (
+      SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c_src
+      FROM documents GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.source, a.n_chars, a.c_all,
+             coalesce(p.c_src, 0) AS c_src,
+             a.c_all - coalesce(p.c_src, 0) AS c_rest
+      FROM srcs s CROSS JOIN pv_all a
+      LEFT JOIN pv_src p ON p.source = s.source AND p.n_chars = a.n_chars
+    ), cum AS (
+      SELECT source,
+             sum(c_src) OVER (PARTITION BY source) AS n1,
+             sum(c_rest) OVER (PARTITION BY source) AS n2,
+             abs(sum(c_src) OVER (PARTITION BY source ORDER BY n_chars
+                                  ROWS UNBOUNDED PRECEDING)
+                 * sum(c_rest) OVER (PARTITION BY source)
+                 - sum(c_rest) OVER (PARTITION BY source ORDER BY n_chars
+                                     ROWS UNBOUNDED PRECEDING)
+                 * sum(c_src) OVER (PARTITION BY source)) AS d
+      FROM grid
+    )
+    SELECT source,
+           CAST(any_value(n1) AS BIGINT) AS n_source,
+           CAST(any_value(n2) AS BIGINT) AS n_rest,
+           CAST(max(d) AS BIGINT) AS ks_scaled,
+           floor(CAST(max(d) AS DOUBLE) / (any_value(n1) * any_value(n2))
+                 * 10000 + 0.5) / 10000 AS ks_stat
+    FROM cum
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -689,5 +791,11 @@ PENDING: tuple[PendingQuery, ...] = (
         orders_benford_digits_query,
         _BENFORD_ORACLE,
         tags=("quality", "benford", "fraud"),
+    ),
+    PendingQuery(
+        "llm_ks_drift",
+        llm_ks_drift_query,
+        _KS_DRIFT_ORACLE,
+        tags=("llmops", "drift", "ks", "distribution"),
     ),
 )

@@ -76,6 +76,9 @@ _BNLJ_WHITELIST = {
     # --- round-7 staged (pre-whitelisted for activation) ---
     # 1-row broadcast basket-count aggregate under the lift ratio
     "orders_basket_lift",
+    # sources x length-histogram grid: cross join of two small
+    # aggregates (20 x few-thousand), never the corpus
+    "llm_ks_drift",
 }
 
 

@@ -47,6 +47,9 @@ def _plan_of(df) -> str:
 # plan-hygiene whitelist (with the same reasons) at activation
 _BNLJ_OK = {
     "orders_basket_lift",  # 1-row broadcast basket-count aggregate
+    # |sources| x |distinct-length| grid: a cross join of two SMALL
+    # AGGREGATES (20 x few-thousand rows), never the corpus
+    "llm_ks_drift",
 }
 
 
