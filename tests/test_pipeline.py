@@ -255,3 +255,19 @@ def test_curate_corpus_gopher_gate_is_subset(spark):
         .collect()
     }
     assert gated == base - failing
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    """Format coverage beyond parquet/JSON/text: ORC is built into
+    Spark — a columnar sink/source round-trip must preserve schema and
+    values bit-for-bit (types included)."""
+    from spotify_data_pipeline_spark.io import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "lineitem").limit(500)
+    path = str(tmp_path / "li_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
