@@ -731,6 +731,332 @@ _KS_DRIFT_ORACLE = """
 """
 
 
+def join_volume_shipping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between two trading nations:
+    revenue by (supplier nation, customer nation, ship year) for the
+    ordered pairs (NATION_1→NATION_2, NATION_2→NATION_1) over a 2-year
+    ship window. The plan is the classic 5-way star: lineitem carries
+    both a supplier-side and a customer-side dimension chain, so the
+    fact shuffles ONCE per chain key while all four dims broadcast;
+    the nation-pair disjunction prunes after the broadcast joins (a
+    25×25 predicate, never a join). Revenue in exact cents."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            (
+                F.sum(rnd_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_VOLUME_SHIPPING_ORACLE = """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+             / 100.0 AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+def join_market_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — NATION_3's market share of PROMO-part revenue
+    sold to ASIA customers, per order year: the two-conditional-sums-
+    then-divide pattern (share = Σ·[supplier∈nation] / Σ) computed in
+    exact integer cents on both sides of the ratio, so the 4dp share
+    is one deterministic division. Six-table star, every dimension
+    broadcast, fact shuffled only on its join keys; the CASE keeps a
+    single aggregation pass instead of two plans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = nation.select(F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cr_key"))
+    sn = nation.select(F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("_supp_nation"))
+    vol = rnd_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(region), F.col("_cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_sn_key"))
+    )
+    num = F.sum(F.when(F.col("_supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
+    den = F.sum(vol)
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (num / 100.0).alias("nation_revenue"),
+            (den / 100.0).alias("total_revenue"),
+            (F.floor(num / den * 10000 + F.lit(0.5)) / 10000.0).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_MARKET_SHARE_ORACLE = """
+    WITH j AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) / 100.0
+             AS nation_revenue,
+           sum(vol) / 100.0 AS total_revenue,
+           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+                 / sum(vol) * 10000 + 0.5) / 10000 AS mkt_share
+    FROM j
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+def agg_customer_distribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the customer order-count distribution: LEFT
+    join customers to a FILTERED orders subset (priorities below HIGH),
+    count per customer INCLUDING the zero bucket (the left join is the
+    whole point — an inner join silently drops never-ordered customers
+    from the histogram), then histogram the counts. Two shuffles
+    (custkey, then the ≤ tens-of-buckets count agg)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("long").alias("c_count"))
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_CUSTOMER_DISTRIBUTION_ORACLE = """
+    WITH per AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def join_large_volume_customer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    line quantity exceeds 260 (the ~p99 at this data's shape), joined
+    back to customer and orders for the report row. The HAVING-subquery
+    becomes an agg + semi-shaped inner join on orderkey: the fact
+    aggregates FIRST (6M→15k rows at sf0.01 before any wide join — the
+    order that survives 100 TB). Quantities are integral doubles; the
+    sum casts to BIGINT exactly on both engines. Top-100 by totalprice
+    with the orderkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .where(F.col("sum_qty") > 260)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_LARGE_VOLUME_ORACLE = """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 260
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+def agg_disjunctive_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the disjunctive-predicate revenue aggregate:
+    three OR'd (brand, size-band, quantity-band) branches across the
+    part–lineitem join. The optimizer test baked into the query: the
+    common conjuncts (size ≥ 1, the quantity hull [1, 30]) are
+    factorable out of the disjunction and must reach the scans as
+    pushed filters while the residual OR evaluates post-join; part
+    broadcasts. One row out, exact cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    return j.where(branch).agg(
+        F.count("*").alias("n_items"),
+        (
+            F.sum(rnd_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0
+        ).alias("revenue"),
+    )
+
+
+_DISJUNCTIVE_REVENUE_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+             / 100.0 AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def join_sales_opportunity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — dormant high-balance customers: per nation,
+    the count and total balance of customers whose balance beats the
+    positive-balance average but placed NO order in the final year
+    (every customer here has SOME order, so the classic no-orders
+    anti-join adapts to a date-bounded one — semantics preserved, the
+    anti join is still the load-bearing operator). The average enters
+    CROSS-MULTIPLIED (cents·count > total-cents), so the threshold
+    compare is exact integers — no float average at all. 1-row
+    broadcast aggregate (whitelisted device) + broadcast anti join of
+    the recent-buyer key set; balances sum in exact cents."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(rnd_cents("c_acctbal")).alias("_tot_cents"),
+        F.count("*").alias("_n_pos"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .where(rnd_cents("c_acctbal") * F.col("_n_pos") > F.col("_tot_cents"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            (F.sum(rnd_cents("c_acctbal")) / 100.0).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_SALES_OPPORTUNITY_ORACLE = """
+    WITH pos AS (
+      SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS tot_cents,
+             CAST(count(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS total_acctbal
+    FROM customer, pos
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_pos > tot_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -797,5 +1123,41 @@ PENDING: tuple[PendingQuery, ...] = (
         llm_ks_drift_query,
         _KS_DRIFT_ORACLE,
         tags=("llmops", "drift", "ks", "distribution"),
+    ),
+    PendingQuery(
+        "join_volume_shipping",
+        join_volume_shipping_query,
+        _VOLUME_SHIPPING_ORACLE,
+        tags=("tpch", "q7", "join", "star"),
+    ),
+    PendingQuery(
+        "join_market_share",
+        join_market_share_query,
+        _MARKET_SHARE_ORACLE,
+        tags=("tpch", "q8", "join", "share"),
+    ),
+    PendingQuery(
+        "agg_customer_distribution",
+        agg_customer_distribution_query,
+        _CUSTOMER_DISTRIBUTION_ORACLE,
+        tags=("tpch", "q13", "histogram", "left-join"),
+    ),
+    PendingQuery(
+        "join_large_volume_customer",
+        join_large_volume_customer_query,
+        _LARGE_VOLUME_ORACLE,
+        tags=("tpch", "q18", "having", "topk"),
+    ),
+    PendingQuery(
+        "agg_disjunctive_revenue",
+        agg_disjunctive_revenue_query,
+        _DISJUNCTIVE_REVENUE_ORACLE,
+        tags=("tpch", "q19", "pushdown", "disjunction"),
+    ),
+    PendingQuery(
+        "join_sales_opportunity",
+        join_sales_opportunity_query,
+        _SALES_OPPORTUNITY_ORACLE,
+        tags=("tpch", "q22", "anti-join", "scalar-subquery"),
     ),
 )

@@ -79,6 +79,9 @@ _BNLJ_WHITELIST = {
     # sources x length-histogram grid: cross join of two small
     # aggregates (20 x few-thousand), never the corpus
     "llm_ks_drift",
+    # 1-row broadcast positive-balance aggregate under the
+    # cross-multiplied threshold compare (Q22's scalar subquery)
+    "join_sales_opportunity",
 }
 
 

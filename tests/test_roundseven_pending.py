@@ -50,6 +50,9 @@ _BNLJ_OK = {
     # |sources| x |distinct-length| grid: a cross join of two SMALL
     # AGGREGATES (20 x few-thousand rows), never the corpus
     "llm_ks_drift",
+    # 1-row broadcast positive-balance aggregate under the
+    # cross-multiplied threshold compare (Q22's scalar subquery)
+    "join_sales_opportunity",
 }
 
 
