@@ -1057,6 +1057,287 @@ _SALES_OPPORTUNITY_ORACLE = """
 """
 
 
+def join_min_cost_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the min-cost supplier per part, adapted to this
+    schema (no partsupp table: the observed unit price from lineitem —
+    Σ extendedprice-cents / Σ quantity per (part, supplier) — plays
+    ps_supplycost). The correlated MIN subquery becomes a window rank
+    over the (part, supplier) aggregate: ONE shuffle on partkey serves
+    both the min and the tiebreak (supplier id asc — Q2's tiebreak
+    rule), where a self-join-against-the-min would shuffle twice. Unit
+    price is a ratio of exact integers (deterministic division), shown
+    4dp; small-size parts only to bound the report."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5).select(
+        "p_partkey", "p_name", "p_size"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_size", "l_suppkey")
+        .agg(
+            F.sum(rnd_cents("l_extendedprice")).alias("_cents"),
+            F.sum("l_quantity").cast("long").alias("_qty"),
+        )
+        .withColumn("_unit", F.col("_cents") / F.col("_qty"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("_unit").asc(), F.col("l_suppkey").asc())
+    best = per_ps.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_size").cast("long").alias("p_size"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            (F.floor(F.col("_unit") * 100 + F.lit(0.5)) / 10000.0).alias("unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_MIN_COST_SUPPLIER_ORACLE = """
+    WITH per AS (
+      SELECT p_partkey, p_name, p_size, l_suppkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_size <= 5
+      GROUP BY 1, 2, 3, 4
+    ), ranked AS (
+      SELECT *, CAST(cents AS DOUBLE) / qty AS unit,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY CAST(cents AS DOUBLE) / qty ASC,
+                                         l_suppkey ASC) AS rk
+      FROM per
+    )
+    SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size,
+           l_suppkey AS s_suppkey, s_name, n_name,
+           floor(unit * 100 + 0.5) / 10000 AS unit_price
+    FROM ranked
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE rk = 1
+    ORDER BY p_partkey
+"""
+
+
+def agg_product_profit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    year, adapted (no ps_supplycost: cost is modeled as 50% of the
+    part's retail price per unit — the fixed-margin convention,
+    exact in cents by construction). Profit = revenue-cents −
+    unit-cost-cents·quantity, summed as INTEGERS, so the nation×year
+    cells are exact regardless of partition order. The name filter
+    ('%widget%') prunes part before the fact join; part broadcasts;
+    orders joins only for the year column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = rnd_cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - rnd_cents(F.col("p_retailprice") * 0.5) * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(amount) / 100.0).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_PRODUCT_PROFIT_ORACLE = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+               - CAST(floor(p_retailprice * 0.5 * 100 + 0.5) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) / 100.0 AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+"""
+
+
+def agg_important_parts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — important-stock concentration: the revenue
+    each part drew through EUROPE-region suppliers, keeping parts
+    whose share of that total exceeds 0.1%. The HAVING-against-a-
+    global-aggregate compares CROSS-MULTIPLIED integers
+    (part-cents·1000 > total-cents) via the 1-row broadcast device —
+    no float fraction, no second scan of the fact (the per-part agg
+    feeds both the total and the filter). Supplier/nation/region all
+    broadcast; ONE fact shuffle on partkey."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_li = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    per_part = eu_li.groupBy("l_partkey").agg(
+        F.sum(rnd_cents("l_extendedprice")).alias("_cents")
+    )
+    total = per_part.agg(F.sum("_cents").alias("_total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_cents") * 1000 > F.col("_total_cents"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("_cents") / 100.0).alias("part_value"),
+            (
+                F.floor(F.col("_cents") / F.col("_total_cents") * 1000000 + F.lit(0.5))
+                / 1000000.0
+            ).alias("value_share"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+_IMPORTANT_PARTS_ORACLE = """
+    WITH eu AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    ), per AS (
+      SELECT l_partkey, sum(cents) AS cents FROM eu GROUP BY 1
+    ), tot AS (SELECT sum(cents) AS total_cents FROM per)
+    SELECT l_partkey AS p_partkey,
+           cents / 100.0 AS part_value,
+           floor(CAST(cents AS DOUBLE) / total_cents * 1000000 + 0.5) / 1000000
+             AS value_share
+    FROM per, tot
+    WHERE cents * 1000 > total_cents
+    ORDER BY part_value DESC, p_partkey
+"""
+
+
+def agg_supplier_relation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier breadth per product segment: how many
+    DISTINCT suppliers ship each (brand, type, size) combination, for a
+    size probe-list, excluding one brand and excluding suppliers in
+    arrears (acctbal < 0 plays Q16's complaint exclusion). The
+    count-distinct rides the (brand, type, size, suppkey) pre-distinct
+    — Spark plans it as two-level partial aggs, no expensive exact
+    distinct over the raw fact. Part and the supplier EXCLUSION list
+    both broadcast; the exclusion is an anti join, Q16's NOT IN."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+_SUPPLIER_RELATION_ORACLE = """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def join_part_promotion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — dominant suppliers of promotable parts:
+    suppliers who shipped MORE THAN HALF of a 'small %'-named part's
+    total 1997 volume (no partsupp availqty: the >50%-of-part-volume
+    dominance test replaces availqty > half-of-shipped — the nested
+    two-level aggregation survives intact). Quantities are integral →
+    the 2·supplier_qty > part_qty compare is exact integers. Inner
+    query: ONE shuffle on partkey serves the per-(part,supplier) agg,
+    the window total, and the dominance filter; the outer semi join
+    dedups to suppliers; nation broadcast for the report."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("small %")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("_sqty"))
+    )
+    w = Window.partitionBy("p_partkey")
+    dominant = (
+        per_ps.withColumn("_pqty", F.sum("_sqty").over(w))
+        .where(2 * F.col("_sqty") > F.col("_pqty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_PART_PROMOTION_ORACLE = """
+    WITH li97 AS (
+      SELECT l_partkey, l_suppkey, l_quantity
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ), per AS (
+      SELECT p_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS sqty
+      FROM li97
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small %'
+      GROUP BY 1, 2
+    ), dom AS (
+      SELECT DISTINCT l_suppkey FROM (
+        SELECT l_suppkey, sqty, sum(sqty) OVER (PARTITION BY p_partkey) AS pqty
+        FROM per
+      ) WHERE 2 * sqty > pqty
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+    ORDER BY s_suppkey
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -1159,5 +1440,35 @@ PENDING: tuple[PendingQuery, ...] = (
         join_sales_opportunity_query,
         _SALES_OPPORTUNITY_ORACLE,
         tags=("tpch", "q22", "anti-join", "scalar-subquery"),
+    ),
+    PendingQuery(
+        "join_min_cost_supplier",
+        join_min_cost_supplier_query,
+        _MIN_COST_SUPPLIER_ORACLE,
+        tags=("tpch", "q2", "correlated-min", "window"),
+    ),
+    PendingQuery(
+        "agg_product_profit",
+        agg_product_profit_query,
+        _PRODUCT_PROFIT_ORACLE,
+        tags=("tpch", "q9", "star", "profit"),
+    ),
+    PendingQuery(
+        "agg_important_parts",
+        agg_important_parts_query,
+        _IMPORTANT_PARTS_ORACLE,
+        tags=("tpch", "q11", "having-global", "share"),
+    ),
+    PendingQuery(
+        "agg_supplier_relation",
+        agg_supplier_relation_query,
+        _SUPPLIER_RELATION_ORACLE,
+        tags=("tpch", "q16", "count-distinct", "anti-join"),
+    ),
+    PendingQuery(
+        "join_part_promotion",
+        join_part_promotion_query,
+        _PART_PROMOTION_ORACLE,
+        tags=("tpch", "q20", "nested-agg", "semi-join"),
     ),
 )

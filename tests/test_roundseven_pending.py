@@ -53,6 +53,9 @@ _BNLJ_OK = {
     # 1-row broadcast positive-balance aggregate under the
     # cross-multiplied threshold compare (Q22's scalar subquery)
     "join_sales_opportunity",
+    # 1-row broadcast region-total aggregate under the cross-multiplied
+    # HAVING threshold (Q11's global-aggregate subquery)
+    "agg_important_parts",
 }
 
 
