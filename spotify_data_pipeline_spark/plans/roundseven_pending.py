@@ -1338,6 +1338,127 @@ _PART_PROMOTION_ORACLE = """
 """
 
 
+_BM25_TERMS = ("dup", "spark", "merge", "vector")  # df mix: rare + 3 common
+
+
+def text_bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-structured top-20 retrieval (operators/retrieval.py) for a
+    fixed mixed-df term set — the query-side twin of llm_tfidf_top_terms.
+    The rational-idf surrogate keeps every per-(doc,term) contribution a
+    fixed integer-atom expression tree, floor-scaled ×10⁶, so the
+    per-doc score is an INTEGER sum and the oracle replicates the
+    ENTIRE score including the ranking (the operator docstring derives
+    the cross-multiplied k1=1.2/b=0.75 form). Rare term 'dup' (5% df)
+    dominates, as BM25 should."""
+    from spotify_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+_BM25_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM dl
+    ), post AS (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM post
+      WHERE term IN ('dup', 'spark', 'merge', 'vector')
+      GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), c AS (
+      SELECT tf.doc_id,
+             CAST(floor(((2 * n - 2 * df + 1) / (2 * df + 1))
+                        * (22 * tf)
+                        / (10 * tf + 3 + 9 * ((dl * n) / CAST(tt AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS cs
+      FROM tf
+      JOIN dft USING (term)
+      JOIN dl USING (doc_id), tot
+    )
+    SELECT doc_id,
+           CAST(sum(cs) AS BIGINT) AS score_scaled,
+           floor(sum(cs) / 100.0 + 0.5) / 10000 AS score
+    FROM c
+    GROUP BY doc_id
+    ORDER BY score_scaled DESC, doc_id
+    LIMIT 20
+"""
+
+
+def text_boolean_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval: every document containing ALL of
+    a 3-term query, by posting-list intersection (distinct-term count
+    == |terms| — operators/retrieval.py). One explode scan pruned by
+    the term filter BEFORE the shuffle, one doc-keyed agg."""
+    from spotify_data_pipeline_spark.operators.retrieval import boolean_and_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_and_search(docs, ("spark", "window", "key"))
+
+
+_BOOLEAN_SEARCH_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), post AS (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    ), hits AS (
+      SELECT doc_id,
+             count(DISTINCT term) AS n_terms,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM post
+      WHERE term IN ('spark', 'window', 'key')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_hits FROM hits WHERE n_terms = 3 ORDER BY doc_id
+"""
+
+
+def text_typicality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-typicality report (operators/retrieval.py): per document
+    the mean token document-frequency and the rare-token ratio
+    (df < 5% of docs) — the CCNet-style frequency-band curation signal
+    without log-perplexity (not cross-engine exact; the operator
+    docstring). df joins term-keyed (vocabulary never broadcast);
+    ratios divide exact integers, 4dp."""
+    from spotify_data_pipeline_spark.operators.retrieval import token_typicality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_typicality(docs, rare_pct=5)
+
+
+_TYPICALITY_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), post AS (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    ), dft AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM post GROUP BY 1
+    ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(df) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS mean_df,
+           floor(CAST(sum(CASE WHEN df * 100 < n_docs * 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS rare_ratio
+    FROM post p
+    JOIN dft USING (term), nd
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -1470,5 +1591,23 @@ PENDING: tuple[PendingQuery, ...] = (
         join_part_promotion_query,
         _PART_PROMOTION_ORACLE,
         tags=("tpch", "q20", "nested-agg", "semi-join"),
+    ),
+    PendingQuery(
+        "text_bm25_topk",
+        text_bm25_topk_query,
+        _BM25_ORACLE,
+        tags=("text", "retrieval", "bm25", "topk"),
+    ),
+    PendingQuery(
+        "text_boolean_search",
+        text_boolean_search_query,
+        _BOOLEAN_SEARCH_ORACLE,
+        tags=("text", "retrieval", "boolean", "postings"),
+    ),
+    PendingQuery(
+        "text_typicality",
+        text_typicality_query,
+        _TYPICALITY_ORACLE,
+        tags=("text", "curation", "typicality", "frequency"),
     ),
 )

@@ -85,6 +85,10 @@ _BNLJ_WHITELIST = {
     # 1-row broadcast region-total aggregate under the cross-multiplied
     # HAVING threshold (Q11's global-aggregate subquery)
     "agg_important_parts",
+    # 1-row broadcast corpus-totals (N docs, T tokens) aggregate under
+    # the BM25 length normalization / rare-flag threshold
+    "text_bm25_topk",
+    "text_typicality",
 }
 
 
