@@ -1459,6 +1459,353 @@ _TYPICALITY_ORACLE = """
 """
 
 
+def graph_kcore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the part co-order graph after two synchronous peel
+    rounds (operators/kcore.py) — the graph family's DENSITY axis: the
+    tightly co-ordered part nucleus once degree-1 fringe (and whatever
+    the first strip exposes) is gone. Same bounded 1997-H1 graph
+    window as graph_hop_distance; the peel strips 95→9 nodes at
+    sf0.001 (835→153 at sf0.01), so the query exercises real removal,
+    not a fixed point. Fixed rounds keep it unrolled-SQL replicable;
+    per round one degree agg + one two-sided semi join."""
+    from spotify_data_pipeline_spark.operators.kcore import kcore_peel
+    from spotify_data_pipeline_spark.operators.triangles import cooccurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return kcore_peel(edges, k=2, rounds=2).orderBy("node")
+
+
+_KCORE_ORACLE = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+    ), sized AS (
+      SELECT l_orderkey FROM li GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 2 AND 200
+    ), e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+    ), d0 AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
+      GROUP BY node
+    ), k0 AS (SELECT node FROM d0 WHERE deg >= 2),
+    e1 AS (
+      SELECT src, dst FROM e0
+      WHERE src IN (SELECT node FROM k0) AND dst IN (SELECT node FROM k0)
+    ), d1 AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT src AS node FROM e1 UNION ALL SELECT dst FROM e1)
+      GROUP BY node
+    ), k1 AS (SELECT node FROM d1 WHERE deg >= 2),
+    e2 AS (
+      SELECT src, dst FROM e1
+      WHERE src IN (SELECT node FROM k1) AND dst IN (SELECT node FROM k1)
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)
+    GROUP BY node
+    ORDER BY node
+"""
+
+
+def orders_ship_latency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority — the
+    fulfillment SLA report (does URGENT actually ship faster?). Days
+    between o_orderdate and each line's l_shipdate in INTEGER day
+    arithmetic (epoch floor-division — the interpurchase-gap device),
+    then discrete median/p90 per priority (actual data values ⇒
+    integer output). One fact-side join on orderkey, one 5-row agg."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    day = lambda c: F.floor(F.col(c).cast("timestamp").cast("long") / 86400)  # noqa: E731
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "_lat", day("l_shipdate") - day("o_orderdate")
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("_lat").cast("long").alias("min_days"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _lat)")
+            .cast("long")
+            .alias("median_days"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY _lat)")
+            .cast("long")
+            .alias("p90_days"),
+            F.max("_lat").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SHIP_LATENCY_ORACLE = """
+    WITH j AS (
+      SELECT o_orderpriority,
+             floor(epoch(l_shipdate) / 86400) - floor(epoch(o_orderdate) / 86400)
+               AS lat
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(lat) AS BIGINT) AS min_days,
+           CAST(quantile_disc(lat, 0.5) AS BIGINT) AS median_days,
+           CAST(quantile_disc(lat, 0.9) AS BIGINT) AS p90_days,
+           CAST(max(lat) AS BIGINT) AS max_days
+    FROM j
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def events_dow_hour_heatmap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with each cell's
+    share of its weekday — the 2-D seasonality profile behind staffing
+    and batch-window decisions (the 1-D weekday profile is
+    orders_dow_seasonality's). 168-cell hash agg; the within-weekday
+    share is a partitioned window over the agg (ratio-to-report in 2
+    dims); exact integer counts, 4dp display ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count("*").alias("n_events"))
+    w_dow = Window.partitionBy("dow")
+    return (
+        cells.select(
+            "dow",
+            "hour",
+            "n_events",
+            (
+                F.floor(F.col("n_events") / F.sum("n_events").over(w_dow) * 10000 + F.lit(0.5))
+                / 10000.0
+            ).alias("dow_share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+_DOW_HOUR_HEATMAP_ORACLE = """
+    WITH c AS (
+      SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hour, n_events,
+           floor(CAST(n_events AS DOUBLE) / sum(n_events) OVER (PARTITION BY dow)
+                 * 10000 + 0.5) / 10000 AS dow_share
+    FROM c
+    ORDER BY dow, hour
+"""
+
+
+def agg_prorata_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder pro-rata allocation: split a fixed 1,000,000-
+    cent budget across nations proportionally to order revenue so the
+    rounded parts SUM EXACTLY to the budget — the billing/settlement
+    primitive where naive per-row rounding drifts by ±n/2 cents. Pure
+    64-bit INTEGER arithmetic end-to-end: base = (budget·cents) DIV
+    total, remainder rank = (budget·cents) MOD total (desc, nation
+    tiebreak), the first (budget − Σbase) nations get +1 (Hamilton's
+    method). No doubles anywhere — budget·cents exceeds 2⁵³ long
+    before it exceeds 2⁶³. One fact agg + two windows over 25 rows."""
+    budget = 1_000_000  # cents
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rnd_cents("o_totalprice")).alias("_cents"))
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("_cents").over(w_all)
+    base = F.expr(f"({budget} * _cents) DIV _total")
+    rem = F.expr(f"({budget} * _cents) % _total")
+    staged = (
+        per_nation.withColumn("_total", total)
+        .withColumn("_base", base)
+        .withColumn("_rem", rem)
+    )
+    w_rank = Window.partitionBy().orderBy(F.col("_rem").desc(), F.col("n_name"))
+    leftover = F.lit(budget) - F.sum("_base").over(w_all)
+    return (
+        staged.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("_extra", (F.col("_rk") <= leftover).cast("long"))
+        .select(
+            "n_name",
+            (F.col("_cents") / 100.0).alias("revenue"),
+            (F.col("_base") + F.col("_extra")).alias("alloc_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_PRORATA_ORACLE = """
+    WITH per AS (
+      SELECT n_name,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ), t AS (
+      SELECT n_name, cents,
+             sum(cents) OVER () AS total,
+             (1000000 * cents) // sum(cents) OVER () AS base,
+             (1000000 * cents) % sum(cents) OVER () AS rem
+      FROM per
+    ), r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, n_name) AS rk,
+             1000000 - sum(base) OVER () AS leftover
+      FROM t
+    )
+    SELECT n_name,
+           cents / 100.0 AS revenue,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM r
+    ORDER BY n_name
+"""
+
+
+def events_bounce_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the fraction of sessions containing exactly
+    one event, by the day the session STARTED — the engagement-quality
+    headline no per-event metric captures (the sessionization rule is
+    the shared 30-minute microsecond-exact lag gap). Two windows
+    (sessionize, then one first-value pass folded into the session
+    agg) + a per-day agg; ratio of exact integers, 4dp."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    _us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = _us - F.lag(_us).over(wu)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("_sid", F.sum(new_s).over(wu))
+    per_sess = sess.groupBy("user_id", "_sid").agg(
+        F.count("*").alias("_n"), F.min("ts").alias("_start")
+    )
+    per_day = per_sess.groupBy(F.date_trunc("DAY", "_start").alias("day")).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("_n") == 1).cast("long")).alias("n_bounces"),
+    )
+    return (
+        per_day.select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            (
+                F.floor(F.col("n_bounces") / F.col("n_sessions") * 10000 + F.lit(0.5))
+                / 10000.0
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+_BOUNCE_RATE_ORACLE = """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), per_sess AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n, min(ts) AS start
+      FROM sid GROUP BY 1, 2
+    ), per_day AS (
+      SELECT date_trunc('day', start) AS day,
+             CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+      FROM per_sess GROUP BY 1
+    )
+    SELECT day, n_sessions, n_bounces,
+           floor(CAST(n_bounces AS DOUBLE) / n_sessions * 10000 + 0.5) / 10000
+             AS bounce_rate
+    FROM per_day
+    ORDER BY day
+"""
+
+
+def setop_bag_ops_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — EXCEPT ALL / INTERSECT ALL with
+    true multiplicity accounting (the relational suite's U3 covers the
+    DISTINCT forms; multiplicities are what inventory-reconciliation
+    actually needs: '3 shipped in H1, 1 in H2' must survive as 2, not
+    1). Part-key shipment bags for 1997-H1 vs 1997-H2 → exceptAll +
+    intersectAll, re-aggregated per key into a labeled report (the
+    row-level multiset is order-unstable; the (op, key, n) rollup is
+    deterministic). Spark plans both as hash aggregates on the key —
+    no sort-based multiset diff at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    h1 = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("l_partkey")
+    h2 = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey")
+    surplus = (
+        h1.exceptAll(h2)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("h1_surplus"))
+    )
+    common = (
+        h1.intersectAll(h2)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("both"))
+    )
+    return (
+        surplus.unionByName(common)
+        .select("op", "l_partkey", "n")
+        .orderBy("op", "l_partkey")
+    )
+
+
+_BAG_OPS_ORACLE = """
+    WITH h1 AS (
+      SELECT l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+    ), h2 AS (
+      SELECT l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ), surplus AS (
+      SELECT l_partkey FROM h1 EXCEPT ALL SELECT l_partkey FROM h2
+    ), common AS (
+      SELECT l_partkey FROM h1 INTERSECT ALL SELECT l_partkey FROM h2
+    )
+    SELECT 'h1_surplus' AS op, l_partkey, CAST(count(*) AS BIGINT) AS n
+    FROM surplus GROUP BY l_partkey
+    UNION ALL
+    SELECT 'both' AS op, l_partkey, CAST(count(*) AS BIGINT) AS n
+    FROM common GROUP BY l_partkey
+    ORDER BY op, l_partkey
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -1609,5 +1956,41 @@ PENDING: tuple[PendingQuery, ...] = (
         text_typicality_query,
         _TYPICALITY_ORACLE,
         tags=("text", "curation", "typicality", "frequency"),
+    ),
+    PendingQuery(
+        "graph_kcore",
+        graph_kcore_query,
+        _KCORE_ORACLE,
+        tags=("graph", "kcore", "density", "peel"),
+    ),
+    PendingQuery(
+        "orders_ship_latency",
+        orders_ship_latency_query,
+        _SHIP_LATENCY_ORACLE,
+        tags=("analytics", "sla", "latency", "percentile"),
+    ),
+    PendingQuery(
+        "events_dow_hour_heatmap",
+        events_dow_hour_heatmap_query,
+        _DOW_HOUR_HEATMAP_ORACLE,
+        tags=("events", "seasonality", "heatmap", "window"),
+    ),
+    PendingQuery(
+        "agg_prorata_allocation",
+        agg_prorata_allocation_query,
+        _PRORATA_ORACLE,
+        tags=("agg", "allocation", "largest-remainder", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_bounce_rate",
+        events_bounce_rate_query,
+        _BOUNCE_RATE_ORACLE,
+        tags=("events", "session", "bounce", "engagement"),
+    ),
+    PendingQuery(
+        "setop_bag_ops",
+        setop_bag_ops_query,
+        _BAG_OPS_ORACLE,
+        tags=("setop", "bag", "multiset", "reconciliation"),
     ),
 )
