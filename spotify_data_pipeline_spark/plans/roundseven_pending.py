@@ -1806,6 +1806,261 @@ _BAG_OPS_ORACLE = """
 """
 
 
+def events_streak_lengths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the textbook
+    GAPS-AND-ISLANDS pattern (day_number − row_number is constant
+    within an island), the engagement metric DAU/WAU can't see. All
+    integer day arithmetic: distinct active days → island id via the
+    subtraction trick (row_number suffices — days are distinct) → one
+    agg for streak lengths → one agg for the per-user profile. Two
+    shuffles, both on user-derived keys; top-50 streakiest users with
+    the user-id tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    days = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).alias("_day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("_day")
+    islands = days.withColumn(
+        "_island", F.col("_day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "_island").agg(F.count("*").alias("_len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("_len").cast("long").alias("n_active_days"),
+            F.max("_len").cast("long").alias("longest_streak"),
+            F.count("*").alias("n_streaks"),
+        )
+        .orderBy(F.col("longest_streak").desc(), "user_id")
+        .limit(50)
+    )
+
+
+_STREAK_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id
+    LIMIT 50
+"""
+
+
+def events_interarrival_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two latency histogram of per-user inter-event gaps —
+    the observability primitive (HdrHistogram's log buckets) with the
+    bucket id computed as ``length(bin(gap_µs))`` ≡ 64−clz: a pure
+    integer/string device BOTH engines evaluate identically, where
+    floor(log2(x)) on doubles disagrees at power-of-two boundaries
+    (the Benford lesson: never put a float log near a boundary). One
+    lag window + one ≤64-cell hash agg; per-bucket min/max in exact
+    microseconds pin the bucket edges."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    _us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.withColumn("_gap", _us - F.lag(_us).over(w)).where(
+        F.col("_gap").isNotNull()
+    )
+    bucket = F.length(F.bin(F.col("_gap"))).cast("long")
+    return (
+        gaps.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("_gap").cast("long").alias("min_gap_us"),
+            F.max("_gap").cast("long").alias("max_gap_us"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+_INTERARRIVAL_ORACLE = """
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT CAST(length(bin(gap)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us
+    FROM g
+    WHERE gap IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+def orders_yoy_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the lag-over-
+    aggregate report shape (agg to (nation, year) cents, ONE ordered
+    window per nation for the prior year, growth as a 4dp ratio of
+    exact integers). First year emits NULL growth (no prior), which
+    the oracle must reproduce — the null-semantics pin. Lag is by
+    POSITION within consecutive years present in the data (the data
+    has every year populated; a calendar-spine gap-fill variant is
+    events_gap_fill's job)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(rnd_cents("o_totalprice")).alias("_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("_cents").over(w)
+    return (
+        per.select(
+            "n_name",
+            "o_year",
+            (F.col("_cents") / 100.0).alias("revenue"),
+            F.when(
+                prev.isNotNull(),
+                F.floor((F.col("_cents") - prev) / prev * 10000 + F.lit(0.5)) / 10000.0,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("n_name", "o_year")
+    )
+
+
+_YOY_GROWTH_ORACLE = """
+    WITH per AS (
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, o_year,
+           cents / 100.0 AS revenue,
+           CASE WHEN lag(cents) OVER w IS NOT NULL
+                THEN floor(CAST(cents - lag(cents) OVER w AS DOUBLE)
+                           / lag(cents) OVER w * 10000 + 0.5) / 10000
+           END AS yoy_growth
+    FROM per
+    WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
+    ORDER BY n_name, o_year
+"""
+
+
+def window_distribution_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank and cume_dist over
+    order totals within each priority class, built EXPLICITLY from
+    rank/count atoms ((rank−1)/(n−1); peers-inclusive RANGE-frame
+    count / n) rather than the engines' built-ins, so the expression
+    tree — and therefore every IEEE division — is pinned on both
+    sides (built-ins agree in definition but not provably in
+    evaluation shape). Completes the W-family: ranking (W-rank),
+    analytic (W-analytic), frames (W-frames), distribution (here).
+    Cents are the ordering key: ties are REAL (same price ⇒ same
+    percentile, pinned by the peers-frame) and the row set stays
+    deterministic via the orderkey output sort. Top-priced 200 rows
+    per the global sort for a bounded report."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cents = rnd_cents("o_totalprice")
+    base = orders.select("o_orderkey", "o_orderpriority", cents.alias("_cents"))
+    wp = Window.partitionBy("o_orderpriority")
+    w_rank = wp.orderBy("_cents")
+    w_peers = wp.orderBy("_cents").rangeBetween(Window.unboundedPreceding, 0)
+    n = F.count("*").over(wp)
+    rk = F.rank().over(w_rank)
+    le_peers = F.count("*").over(w_peers)
+    return (
+        base.select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("_cents") / 100.0).alias("total_price"),
+            (F.floor((rk - 1) / (n - 1) * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "pct_rank"
+            ),
+            (F.floor(le_peers / n * 10000 + F.lit(0.5)) / 10000.0).alias("cume_dist"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(200)
+    )
+
+
+_DISTRIBUTION_SUITE_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), scored AS (
+      SELECT o_orderkey, o_orderpriority, cents,
+             rank() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n,
+             count(*) OVER (PARTITION BY o_orderpriority ORDER BY cents
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS le_peers
+      FROM base
+    )
+    SELECT o_orderkey, o_orderpriority,
+           cents / 100.0 AS total_price,
+           floor(CAST(rk - 1 AS DOUBLE) / (n - 1) * 10000 + 0.5) / 10000 AS pct_rank,
+           floor(CAST(le_peers AS DOUBLE) / n * 10000 + 0.5) / 10000 AS cume_dist
+    FROM scored
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 200
+"""
+
+
+def etl_surrogate_keys_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based surrogate key wiring — the warehouse-modeling (Data
+    Vault) primitive: md5 over pipe-delimited natural keys mints
+    stable, engine-independent surrogate keys for the customer and
+    order grains, and the fact row carries both hub keys plus its own
+    link key. md5 (not xxhash64) is the deliberate choice: DuckDB
+    computes it identically, so key minting itself is oracle-provable
+    (the KMV/passage device). Map-only over the join — no extra
+    shuffle beyond the fact-dim equi join; top-100 by order key for a
+    bounded report."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sk = lambda *cols: F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))  # noqa: E731
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            sk("c_custkey").alias("customer_sk"),
+            sk("o_orderkey").alias("order_sk"),
+            sk("o_orderkey", "c_custkey", "c_nationkey").alias("link_sk"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+_SURROGATE_KEYS_ORACLE = """
+    SELECT o_orderkey,
+           md5(CAST(c_custkey AS VARCHAR)) AS customer_sk,
+           md5(CAST(o_orderkey AS VARCHAR)) AS order_sk,
+           md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)
+               || '|' || CAST(c_nationkey AS VARCHAR)) AS link_sk
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    LIMIT 100
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -1992,5 +2247,35 @@ PENDING: tuple[PendingQuery, ...] = (
         setop_bag_ops_query,
         _BAG_OPS_ORACLE,
         tags=("setop", "bag", "multiset", "reconciliation"),
+    ),
+    PendingQuery(
+        "events_streak_lengths",
+        events_streak_lengths_query,
+        _STREAK_ORACLE,
+        tags=("events", "gaps-and-islands", "streak", "engagement"),
+    ),
+    PendingQuery(
+        "events_interarrival_hist",
+        events_interarrival_hist_query,
+        _INTERARRIVAL_ORACLE,
+        tags=("events", "histogram", "log-buckets", "latency"),
+    ),
+    PendingQuery(
+        "orders_yoy_growth",
+        orders_yoy_growth_query,
+        _YOY_GROWTH_ORACLE,
+        tags=("analytics", "yoy", "lag-over-agg", "growth"),
+    ),
+    PendingQuery(
+        "window_distribution_suite",
+        window_distribution_suite_query,
+        _DISTRIBUTION_SUITE_ORACLE,
+        tags=("window", "percent-rank", "cume-dist", "distribution"),
+    ),
+    PendingQuery(
+        "etl_surrogate_keys",
+        etl_surrogate_keys_query,
+        _SURROGATE_KEYS_ORACLE,
+        tags=("etl", "surrogate-keys", "data-vault", "md5"),
     ),
 )
