@@ -2061,6 +2061,95 @@ _SURROGATE_KEYS_ORACLE = """
 """
 
 
+def cdc_orders_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared surface for table_diff (operators/upsert.py — NS-33,
+    previously pytest-only): reconcile the orders table against a
+    deterministically perturbed in-plan twin — keys ≡0 mod 997 removed,
+    keys ≡0 mod 101 status-mutated, keys ≡0 mod 499 re-minted as
+    additions under a shifted key. The digests the operator joins on
+    are xxhash64 (never emitted here — only the keys and labels), and
+    the oracle labels the SAME keys from direct value comparison, so
+    the query driver-proves that digest-equality reconciliation agrees
+    with raw-value reconciliation end-to-end (up to the documented
+    2⁻⁶⁴ digest-collision caveat). ONE full-outer join on the key,
+    8-byte digests on the wire."""
+    from spotify_data_pipeline_spark.operators.upsert import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    kept = orders.where(F.col("o_orderkey") % 997 != 0)
+    mutated = kept.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    added = orders.where(F.col("o_orderkey") % 499 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100_000_000
+    )
+    new = mutated.unionByName(added)
+    return (
+        table_diff(orders, new, ["o_orderkey"])
+        .select("o_orderkey", "change")
+        .orderBy("change", "o_orderkey")
+    )
+
+
+_CDC_DIFF_ORACLE = """
+    SELECT o_orderkey + 100000000 AS o_orderkey, 'added' AS change
+    FROM orders WHERE o_orderkey % 499 = 0
+    UNION ALL
+    SELECT o_orderkey, 'removed' AS change
+    FROM orders WHERE o_orderkey % 997 = 0
+    UNION ALL
+    SELECT o_orderkey, 'changed' AS change
+    FROM orders WHERE o_orderkey % 997 <> 0 AND o_orderkey % 101 = 0
+    ORDER BY change, o_orderkey
+"""
+
+
+def fn_bitwise_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar-function coverage — AND / OR / XOR / shifts /
+    popcount over the lineitem key columns (the F-family's missing
+    integer axis; hash bucketing, bitmap indexes, and the HDR/z-order
+    operators all lean on these primitives). Map-only; exact 64-bit
+    integers end-to-end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    a, b = F.col("l_partkey"), F.col("l_suppkey")
+    return (
+        li.select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.expr("l_partkey & l_suppkey").alias("b_and"),
+            F.expr("l_partkey | l_suppkey").alias("b_or"),
+            F.expr("l_partkey ^ l_suppkey").alias("b_xor"),
+            F.shiftleft(a, 3).cast("long").alias("b_shl"),
+            F.shiftright(a, 2).cast("long").alias("b_shr"),
+            F.bit_count(a).cast("long").alias("b_pop"),
+            (a % 64).alias("b_mod"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_BITWISE_ORACLE = """
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l_partkey & l_suppkey AS BIGINT) AS b_and,
+           CAST(l_partkey | l_suppkey AS BIGINT) AS b_or,
+           CAST(xor(l_partkey, l_suppkey) AS BIGINT) AS b_xor,
+           CAST(l_partkey << 3 AS BIGINT) AS b_shl,
+           CAST(l_partkey >> 2 AS BIGINT) AS b_shr,
+           CAST(bit_count(l_partkey) AS BIGINT) AS b_pop,
+           CAST(l_partkey % 64 AS BIGINT) AS b_mod
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -2277,5 +2366,17 @@ PENDING: tuple[PendingQuery, ...] = (
         etl_surrogate_keys_query,
         _SURROGATE_KEYS_ORACLE,
         tags=("etl", "surrogate-keys", "data-vault", "md5"),
+    ),
+    PendingQuery(
+        "cdc_orders_diff",
+        cdc_orders_diff_query,
+        _CDC_DIFF_ORACLE,
+        tags=("cdc", "table-diff", "reconciliation", "upsert"),
+    ),
+    PendingQuery(
+        "fn_bitwise_suite",
+        fn_bitwise_suite_query,
+        _BITWISE_ORACLE,
+        tags=("functions", "bitwise", "integer"),
     ),
 )
