@@ -9,11 +9,13 @@ Two implementations:
 - ``asof_join``: pure DataFrame — union both sides tagged, one window
   pass carrying the last right value forward (`F.last(ignorenulls=True)`).
   One shuffle on the `by` key; linear, no pairwise blow-up; this is the
-  100 TB path. Supports backward/forward direction and a tolerance
-  bound (round 2).
+  100 TB path. Supports backward/forward/nearest direction and a
+  tolerance bound. 'nearest' (round 5) runs the backward and forward
+  carries as TWO window passes over the SAME partitioning — one
+  shuffle, two sorts — then picks per-row by smaller distance
+  (ties → backward, matching pandas' prior-row preference).
 - ``asof_join_pandas``: ``applyInPandas`` + ``pd.merge_asof`` per group —
-  kept as a cross-check implementation and for semantics the window
-  formulation doesn't cover ('nearest' direction).
+  kept as a cross-check implementation.
 """
 
 from __future__ import annotations
@@ -35,19 +37,26 @@ def asof_join(
     """As-of join via tagged union + running ``last`` window.
 
     ``direction``: 'backward' (default — most recent right row with
-    right.on <= left.on) or 'forward' (earliest right row with
+    right.on <= left.on), 'forward' (earliest right row with
     right.on >= left.on; implemented as the backward pass over a
-    descending order — same single shuffle).
+    descending order — same single shuffle), or 'nearest' (whichever
+    of the two is closer to left.on; equidistant ties take the
+    backward match — pandas' prior-row preference. Both carries run
+    over the SAME `by` partitioning, so the plan still shuffles ONCE;
+    the second window adds a sort, not an exchange).
     ``tolerance``: optional max distance — a Column interval/number; a
     match farther than it from left.on is nulled out (pandas
-    merge_asof semantics).
+    merge_asof semantics; for 'nearest' the chosen side's distance is
+    what's tested).
 
     Ties on the `on` column: a right row at exactly left.on is matched
     (<= / >=), achieved by sorting right rows before left rows at
     equal keys.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
 
     l_tag = left.select(
@@ -68,6 +77,69 @@ def asof_join(
     )
 
     unioned = l_tag.unionByName(r_tag)
+
+    if direction == "nearest":
+        w_b = (
+            Window.partitionBy("_by")
+            .orderBy(F.col("_on").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_f = (
+            Window.partitionBy("_by")
+            .orderBy(F.col("_on").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        both = unioned.select(
+            "_by",
+            "_side",
+            "_lrow",
+            *[
+                F.last(f"_rv_{c}", ignorenulls=True).over(w_b).alias(f"_bv_{c}")
+                for c in value_cols
+            ],
+            *[
+                F.last(f"_rv_{c}", ignorenulls=True).over(w_f).alias(f"_fv_{c}")
+                for c in value_cols
+            ],
+            F.last("_r_on", ignorenulls=True).over(w_b).alias("_on_b"),
+            F.last("_r_on", ignorenulls=True).over(w_f).alias("_on_f"),
+        ).where(F.col("_side") == 1)
+        dist_b = F.col(f"_lrow.{on}") - F.col("_on_b")
+        dist_f = F.col("_on_f") - F.col(f"_lrow.{on}")
+        choose_b = F.col("_on_f").isNull() | (
+            F.col("_on_b").isNotNull() & (dist_b <= dist_f)
+        )
+        carried = both.select(
+            "_lrow",
+            *[
+                F.when(choose_b, F.col(f"_bv_{c}"))
+                .otherwise(F.col(f"_fv_{c}"))
+                .alias(f"_rv_{c}")
+                for c in value_cols
+            ],
+            F.when(choose_b, F.col("_on_b"))
+            .otherwise(F.col("_on_f"))
+            .alias(f"{on}{suffix}"),
+        )
+        if tolerance is not None:
+            dist = F.when(
+                F.col(f"{on}{suffix}") <= F.col(f"_lrow.{on}"),
+                F.col(f"_lrow.{on}") - F.col(f"{on}{suffix}"),
+            ).otherwise(F.col(f"{on}{suffix}") - F.col(f"_lrow.{on}"))
+            in_tol = F.col(f"{on}{suffix}").isNotNull() & (dist <= tolerance)
+            carried = carried.select(
+                "_lrow",
+                *[
+                    F.when(in_tol, F.col(f"_rv_{c}")).alias(f"_rv_{c}")
+                    for c in value_cols
+                ],
+                F.when(in_tol, F.col(f"{on}{suffix}")).alias(f"{on}{suffix}"),
+            )
+        out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+        out_cols += [F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols]
+        out_cols += [F.col(f"{on}{suffix}")]
+        return carried.select(*out_cols)
+
     on_order = F.col("_on").asc() if direction == "backward" else F.col("_on").desc()
     w = (
         Window.partitionBy("_by")

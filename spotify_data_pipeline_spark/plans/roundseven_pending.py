@@ -2150,6 +2150,49 @@ _BITWISE_ORACLE = """
 """
 
 
+def events_asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/asof.py, round-5
+    extension — previously a documented gap: only backward/forward) —
+    each purchase matched to the CLOSEST same-user click in either
+    direction, equidistant ties to the prior click (pandas'
+    prior-row preference). Both direction carries run as two window
+    passes over the SAME user partitioning: one shuffle, two sorts,
+    never an events×events join. The declared backward twin is
+    events_asof_join; this pins the nearest semantics the driver has
+    not seen."""
+    from spotify_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", value_cols=[], direction="nearest"
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_right").alias("nearest_click_ts"),
+    )
+
+
+_ASOF_NEAREST_ORACLE = """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, c.nearest_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT c.ts AS nearest_click_ts
+      FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+               CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END
+      LIMIT 1
+    ) c ON TRUE
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_session_paths",
@@ -2378,5 +2421,11 @@ PENDING: tuple[PendingQuery, ...] = (
         fn_bitwise_suite_query,
         _BITWISE_ORACLE,
         tags=("functions", "bitwise", "integer"),
+    ),
+    PendingQuery(
+        "events_asof_nearest",
+        events_asof_nearest_query,
+        _ASOF_NEAREST_ORACLE,
+        tags=("events", "asof", "nearest", "join"),
     ),
 )

@@ -93,6 +93,41 @@ def test_asof_join_backward_semantics(spark):
     assert out[4] == (None, None)
 
 
+def test_asof_join_nearest_semantics(spark):
+    left, right = _events_fixture(spark)
+    out = {r.event_id: (r.ts_right, r.px_right) for r in
+           asof_join(left, right, on="ts", by="user_id", value_cols=["px"],
+                     direction="nearest").collect()}
+    assert out[1] == (_TS(2024, 1, 1, 10, 0), 2.0)  # exact-ts match, dist 0
+    assert out[2] == (_TS(2024, 1, 1, 10, 45), 3.0)  # backward-only side
+    # the row the pure-backward join returned as None: forward match found
+    assert out[3] == (_TS(2024, 1, 1, 9, 30), 4.0)
+    assert out[4] == (None, None)  # still no right rows at all
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _TS(2024, 1, 1, 10, 0))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _TS(2024, 1, 1, 9, 50), 1.0), (10, _TS(2024, 1, 1, 10, 10), 2.0)],
+        "user_id long, ts timestamp, px double",
+    )
+    out = asof_join(left, right, on="ts", by="user_id", value_cols=["px"],
+                    direction="nearest").collect()
+    assert (out[0].ts_right, out[0].px_right) == (_TS(2024, 1, 1, 9, 50), 1.0)
+
+
+def test_asof_join_nearest_tolerance(spark):
+    left, right = _events_fixture(spark)
+    out = {r.event_id: (r.ts_right, r.px_right) for r in
+           asof_join(left, right, on="ts", by="user_id", value_cols=["px"],
+                     direction="nearest",
+                     tolerance=F.expr("INTERVAL 20 MINUTES")).collect()}
+    assert out[2] == (_TS(2024, 1, 1, 10, 45), 3.0)  # 15 min — inside
+    assert out[3] == (None, None)  # 30 min forward match — nulled out
+
+
 def test_asof_join_pandas_agrees(spark):
     left, right = _events_fixture(spark)
     a = {(r.event_id, r.ts_right, r.px_right) for r in
@@ -265,7 +300,7 @@ def test_asof_join_forward_and_tolerance(spark):
 
     import pytest as _p
     with _p.raises(ValueError, match="direction"):
-        asof_join(left, right, on="ts", by="user_id", direction="nearest")
+        asof_join(left, right, on="ts", by="user_id", direction="sideways")
 
 
 def test_gopher_quality_verdicts(spark):
