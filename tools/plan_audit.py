@@ -36,19 +36,16 @@ def main() -> None:
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    print(f"# Plan audit @ {sf_dir}\n")
-    print("| query | shuffles | bcast | SMJ | SHJ | BHJ | BNLJ | pushed | windows |")
-    print("|---|---|---|---|---|---|---|---|---|")
-    for name, q in all_queries().items():
+    def emit_row(name: str, fn, whitelist: set) -> None:
         try:
-            plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # surface, don't abort the table
             print(f"| {name} | ERROR: {type(e).__name__} | | | | | | |")
-            continue
+            return
         bnlj = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
         flag = (
             f"{bnlj} (whitelisted)"
-            if bnlj and name in _BNLJ_WHITELIST
+            if bnlj and name in whitelist
             else (f"{bnlj} **UNWHITELISTED**" if bnlj else "0")
         )
         shuffles = plan.count("Exchange hashpartitioning") + plan.count(
@@ -65,6 +62,32 @@ def main() -> None:
             f"| {'y' if 'PushedFilters' in plan else '-'} "
             f"| {plan.count('Window') - plan.count('WindowGroupLimit')} |"
         )
+
+    header = "| query | shuffles | bcast | SMJ | SHJ | BHJ | BNLJ | pushed | windows |"
+    sep = "|---|---|---|---|---|---|---|---|---|"
+
+    print(f"# Plan audit @ {sf_dir}\n")
+    print(header)
+    print(sep)
+    for name, q in all_queries().items():
+        emit_row(name, q.fn, _BNLJ_WHITELIST)
+
+    # staged (not-yet-declared) queries: same audit, same whitelist —
+    # the pending tests carry their own _BNLJ_OK sets, which are
+    # pre-merged into the hygiene whitelist at staging time
+    from test_roundseven_pending import _BNLJ_OK as _OK7
+    from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
+    from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
+
+    for title, pending, wl in (
+        ("round-6 staging", P6, _BNLJ_WHITELIST),
+        ("round-7 staging", P7, _BNLJ_WHITELIST | _OK7),
+    ):
+        print(f"\n## Staged: {title} ({len(pending)} queries)\n")
+        print(header)
+        print(sep)
+        for pq in pending:
+            emit_row(pq.name, pq.fn, wl)
 
 
 if __name__ == "__main__":
