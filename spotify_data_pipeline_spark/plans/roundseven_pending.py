@@ -1610,16 +1610,18 @@ _DOW_HOUR_HEATMAP_ORACLE = """
 
 
 def agg_prorata_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Largest-remainder pro-rata allocation: split a fixed 1,000,000-
-    cent budget across nations proportionally to order revenue so the
-    rounded parts SUM EXACTLY to the budget — the billing/settlement
-    primitive where naive per-row rounding drifts by ±n/2 cents. Pure
-    64-bit INTEGER arithmetic end-to-end: base = (budget·cents) DIV
-    total, remainder rank = (budget·cents) MOD total (desc, nation
-    tiebreak), the first (budget − Σbase) nations get +1 (Hamilton's
-    method). No doubles anywhere — budget·cents exceeds 2⁵³ long
-    before it exceeds 2⁶³. One fact agg + two windows over 25 rows."""
-    budget = 1_000_000  # cents
+    """Largest-remainder pro-rata allocation (operators/allocation.py):
+    split a fixed 1,000,000-cent budget across nations proportionally
+    to order revenue so the rounded parts SUM EXACTLY to the budget —
+    the billing/settlement primitive where naive per-row rounding
+    drifts by ±n/2 cents. Hamilton's method in pure 64-bit INTEGER
+    arithmetic (the operator docstring derives it; quota + exact-sum
+    properties hypothesis-pinned in tests/test_allocation.py). One
+    fact agg + two windows over the 25-row group frame."""
+    from spotify_data_pipeline_spark.operators.allocation import (
+        largest_remainder_allocation,
+    )
+
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1629,24 +1631,14 @@ def agg_prorata_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rnd_cents("o_totalprice")).alias("_cents"))
     )
-    w_all = Window.partitionBy()
-    total = F.sum("_cents").over(w_all)
-    base = F.expr(f"({budget} * _cents) DIV _total")
-    rem = F.expr(f"({budget} * _cents) % _total")
-    staged = (
-        per_nation.withColumn("_total", total)
-        .withColumn("_base", base)
-        .withColumn("_rem", rem)
-    )
-    w_rank = Window.partitionBy().orderBy(F.col("_rem").desc(), F.col("n_name"))
-    leftover = F.lit(budget) - F.sum("_base").over(w_all)
     return (
-        staged.withColumn("_rk", F.row_number().over(w_rank))
-        .withColumn("_extra", (F.col("_rk") <= leftover).cast("long"))
+        largest_remainder_allocation(
+            per_nation, "n_name", "_cents", 1_000_000, out_col="alloc_cents"
+        )
         .select(
             "n_name",
             (F.col("_cents") / 100.0).alias("revenue"),
-            (F.col("_base") + F.col("_extra")).alias("alloc_cents"),
+            "alloc_cents",
         )
         .orderBy("n_name")
     )
