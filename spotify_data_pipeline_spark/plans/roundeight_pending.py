@@ -1,0 +1,479 @@
+"""Round-8 declared-query staging area (same contract as
+``roundsix_pending``/``roundseven_pending``: built and oracle-verified
+NOW, deliberately NOT declared — round 7's activation window is fully
+planned at 39 staged + 11 re-proofs, so these wait one more round).
+
+Each entry: exact-oracle query + DuckDB SQL, exercised by
+``tests/test_roundeight_pending.py`` with the driver-shaped comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.plans.parity import rnd_cents
+
+
+@dataclass(frozen=True)
+class PendingQuery:
+    name: str
+    fn: object
+    oracle: str | None
+    headline: bool = False
+    tags: tuple[str, ...] = ()
+
+
+def graph_hits_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg '99) on the bipartite
+    customer→supplier purchase graph — the mutual-reinforcement
+    centrality PageRank's single-vector walk can't express (who are
+    the authoritative suppliers, as voted by the best-connected
+    customers?). UNNORMALIZED fixed-round form: a₁ = Aᵀ·1 (supplier
+    in-degree), h₁ = A·a₁, a₂ = Aᵀ·h₁ — pure INTEGER matrix-vector
+    products (normalization each round would put a float norm inside
+    the recursion; monotone transforms don't change the ranking), so
+    the unrolled oracle replicates every round exactly. Growth bound:
+    scores ≤ (max degree)² per round pair — ~10⁹ at sf0.1, far under
+    2⁶³. Two equi-join+agg rounds over the edge list; top-20
+    authorities with the id tiebreak."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a1 = edges.groupBy("s").agg(F.count("*").alias("a1"))
+    h1 = (
+        edges.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h1").alias("a2"))
+    )
+    return (
+        a2.join(a1, "s")
+        .join(F.broadcast(supp), F.col("s") == F.col("s_suppkey"))
+        .select(
+            F.col("s").alias("s_suppkey"),
+            "s_name",
+            F.col("a1").cast("long").alias("authority_1"),
+            F.col("a2").cast("long").alias("authority_2"),
+        )
+        .orderBy(F.col("authority_2").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+_HITS_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), a1 AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY s
+    ), h1 AS (
+      SELECT c, CAST(sum(a1) AS BIGINT) AS h1
+      FROM e JOIN a1 USING (s) GROUP BY c
+    ), a2 AS (
+      SELECT s, CAST(sum(h1) AS BIGINT) AS a2
+      FROM e JOIN h1 USING (c) GROUP BY s
+    )
+    SELECT s AS s_suppkey, s_name, a1 AS authority_1, a2 AS authority_2
+    FROM a2
+    JOIN a1 USING (s)
+    JOIN supplier ON s = s_suppkey
+    ORDER BY authority_2 DESC, s_suppkey
+    LIMIT 20
+"""
+
+
+def text_phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval — documents containing the adjacent
+    token sequence 'spark join', with the occurrence count — the
+    positional query the bag-of-terms boolean search cannot answer.
+    MAP-ONLY: the adjacency test is a higher-order filter over the
+    token array (element_at is 1-indexed on BOTH engines), no explode
+    and no shuffle before the final sort; the size<2 guard matters
+    because Spark's sequence(1, 0) DESCENDS instead of emitting empty
+    (DuckDB's range(1, 1) is empty — the asymmetry the guard hides)."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    hits = F.size(
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: (F.element_at(toks, i) == "spark")
+            & (F.element_at(toks, i + 1) == "join"),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.when(n >= 2, hits).otherwise(F.lit(0)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") > 0)
+        .orderBy("doc_id")
+    )
+
+
+_PHRASE_SEARCH_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(toks)),
+                                i -> toks[i] = 'spark' AND toks[i + 1] = 'join'))
+                AS BIGINT) AS n_occurrences
+    FROM t
+    WHERE len(list_filter(range(1, len(toks)),
+                          i -> toks[i] = 'spark' AND toks[i + 1] = 'join')) > 0
+    ORDER BY doc_id
+"""
+
+
+def events_marker_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-delimited sessionization — a new session starts at each
+    'signup' event (the business-rule variant; the 30-minute GAP rule
+    is the shared inactivity variant): session id = running count of
+    markers per user, events before the first marker land in session 0
+    (the pre-signup segment, kept deliberately). Output is the
+    session-length histogram — one sessionize window + two hash aggs,
+    no joins."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sid = F.sum((F.col("event_type") == "signup").cast("long")).over(w)
+    per_sess = (
+        ev.withColumn("_sid", sid)
+        .groupBy("user_id", "_sid")
+        .agg(F.count("*").alias("_len"))
+    )
+    return (
+        per_sess.groupBy(F.col("_len").alias("session_len"))
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("session_len")
+    )
+
+
+_MARKER_SESSIONS_ORACLE = """
+    WITH s AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM events
+    ), per AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS len
+      FROM s GROUP BY 1, 2
+    )
+    SELECT len AS session_len, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM per
+    GROUP BY len
+    ORDER BY session_len
+"""
+
+
+def events_disorder_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit: per user, how many events carry an
+    event time EARLIER than some previously-arrived event (arrival
+    order = event_id — the ingestion sequence) — the late-data ratio
+    that calibrates streaming watermarks (streaming/events.py's
+    withWatermark bound should cover the observed disorder). One
+    running-max window over the prior-arrivals frame + one agg;
+    exact integers, 4dp ratio; users with zero disorder kept (the
+    denominator matters for the fleet-wide rate)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_max = F.max("ts").over(w_prev)
+    flagged = ev.withColumn(
+        "_late", (prior_max.isNotNull() & (F.col("ts") < prior_max)).cast("long")
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_late").alias("n_disordered"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("n_disordered").cast("long").alias("n_disordered"),
+            (
+                F.floor(F.col("n_disordered") / F.col("n_events") * 10000 + F.lit(0.5))
+                / 10000.0
+            ).alias("disorder_ratio"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_DISORDER_ORACLE = """
+    WITH f AS (
+      SELECT user_id,
+             CASE WHEN max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       > ts
+                  THEN 1 ELSE 0 END AS late
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_disordered,
+           floor(CAST(sum(late) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+             AS disorder_ratio
+    FROM f
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+def agg_revenue_gini_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    inequality/concentration statistic behind 'how dependent are we on
+    few accounts' (events_pareto shows the curve; this is the scalar).
+    The sorted-rank identity G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    (i = ascending rank, tiebreak custkey) keeps numerator and
+    denominator EXACT 64-bit integers — no Lorenz-curve floats; one
+    rank window per segment + one agg; 4dp display division only."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(rnd_cents("o_totalprice")).alias("_x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("_x").asc(), F.col("c_custkey").asc())
+    ranked = per_cust.withColumn("_i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("_x").alias("_sx"),
+            F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            (F.col("_sx") / 100.0).alias("revenue"),
+            (
+                F.floor(
+                    (2 * F.col("_six") - (F.col("n_customers") + 1) * F.col("_sx"))
+                    / (F.col("n_customers") * F.col("_sx"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_GINI_ORACLE = """
+    WITH per AS (
+      SELECT c_mktsegment, c_custkey,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_mktsegment, x,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY x ASC, c_custkey ASC) AS i
+      FROM per
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           sum(x) / 100.0 AS revenue,
+           floor(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+                 / (count(*) * sum(x)) * 10000 + 0.5) / 10000 AS gini
+    FROM ranked
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+def events_uniques_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users over the (month ⊃ day) time hierarchy via
+    GROUPING SETS — the classic non-additivity trap: daily uniques do
+    NOT sum to monthly uniques, so each level must re-count from the
+    raw frame (a mergeable-sketch rollup trades exactness for one
+    pass — the HLL row covers that side; this is the exact side).
+    grouping_id labels the level; one expand+agg plan, no joins."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    month = F.date_trunc("MONTH", "ts").alias("month")
+    day = F.date_trunc("DAY", "ts").alias("day")
+    leveled = ev.select(month, day, "user_id")
+    return (
+        leveled.groupingSets([[], ["month"], ["month", "day"]], "month", "day")
+        .agg(
+            F.grouping_id().cast("long").alias("level_id"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("level_id", "month", "day")
+    )
+
+
+_UNIQUES_ROLLUP_ORACLE = """
+    SELECT date_trunc('month', ts) AS month,
+           date_trunc('day', ts) AS day,
+           CAST(CASE WHEN GROUPING(month) = 1 THEN 3
+                     WHEN GROUPING(day) = 1 THEN 1
+                     ELSE 0 END AS BIGINT) AS level_id,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY GROUPING SETS ((), (month), (month, day))
+    ORDER BY level_id, month, day
+"""
+
+
+def text_collocation_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocations by LIFT — PMI's argument without
+    its log (the Benford/BM25 lesson: ln isn't cross-engine exact;
+    the monotone-equivalent ratio ranks identically):
+    lift(a,b) = B(ab)·Tu² / (Tb·U(a)·U(b)) with bigram/unigram counts
+    and totals all exact integers, ONE fixed expression tree for the
+    ratio. Min-count ≥ 5 prunes before ranking (and bounds the ranked
+    set at 100 TB); top-15 with the pair tiebreak. Shares the bigram
+    frame idea with text_bigram_lm (conditional probabilities) but
+    answers the association question."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count("*").alias("u")
+    )
+    pairs = (
+        docs.select(toks.alias("_t"))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("_t") - 1),
+                            lambda i: F.struct(
+                                F.element_at("_t", i).alias("w1"),
+                                F.element_at("_t", i + 1).alias("w2"),
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                ).otherwise(F.array())
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("b")).where(F.col("b") >= 5)
+    tot_u = base.agg(F.sum("u").alias("tu"))
+    tot_b = pairs.agg(F.count("*").alias("tb"))
+    joined = (
+        bg.join(base.select(F.col("w").alias("w1"), F.col("u").alias("u1")), "w1")
+        .join(base.select(F.col("w").alias("w2"), F.col("u").alias("u2")), "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    lift = (F.col("b") * F.col("tu") * F.col("tu")) / (
+        F.col("tb") * F.col("u1") * F.col("u2")
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            F.col("b").cast("long").alias("n_bigram"),
+            (F.floor(lift * 10000 + F.lit(0.5)) / 10000.0).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(15)
+    )
+
+
+_COLLOCATION_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS w FROM t
+    ), u AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS u FROM uni GROUP BY w
+    ), bgs AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS r(i)
+      WHERE len(toks) >= 2
+    ), b AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS b
+      FROM bgs GROUP BY 1, 2 HAVING count(*) >= 5
+    ), tu AS (SELECT CAST(sum(u) AS BIGINT) AS tu FROM u),
+    tb AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bgs)
+    SELECT w1, w2, b.b AS n_bigram,
+           floor((b.b * tu * tu) / (tb * u1.u * u2.u) * 10000 + 0.5) / 10000 AS lift
+    FROM b
+    JOIN u u1 ON b.w1 = u1.w
+    JOIN u u2 ON b.w2 = u2.w, tu, tb
+    ORDER BY lift DESC, w1, w2
+    LIMIT 15
+"""
+
+
+PENDING: tuple[PendingQuery, ...] = (
+    PendingQuery(
+        "graph_hits_scores",
+        graph_hits_scores_query,
+        _HITS_ORACLE,
+        tags=("graph", "hits", "centrality", "bipartite"),
+    ),
+    PendingQuery(
+        "text_phrase_search",
+        text_phrase_search_query,
+        _PHRASE_SEARCH_ORACLE,
+        tags=("text", "retrieval", "phrase", "positional"),
+    ),
+    PendingQuery(
+        "events_marker_sessions",
+        events_marker_sessions_query,
+        _MARKER_SESSIONS_ORACLE,
+        tags=("events", "session", "marker"),
+    ),
+    PendingQuery(
+        "events_disorder_audit",
+        events_disorder_audit_query,
+        _DISORDER_ORACLE,
+        tags=("events", "streaming-ops", "watermark", "audit"),
+    ),
+    PendingQuery(
+        "agg_revenue_gini",
+        agg_revenue_gini_query,
+        _GINI_ORACLE,
+        tags=("agg", "gini", "inequality", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_uniques_rollup",
+        events_uniques_rollup_query,
+        _UNIQUES_ROLLUP_ORACLE,
+        tags=("agg", "grouping-sets", "distinct", "hierarchy"),
+    ),
+    PendingQuery(
+        "text_collocation_lift",
+        text_collocation_lift_query,
+        _COLLOCATION_ORACLE,
+        tags=("text", "collocation", "lift", "pmi"),
+    ),
+)

@@ -89,6 +89,9 @@ _BNLJ_WHITELIST = {
     # the BM25 length normalization / rare-flag threshold
     "text_bm25_topk",
     "text_typicality",
+    # --- round-8 staged (pre-whitelisted for activation) ---
+    # two 1-row broadcast corpus-total aggregates under the lift ratio
+    "text_collocation_lift",
 }
 
 

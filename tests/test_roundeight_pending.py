@@ -1,0 +1,101 @@
+"""Round-8 staged queries (plans/roundeight_pending.py) get the SAME
+driver-shaped oracle check as declared queries — activation later is
+registration-only (after the evidence-hash refresh)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING
+from tests.oracle_check import compare, run_oracle
+
+SF_DIR = os.environ.get("ORACLE_SF", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("pq", PENDING, ids=lambda pq: pq.name)
+def test_pending_oracle_match(spark, pq):
+    result = pq.fn(spark, SF_DIR)
+    oracle = run_oracle(pq.oracle, SF_DIR)
+    errs = compare(result, oracle)
+    assert not errs, f"{pq.name}: " + "; ".join(errs)
+
+
+def test_pending_not_registered(spark):
+    from spotify_data_pipeline_spark.plans import all_queries
+
+    names = set(all_queries())
+    assert not names & {pq.name for pq in PENDING}
+
+
+def test_pending_names_unique_and_oracle_bearing():
+    names = [pq.name for pq in PENDING]
+    assert len(names) == len(set(names))
+    assert all(pq.oracle for pq in PENDING)
+    # and no collision with the earlier staging areas either
+    from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
+    from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
+
+    assert not set(names) & {pq.name for pq in P6}
+    assert not set(names) & {pq.name for pq in P7}
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# broadcast-1-row patterns, documented at the call site; these join the
+# plan-hygiene whitelist (with the same reasons) at activation
+_BNLJ_OK = {
+    # two 1-row broadcast corpus-total aggregates under the lift ratio
+    "text_collocation_lift",
+}
+
+
+def test_plans_no_nested_loop(spark):
+    for pq in PENDING:
+        if pq.name in _BNLJ_OK:
+            continue
+        plan = _plan_of(pq.fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, pq.name
+        assert "CartesianProduct" not in plan, pq.name
+
+
+def test_phrase_search_map_only(spark):
+    """The docstring's scale claim: no explode, no join — the phrase
+    test runs inside a single projection over the scan."""
+    from spotify_data_pipeline_spark.plans.roundeight_pending import (
+        text_phrase_search_query,
+    )
+
+    plan = _plan_of(text_phrase_search_query(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_gini_known_values(spark):
+    """Pin the rank identity against hand-computed Gini on a 4-row
+    frame: x = [1, 1, 1, 1] → 0; x = [0, 0, 0, 4] → 0.75
+    ((2*16 - 5*4) / (4*4))."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    for xs, want in (([1, 1, 1, 1], 0.0), ([0, 0, 0, 4], 0.75)):
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "k long, x long"
+        )
+        w = W.partitionBy().orderBy(F.col("x").asc(), F.col("k").asc())
+        ranked = df.withColumn("i", F.row_number().over(w))
+        got = ranked.agg(
+            (
+                F.floor(
+                    (2 * F.sum(F.col("i") * F.col("x")) - (F.count("*") + 1) * F.sum("x"))
+                    / (F.count("*") * F.sum("x"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("g")
+        ).collect()[0].g
+        assert got == want, (xs, got)
