@@ -433,6 +433,182 @@ _COLLOCATION_ORACLE = """
 """
 
 
+def join_returned_items_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue ranking: the top-20
+    customers by revenue lost to returns (l_returnflag = 'R') over one
+    order-date quarter, with their nation. Fact filters (flag + the
+    quarter via the orders join) cut before the customer join; nation
+    broadcasts; revenue in exact cents; custkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (
+                F.sum(rnd_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_RETURNED_ITEMS_ORACLE = """
+    SELECT c_custkey, c_name, n_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+             / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def agg_priority_class_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — priority classification per line status
+    (l_linestatus plays the absent l_shipmode): among lines shipped in
+    1997, how many belong to HIGH-priority orders vs lower — the
+    two-CASE-sum join that audits whether expedited orders actually
+    ship. One fact-orders equi join, one 3-row agg, exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_PRIORITY_CLASS_ORACLE = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+
+def agg_promo_revenue_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the percentage of one
+    month's revenue carried by PROMO-type parts, as the two-
+    conditional-sums ratio over the part join (both sums in exact
+    cents → ONE deterministic division, 4dp). Part broadcasts; the
+    month filter is the pushed predicate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = rnd_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+    total = F.sum(vol)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (promo / 100.0).alias("promo_revenue"),
+        (total / 100.0).alias("total_revenue"),
+        (F.floor(promo / total * 1000000 + F.lit(0.5)) / 10000.0).alias("promo_pct"),
+    )
+
+
+_PROMO_SHARE_ORACLE = """
+    SELECT sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) / 100.0 AS promo_revenue,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+             / 100.0 AS total_revenue,
+           floor(CAST(sum(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                               ELSE 0 END) AS DOUBLE)
+                 / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                 * 1000000 + 0.5) / 10000 AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def join_top_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the top supplier(s): whoever achieved the
+    MAXIMUM revenue over one quarter, ties included (the view + scalar
+    MAX subquery becomes an unpartitioned window max over the ~|S|-row
+    supplier aggregate — the frame is already reduced, so the single-
+    partition window is a non-issue; the fact never sees it). Exact
+    cents make revenue == max an INTEGER equality — the float-compare
+    trap Q15 is famous for never arises."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per = li.groupBy("l_suppkey").agg(
+        F.sum(rnd_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "_cents"
+        )
+    )
+    w = Window.partitionBy()
+    best = per.withColumn("_max", F.max("_cents").over(w)).where(
+        F.col("_cents") == F.col("_max")
+    )
+    return (
+        best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_cents") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_TOP_SUPPLIER_ORACLE = """
+    WITH per AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+               AS cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, cents / 100.0 AS total_revenue
+    FROM per
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE cents = (SELECT max(cents) FROM per)
+    ORDER BY s_suppkey
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "graph_hits_scores",
@@ -475,5 +651,29 @@ PENDING: tuple[PendingQuery, ...] = (
         text_collocation_lift_query,
         _COLLOCATION_ORACLE,
         tags=("text", "collocation", "lift", "pmi"),
+    ),
+    PendingQuery(
+        "join_returned_items",
+        join_returned_items_query,
+        _RETURNED_ITEMS_ORACLE,
+        tags=("tpch", "q10", "join", "topk"),
+    ),
+    PendingQuery(
+        "agg_priority_class",
+        agg_priority_class_query,
+        _PRIORITY_CLASS_ORACLE,
+        tags=("tpch", "q12", "case-sum"),
+    ),
+    PendingQuery(
+        "agg_promo_revenue_share",
+        agg_promo_revenue_share_query,
+        _PROMO_SHARE_ORACLE,
+        tags=("tpch", "q14", "ratio"),
+    ),
+    PendingQuery(
+        "join_top_supplier",
+        join_top_supplier_query,
+        _TOP_SUPPLIER_ORACLE,
+        tags=("tpch", "q15", "max-subquery"),
     ),
 )
