@@ -58,25 +58,53 @@ def asof_join(
             f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
         )
     value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
+    if "_ron" in value_cols:
+        raise ValueError("value column name '_ron' is reserved by asof_join")
+
+    # The matched right row travels as ONE struct (_ron + values), and
+    # the running `last` carries the STRUCT with ignorenulls — the
+    # struct is non-null for every right row even when its value
+    # fields are NULL, so the matched timestamp and the matched values
+    # can never desynchronize (carrying them as separate last() columns
+    # silently paired the timestamp of one right row with the most
+    # recent NON-NULL value of another — found by review).
+    rrow = F.struct(
+        F.col(on).alias("_ron"), *[F.col(c) for c in value_cols]
+    )
+    rrow_type = right.select(rrow).schema[0].dataType
 
     l_tag = left.select(
         F.col(by).alias("_by"),
         F.col(on).alias("_on"),
         F.lit(1).alias("_side"),  # left sorts after right at equal _on
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     r_tag = right.select(
         F.col(by).alias("_by"),
         F.col(on).alias("_on"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(left.select(F.struct(*left.columns)).schema[0].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(on).alias("_r_on"),
+        rrow.alias("_rrow"),
     )
 
     unioned = l_tag.unionByName(r_tag)
+
+    def _unpack(carried: DataFrame) -> DataFrame:
+        out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+        out_cols += [F.col(f"_r.{c}").alias(f"{c}{suffix}") for c in value_cols]
+        out_cols += [F.col("_r._ron").alias(f"{on}{suffix}")]
+        return carried.select(*out_cols)
+
+    def _apply_tolerance(carried: DataFrame) -> DataFrame:
+        r_on = F.col("_r._ron")
+        dist = F.when(
+            r_on <= F.col(f"_lrow.{on}"), F.col(f"_lrow.{on}") - r_on
+        ).otherwise(r_on - F.col(f"_lrow.{on}"))
+        in_tol = r_on.isNotNull() & (dist <= tolerance)
+        return carried.select(
+            "_lrow", F.when(in_tol, F.col("_r")).alias("_r")
+        )
 
     if direction == "nearest":
         w_b = (
@@ -90,90 +118,35 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         both = unioned.select(
-            "_by",
-            "_side",
             "_lrow",
-            *[
-                F.last(f"_rv_{c}", ignorenulls=True).over(w_b).alias(f"_bv_{c}")
-                for c in value_cols
-            ],
-            *[
-                F.last(f"_rv_{c}", ignorenulls=True).over(w_f).alias(f"_fv_{c}")
-                for c in value_cols
-            ],
-            F.last("_r_on", ignorenulls=True).over(w_b).alias("_on_b"),
-            F.last("_r_on", ignorenulls=True).over(w_f).alias("_on_f"),
+            "_side",
+            F.last("_rrow", ignorenulls=True).over(w_b).alias("_rb"),
+            F.last("_rrow", ignorenulls=True).over(w_f).alias("_rf"),
         ).where(F.col("_side") == 1)
-        dist_b = F.col(f"_lrow.{on}") - F.col("_on_b")
-        dist_f = F.col("_on_f") - F.col(f"_lrow.{on}")
-        choose_b = F.col("_on_f").isNull() | (
-            F.col("_on_b").isNotNull() & (dist_b <= dist_f)
-        )
+        on_b, on_f = F.col("_rb._ron"), F.col("_rf._ron")
+        dist_b = F.col(f"_lrow.{on}") - on_b
+        dist_f = on_f - F.col(f"_lrow.{on}")
+        choose_b = on_f.isNull() | (on_b.isNotNull() & (dist_b <= dist_f))
         carried = both.select(
             "_lrow",
-            *[
-                F.when(choose_b, F.col(f"_bv_{c}"))
-                .otherwise(F.col(f"_fv_{c}"))
-                .alias(f"_rv_{c}")
-                for c in value_cols
-            ],
-            F.when(choose_b, F.col("_on_b"))
-            .otherwise(F.col("_on_f"))
-            .alias(f"{on}{suffix}"),
+            F.when(choose_b, F.col("_rb")).otherwise(F.col("_rf")).alias("_r"),
         )
-        if tolerance is not None:
-            dist = F.when(
-                F.col(f"{on}{suffix}") <= F.col(f"_lrow.{on}"),
-                F.col(f"_lrow.{on}") - F.col(f"{on}{suffix}"),
-            ).otherwise(F.col(f"{on}{suffix}") - F.col(f"_lrow.{on}"))
-            in_tol = F.col(f"{on}{suffix}").isNotNull() & (dist <= tolerance)
-            carried = carried.select(
-                "_lrow",
-                *[
-                    F.when(in_tol, F.col(f"_rv_{c}")).alias(f"_rv_{c}")
-                    for c in value_cols
-                ],
-                F.when(in_tol, F.col(f"{on}{suffix}")).alias(f"{on}{suffix}"),
-            )
-        out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
-        out_cols += [F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols]
-        out_cols += [F.col(f"{on}{suffix}")]
-        return carried.select(*out_cols)
-
-    on_order = F.col("_on").asc() if direction == "backward" else F.col("_on").desc()
-    w = (
-        Window.partitionBy("_by")
-        .orderBy(on_order, F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        "_by",
-        "_side",
-        "_lrow",
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}") for c in value_cols],
-        F.last("_r_on", ignorenulls=True).over(w).alias(f"{on}{suffix}"),
-    ).where(F.col("_side") == 1)
+    else:
+        on_order = F.col("_on").asc() if direction == "backward" else F.col("_on").desc()
+        w = (
+            Window.partitionBy("_by")
+            .orderBy(on_order, F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.select(
+            "_lrow",
+            "_side",
+            F.last("_rrow", ignorenulls=True).over(w).alias("_r"),
+        ).where(F.col("_side") == 1).select("_lrow", "_r")
 
     if tolerance is not None:
-        dist = (
-            F.col(f"_lrow.{on}") - F.col(f"{on}{suffix}")
-            if direction == "backward"
-            else F.col(f"{on}{suffix}") - F.col(f"_lrow.{on}")
-        )
-        in_tol = F.col(f"{on}{suffix}").isNotNull() & (dist <= tolerance)
-        carried = carried.select(
-            "_lrow",
-            *[
-                F.when(in_tol, F.col(f"_rv_{c}")).alias(f"_rv_{c}")
-                for c in value_cols
-            ],
-            F.when(in_tol, F.col(f"{on}{suffix}")).alias(f"{on}{suffix}"),
-        )
-
-    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
-    out_cols += [F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols]
-    out_cols += [F.col(f"{on}{suffix}")]
-    return carried.select(*out_cols)
+        carried = _apply_tolerance(carried)
+    return _unpack(carried)
 
 
 def asof_join_pandas(

@@ -251,7 +251,10 @@ def agg_revenue_gini_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sorted-rank identity G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)
     (i = ascending rank, tiebreak custkey) keeps numerator and
     denominator EXACT 64-bit integers — no Lorenz-curve floats; one
-    rank window per segment + one agg; 4dp display division only."""
+    rank window per segment + one agg; 4dp display division only.
+    Overflow bound: Σ i·xᵢ ≤ n²·max(x) must stay under 2⁶³ — holds to
+    ~10⁸ customers per segment at 10⁵-dollar balances; past that,
+    pre-scale x to whole dollars (the statistic is scale-invariant)."""
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     per_cust = (
@@ -348,35 +351,36 @@ def text_collocation_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     its log (the Benford/BM25 lesson: ln isn't cross-engine exact;
     the monotone-equivalent ratio ranks identically):
     lift(a,b) = B(ab)·Tu² / (Tb·U(a)·U(b)) with bigram/unigram counts
-    and totals all exact integers, ONE fixed expression tree for the
-    ratio. Min-count ≥ 5 prunes before ranking (and bounds the ranked
-    set at 100 TB); top-15 with the pair tiebreak. Shares the bigram
-    frame idea with text_bigram_lm (conditional probabilities) but
-    answers the association question."""
+    as exact integers and the ratio computed in DOUBLES with one fixed
+    tree — deterministic at ANY corpus size (the products overflow
+    int64 near Tu ≈ 1.4·10⁹ tokens, so the atoms cast to double FIRST;
+    IEEE multiply/divide of identically-converted doubles is
+    bit-reproducible even past 2⁵³, unlike 64-bit integer overflow
+    which aborts). Min-count ≥ 5 prunes before ranking (and bounds the
+    ranked set at 100 TB); top-15 with the pair tiebreak. Shares the
+    bigram frame idea with text_bigram_lm (conditional probabilities)
+    but answers the association question."""
     from spotify_data_pipeline_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
     toks = tokens(F.col("text"))
     base = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
         F.count("*").alias("u")
     )
     pairs = (
         docs.select(toks.alias("_t"))
+        .where(F.size("_t") >= 2)
         .select(
             F.explode(
-                F.when(
-                    F.size("_t") >= 2,
-                    F.filter(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size("_t") - 1),
-                            lambda i: F.struct(
-                                F.element_at("_t", i).alias("w1"),
-                                F.element_at("_t", i + 1).alias("w2"),
-                            ),
-                        ),
-                        lambda s: s.isNotNull(),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("w1"),
+                        F.element_at("_t", i + 1).alias("w2"),
                     ),
-                ).otherwise(F.array())
+                )
             ).alias("bg")
         )
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -390,8 +394,8 @@ def text_collocation_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot_u))
         .crossJoin(F.broadcast(tot_b))
     )
-    lift = (F.col("b") * F.col("tu") * F.col("tu")) / (
-        F.col("tb") * F.col("u1") * F.col("u2")
+    lift = (F.col("b").cast("double") * F.col("tu") * F.col("tu")) / (
+        F.col("tb").cast("double") * F.col("u1") * F.col("u2")
     )
     return (
         joined.select(
@@ -409,7 +413,7 @@ _COLLOCATION_ORACLE = """
     WITH t AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
-      FROM documents
+      FROM documents WHERE length(trim(text)) > 0
     ), uni AS (
       SELECT unnest(toks) AS w FROM t
     ), u AS (
@@ -424,7 +428,8 @@ _COLLOCATION_ORACLE = """
     ), tu AS (SELECT CAST(sum(u) AS BIGINT) AS tu FROM u),
     tb AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bgs)
     SELECT w1, w2, b.b AS n_bigram,
-           floor((b.b * tu * tu) / (tb * u1.u * u2.u) * 10000 + 0.5) / 10000 AS lift
+           floor((CAST(b.b AS DOUBLE) * tu * tu)
+                 / (CAST(tb AS DOUBLE) * u1.u * u2.u) * 10000 + 0.5) / 10000 AS lift
     FROM b
     JOIN u u1 ON b.w1 = u1.w
     JOIN u u2 ON b.w2 = u2.w, tu, tb

@@ -734,7 +734,7 @@ _KS_DRIFT_ORACLE = """
 def join_volume_shipping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — volume shipping between two trading nations:
     revenue by (supplier nation, customer nation, ship year) for the
-    ordered pairs (NATION_1→NATION_2, NATION_2→NATION_1) over a 2-year
+    ordered pairs (NATION_3→NATION_2, NATION_2→NATION_3 — chosen non-empty at sf0.001, where supplier nations are sparse, so the parity test is never vacuous) over a 2-year
     ship window. The plan is the classic 5-way star: lineitem carries
     both a supplier-side and a customer-side dimension chain, so the
     fact shuffles ONCE per chain key while all four dims broadcast;
@@ -761,8 +761,8 @@ def join_volume_shipping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
         .where(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3"))
         )
     )
     return (
@@ -793,8 +793,8 @@ _VOLUME_SHIPPING_ORACLE = """
     JOIN nation n2 ON c_nationkey = n2.n_nationkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
-      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
 """
@@ -1376,9 +1376,12 @@ _BM25_ORACLE = f"""
       SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
     ), c AS (
       SELECT tf.doc_id,
+             -- parenthesization mirrors the Spark tree EXACTLY:
+             -- idf * (22*tf / den) * 1e6, never (idf * 22*tf) / den —
+             -- a different IEEE association can flip floor() by 1 ulp
              CAST(floor(((2 * n - 2 * df + 1) / (2 * df + 1))
-                        * (22 * tf)
-                        / (10 * tf + 3 + 9 * ((dl * n) / CAST(tt AS DOUBLE)))
+                        * ((22 * tf)
+                           / (10 * tf + 3 + 9 * ((dl * n) / CAST(tt AS DOUBLE))))
                         * 1000000) AS BIGINT) AS cs
       FROM tf
       JOIN dft USING (term)

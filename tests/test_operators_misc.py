@@ -93,6 +93,25 @@ def test_asof_join_backward_semantics(spark):
     assert out[4] == (None, None)
 
 
+def test_asof_join_null_value_stays_with_its_row(spark):
+    """Regression (review find): a matched right row whose VALUE is
+    NULL must yield a NULL value — not the most recent non-NULL value
+    from an OLDER right row paired with the newer row's timestamp.
+    Pinned for backward AND nearest."""
+    left = spark.createDataFrame(
+        [(1, 10, _TS(2024, 1, 1, 10, 0))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _TS(2024, 1, 1, 9, 0), 1.0), (10, _TS(2024, 1, 1, 10, 0), None)],
+        "user_id long, ts timestamp, px double",
+    )
+    for direction in ("backward", "nearest"):
+        out = asof_join(left, right, on="ts", by="user_id", value_cols=["px"],
+                        direction=direction).collect()[0]
+        assert out.ts_right == _TS(2024, 1, 1, 10, 0), direction
+        assert out.px_right is None, direction
+
+
 def test_asof_join_nearest_semantics(spark):
     left, right = _events_fixture(spark)
     out = {r.event_id: (r.ts_right, r.px_right) for r in

@@ -110,13 +110,14 @@ def test_typicality_model(docs):
 
 
 def test_plans_no_cartesian(docs):
-    for plan_df in (
-        bm25_topk(docs, ["spark"], k=5),
-        boolean_and_search(docs, ["spark"]),
-        token_typicality(docs),
+    # the only nested-loop allowed is the documented 1-row broadcast
+    # totals/doc-count aggregate — which boolean_and_search doesn't
+    # have, so its bound is ZERO
+    for plan_df, max_bnlj in (
+        (bm25_topk(docs, ["spark"], k=5), 1),
+        (boolean_and_search(docs, ["spark"]), 0),
+        (token_typicality(docs), 1),
     ):
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
-        # the only nested-loop allowed is the documented 1-row
-        # broadcast totals/doc-count aggregate
-        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj

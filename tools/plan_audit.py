@@ -40,7 +40,7 @@ def main() -> None:
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # surface, don't abort the table
-            print(f"| {name} | ERROR: {type(e).__name__} | | | | | | |")
+            print(f"| {name} | ERROR: {type(e).__name__} | | | | | | | |")
             return
         bnlj = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
         flag = (
@@ -75,13 +75,16 @@ def main() -> None:
     # staged (not-yet-declared) queries: same audit, same whitelist —
     # the pending tests carry their own _BNLJ_OK sets, which are
     # pre-merged into the hygiene whitelist at staging time
+    from test_roundeight_pending import _BNLJ_OK as _OK8
     from test_roundseven_pending import _BNLJ_OK as _OK7
+    from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING as P8
     from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
     from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
 
     for title, pending, wl in (
         ("round-6 staging", P6, _BNLJ_WHITELIST),
         ("round-7 staging", P7, _BNLJ_WHITELIST | _OK7),
+        ("round-8 staging", P8, _BNLJ_WHITELIST | _OK8),
     ):
         print(f"\n## Staged: {title} ({len(pending)} queries)\n")
         print(header)
