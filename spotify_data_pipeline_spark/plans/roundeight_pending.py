@@ -614,6 +614,159 @@ _TOP_SUPPLIER_ORACLE = """
 """
 
 
+def llm_bpe_pair_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIRST merge round of BPE tokenizer training: adjacent
+    CHARACTER-pair frequencies within words across the corpus — the
+    statistic every merge decision reads (Sennrich et al. 2016). One
+    explode to words, one in-array transform to (c1, c2) pairs (the
+    phrase-search adjacency device at character granularity), one hash
+    agg; top-20 pairs with the pair tiebreak. Exact integers; at
+    100 TB this is the per-iteration shape of distributed tokenizer
+    training (subsequent rounds re-run it over merged symbols)."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w")).where(
+        F.length("w") >= 2
+    )
+    # substring needs integer positions from the sequence — built via
+    # expr (lambda positions aren't valid substring args in pyspark's
+    # Column DSL, which only takes int literals)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> struct(substring(w, i, 1) AS c1, substring(w, i + 1, 1) AS c2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2"))
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "c1", "c2")
+        .limit(20)
+    )
+
+
+_BPE_PAIR_ORACLE = """
+    WITH t AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), w AS (
+      SELECT unnest(toks) AS w FROM t
+    ), p AS (
+      SELECT substring(w, i, 1) AS c1, substring(w, i + 1, 1) AS c2
+      FROM w, unnest(range(1, length(w))) AS r(i)
+      WHERE length(w) >= 2
+    )
+    SELECT c1, c2, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, c1, c2
+    LIMIT 20
+"""
+
+
+def events_signup_to_purchase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation lag: per user, days from first signup to first
+    subsequent purchase — the conversion-latency distribution (count
+    converted, discrete median/p90 lag) that sits between the funnel
+    (did they convert) and retention (did they stay). Two conditional
+    min-aggs per user (one shuffle), then a 1-row summary; integer day
+    arithmetic; users who never purchased after signing up count in
+    n_signed_up but contribute no lag — the denominator pin."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("_su"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("_fp"),
+    )
+    day = lambda c: F.floor(c.cast("long") / 86400)  # noqa: E731
+    lagged = per_user.where(F.col("_su").isNotNull()).withColumn(
+        "_lag",
+        F.when(
+            F.col("_fp").isNotNull() & (F.col("_fp") >= F.col("_su")),
+            day(F.col("_fp")) - day(F.col("_su")),
+        ),
+    )
+    return lagged.agg(
+        F.count("*").alias("n_signed_up"),
+        F.count("_lag").alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _lag)")
+        .cast("long")
+        .alias("median_lag_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY _lag)")
+        .cast("long")
+        .alias("p90_lag_days"),
+    )
+
+
+_SIGNUP_PURCHASE_ORACLE = """
+    WITH per AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS su,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY user_id
+    ), lagged AS (
+      SELECT CASE WHEN fp IS NOT NULL AND fp >= su
+                  THEN floor(epoch(fp) / 86400) - floor(epoch(su) / 86400)
+             END AS lag
+      FROM per WHERE su IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_signed_up,
+           CAST(count(lag) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(lag, 0.5) AS BIGINT) AS median_lag_days,
+           CAST(quantile_disc(lag, 0.9) AS BIGINT) AS p90_lag_days
+    FROM lagged
+"""
+
+
+def agg_weighted_avg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average unit price per brand — the weighted
+    mean as a ratio of two EXACT integer sums (Σ cents·qty / Σ qty —
+    quantities are integral), against the float-accumulator weighted
+    average that drifts with partition order. One broadcast dim join +
+    one hash agg; 4dp display division only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.col("l_quantity").cast("long")
+    wsum = F.sum(rnd_cents(F.col("l_extendedprice") / F.col("l_quantity")) * qty)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            wsum.alias("_wc"),
+        )
+        .select(
+            "p_brand",
+            "total_qty",
+            (
+                F.floor(F.col("_wc") / F.col("total_qty") / 100.0 * 10000 + F.lit(0.5))
+                / 10000.0
+            ).alias("wavg_unit_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_WEIGHTED_AVG_ORACLE = """
+    SELECT p_brand,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           floor(CAST(sum(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / sum(CAST(l_quantity AS BIGINT)) / 100.0 * 10000 + 0.5) / 10000
+             AS wavg_unit_price
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "graph_hits_scores",
@@ -680,5 +833,23 @@ PENDING: tuple[PendingQuery, ...] = (
         join_top_supplier_query,
         _TOP_SUPPLIER_ORACLE,
         tags=("tpch", "q15", "max-subquery"),
+    ),
+    PendingQuery(
+        "llm_bpe_pair_counts",
+        llm_bpe_pair_counts_query,
+        _BPE_PAIR_ORACLE,
+        tags=("llmops", "bpe", "tokenizer", "pairs"),
+    ),
+    PendingQuery(
+        "events_signup_to_purchase",
+        events_signup_to_purchase_query,
+        _SIGNUP_PURCHASE_ORACLE,
+        tags=("events", "conversion", "activation", "lag"),
+    ),
+    PendingQuery(
+        "agg_weighted_avg",
+        agg_weighted_avg_query,
+        _WEIGHTED_AVG_ORACLE,
+        tags=("agg", "weighted-mean", "integer-exact"),
     ),
 )
