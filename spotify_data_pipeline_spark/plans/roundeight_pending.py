@@ -767,6 +767,221 @@ _WEIGHTED_AVG_ORACLE = """
 """
 
 
+def events_slo_burn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the Google SRE workbook
+    pattern): per hour, the error-budget burn at the 1-hour and
+    6-hour windows against a 99%-success SLO, alarming only when BOTH
+    burn fast (>14.4) and sustained (>6) — the two-window AND is what
+    kills flappy single-window alerts. Burn = error_rate / (1−SLO) =
+    errors·100/total, kept as a 4dp ratio of exact integers; the
+    thresholds enter ×10 cross-multiplied (errors·1000 > 144·total —
+    no float compare). Two hash aggs (hour, 6-hour) + one equi join on
+    the containing 6-hour bucket."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    is_err = (F.col("event_type") == "error").cast("long")
+    hour = F.date_trunc("HOUR", "ts")
+    h6 = F.timestamp_seconds(
+        F.floor(F.col("ts").cast("long") / 21600) * 21600
+    )
+    hourly = ev.groupBy(hour.alias("hour"), h6.alias("_h6")).agg(
+        F.count("*").alias("n_events"), F.sum(is_err).alias("n_errors")
+    )
+    sixly = ev.groupBy(h6.alias("_h6")).agg(
+        F.count("*").alias("_n6"), F.sum(is_err).alias("_e6")
+    )
+    joined = hourly.join(sixly, "_h6")
+    burn1 = F.floor(F.col("n_errors") * 100 / F.col("n_events") * 10000 + F.lit(0.5)) / 10000.0
+    burn6 = F.floor(F.col("_e6") * 100 / F.col("_n6") * 10000 + F.lit(0.5)) / 10000.0
+    alarm = (F.col("n_errors") * 1000 > 144 * F.col("n_events")) & (
+        F.col("_e6") * 1000 > 60 * F.col("_n6")
+    )
+    return (
+        joined.select(
+            "hour",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_errors").cast("long").alias("n_errors"),
+            burn1.alias("burn_1h"),
+            burn6.alias("burn_6h"),
+            alarm.alias("alarm"),
+        )
+        .orderBy("hour")
+    )
+
+
+_SLO_BURN_ORACLE = """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+               AT TIME ZONE 'UTC' AS h6,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+               AT TIME ZONE 'UTC' AS h6,
+             CAST(count(*) AS BIGINT) AS n6,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS e6
+      FROM events GROUP BY 1
+    )
+    SELECT hour, n_events, n_errors,
+           floor(CAST(n_errors * 100 AS DOUBLE) / n_events * 10000 + 0.5) / 10000
+             AS burn_1h,
+           floor(CAST(e6 * 100 AS DOUBLE) / n6 * 10000 + 0.5) / 10000 AS burn_6h,
+           (n_errors * 1000 > 144 * n_events AND e6 * 1000 > 60 * n6) AS alarm
+    FROM h JOIN s USING (h6)
+    ORDER BY hour
+"""
+
+
+def orders_backtest_mape_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest with integer-exact MAPE: the naive seasonal
+    forecast (this month = same month LAST YEAR, the baseline every
+    real model must beat) evaluated per nation. The float-sum trap:
+    averaging |a−f|/a doubles is partition-order-dependent — instead
+    each month's absolute percentage error is FLOORED TO AN INTEGER
+    ape_scaled = ⌊|a−f|·10⁴/a⌋ (exact: a, f are cents), the per-nation
+    sum is an integer, and only the final display mean divides. One
+    agg to (nation, month) + one lag window + one summary agg."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.date_trunc("MONTH", "o_orderdate").alias("month"))
+        .agg(F.sum(rnd_cents("o_totalprice")).alias("_a"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    scored = monthly.withColumn("_f", F.lag("_a", 12).over(w)).where(
+        F.col("_f").isNotNull()
+    )
+    ape = F.floor(F.abs(F.col("_a") - F.col("_f")) * 10000 / F.col("_a"))
+    return (
+        scored.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_backtest_months"),
+            F.sum(ape).alias("_sape"),
+        )
+        .select(
+            "n_name",
+            "n_backtest_months",
+            (
+                F.floor(F.col("_sape") / F.col("n_backtest_months") + F.lit(0.5))
+                / 10000.0
+            ).alias("mape"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_BACKTEST_MAPE_ORACLE = """
+    WITH monthly AS (
+      SELECT n_name, date_trunc('month', o_orderdate) AS month,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS a
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT n_name, a,
+             lag(a, 12) OVER (PARTITION BY n_name ORDER BY month) AS f
+      FROM monthly
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_backtest_months,
+           floor(CAST(sum(CAST(floor(abs(a - f) * 10000 / a) AS BIGINT)) AS DOUBLE)
+                 / count(*) + 0.5) / 10000 AS mape
+    FROM scored
+    WHERE f IS NOT NULL
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+def text_rake_keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword scoring (Rose et al. 2010, word level):
+    score(w) = deg(w)/freq(w) with deg = freq + adjacent-co-occurrence
+    count — words that KEEP COMPANY (high degree) outrank words that
+    are merely frequent; the keyword-extraction axis the tf-idf and
+    heavy-hitter rows don't cover. deg and freq are exact integers
+    from the shared bigram/unigram frames; min-freq ≥ 10 prunes; one
+    deterministic 4dp division; top-15 by score with the word
+    tiebreak."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = tokens(F.col("text"))
+    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count("*").alias("freq")
+    )
+    bg = (
+        docs.select(toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1),"
+                    " i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    co = (
+        bg.select(F.col("w1").alias("w"))
+        .unionByName(bg.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("co"))
+    )
+    joined = uni.join(co, "w", "left").withColumn(
+        "co", F.coalesce("co", F.lit(0))
+    )
+    score = (F.col("freq") + F.col("co")) / F.col("freq")
+    return (
+        joined.where(F.col("freq") >= 10)
+        .select(
+            "w",
+            F.col("freq").cast("long").alias("freq"),
+            (F.col("freq") + F.col("co")).cast("long").alias("degree"),
+            (F.floor(score * 10000 + F.lit(0.5)) / 10000.0).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "w")
+        .limit(15)
+    )
+
+
+_RAKE_ORACLE = """
+    WITH t AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ), bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS r(i)
+      WHERE len(toks) >= 2
+    ), co AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS co
+      FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg) GROUP BY w
+    )
+    SELECT uni.w AS w, freq,
+           CAST(freq + coalesce(co, 0) AS BIGINT) AS degree,
+           floor(CAST(freq + coalesce(co, 0) AS DOUBLE) / freq * 10000 + 0.5) / 10000
+             AS rake_score
+    FROM uni LEFT JOIN co ON uni.w = co.w
+    WHERE freq >= 10
+    ORDER BY rake_score DESC, w
+    LIMIT 15
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "graph_hits_scores",
@@ -851,5 +1066,23 @@ PENDING: tuple[PendingQuery, ...] = (
         agg_weighted_avg_query,
         _WEIGHTED_AVG_ORACLE,
         tags=("agg", "weighted-mean", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_slo_burn",
+        events_slo_burn_query,
+        _SLO_BURN_ORACLE,
+        tags=("events", "sre", "slo", "alerting"),
+    ),
+    PendingQuery(
+        "orders_backtest_mape",
+        orders_backtest_mape_query,
+        _BACKTEST_MAPE_ORACLE,
+        tags=("analytics", "forecast", "backtest", "mape"),
+    ),
+    PendingQuery(
+        "text_rake_keywords",
+        text_rake_keywords_query,
+        _RAKE_ORACLE,
+        tags=("text", "keywords", "rake"),
     ),
 )
