@@ -982,6 +982,67 @@ _RAKE_ORACLE = """
 """
 
 
+def events_audience_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between behavior segments: the Jaccard
+    similarity of the USER SETS behind each event-type pair (do
+    clickers also purchase?) — segment-overlap analytics, the
+    set-similarity question at the audience rather than document
+    grain. (type, user) distincts self-join on user with type1 <
+    type2 (shuffle on user id, the natural key); |A∪B| =
+    |A|+|B|−|A∩B| keeps everything exact integers; 4dp display
+    ratio. 5 types ⇒ 10 rows out."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ev.select(F.col("event_type").alias("t1"), "user_id")
+    b = ev.select(F.col("event_type").alias("t2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_both"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))),
+            "t2",
+        )
+    )
+    union = F.col("n1") + F.col("n2") - F.col("n_both")
+    return out.select(
+        "t1",
+        "t2",
+        F.col("n_both").cast("long").alias("n_both"),
+        union.cast("long").alias("n_union"),
+        (F.floor(F.col("n_both") / union * 10000 + F.lit(0.5)) / 10000.0).alias(
+            "jaccard"
+        ),
+    ).orderBy("t1", "t2")
+
+
+_AUDIENCE_OVERLAP_ORACLE = """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, n_both,
+           s1.n + s2.n - n_both AS n_union,
+           floor(CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both) * 10000 + 0.5)
+             / 10000 AS jaccard
+    FROM inter
+    JOIN sizes s1 ON t1 = s1.event_type
+    JOIN sizes s2 ON t2 = s2.event_type
+    ORDER BY t1, t2
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "graph_hits_scores",
@@ -1084,5 +1145,11 @@ PENDING: tuple[PendingQuery, ...] = (
         text_rake_keywords_query,
         _RAKE_ORACLE,
         tags=("text", "keywords", "rake"),
+    ),
+    PendingQuery(
+        "events_audience_overlap",
+        events_audience_overlap_query,
+        _AUDIENCE_OVERLAP_ORACLE,
+        tags=("events", "jaccard", "segments", "overlap"),
     ),
 )
