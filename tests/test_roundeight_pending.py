@@ -14,12 +14,21 @@ from tests.oracle_check import compare, run_oracle
 SF_DIR = os.environ.get("ORACLE_SF", "/root/testdata/sf0.001")
 
 
+# staged queries allowed to be empty at the default sf0.001 (none currently)
+_EMPTY_OK = set()
+
+
 @pytest.mark.parametrize("pq", PENDING, ids=lambda pq: pq.name)
 def test_pending_oracle_match(spark, pq):
     result = pq.fn(spark, SF_DIR)
     oracle = run_oracle(pq.oracle, SF_DIR)
     errs = compare(result, oracle)
     assert not errs, f"{pq.name}: " + "; ".join(errs)
+    # vacuousness guard (the Q7 / duplicate-screen lesson): an
+    # empty-vs-empty oracle match proves nothing, so a staged query
+    # must produce rows at this SF unless explicitly allowlisted.
+    if pq.name not in _EMPTY_OK:
+        assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
 def test_pending_not_registered(spark):
