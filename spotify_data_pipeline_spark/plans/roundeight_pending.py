@@ -1043,6 +1043,128 @@ _AUDIENCE_OVERLAP_ORACLE = """
 """
 
 
+def llm_dataset_card_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card ('Datasheets for Datasets', Gebru et al.
+    2021): the corpus-level summary a training-data release ships with
+    — document and token counts, source/language breadth, mean doc
+    length, short-doc fraction. Every number is an exact integer or a
+    4dp ratio of exact integers; ONE aggregation pass over the token
+    frame (counts and distincts share the scan)."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text")))
+    base = docs.select(
+        "doc_id", "source", "lang", n_toks.alias("_nt"), F.col("n_chars")
+    )
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.floor(F.sum("_nt") / F.count("*") * 10000 + F.lit(0.5)) / 10000.0
+        ).alias("mean_doc_tokens"),
+        (
+            F.floor(
+                F.sum((F.col("_nt") < 50).cast("long")) / F.count("*") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("short_doc_ratio"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+_DATASET_CARD_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, source, lang, n_chars,
+             CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+                  ELSE 0 END AS nt
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           floor(CAST(sum(nt) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+             AS mean_doc_tokens,
+           floor(CAST(sum(CASE WHEN nt < 50 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS short_doc_ratio,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM t
+"""
+
+
+def agg_supplier_hhi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue per
+    nation — the antitrust/market-concentration scalar (HHI = Σ shareᵢ²
+    × 10⁴; >2500 = 'highly concentrated'), pairing with Gini on the
+    inequality axis. The float trap: summing per-supplier share² is
+    partition-order-dependent — instead Σ cᵢ² and (Σ cᵢ) are EXACT
+    integer aggregates (order-free), and the HHI divides the two
+    scalars in ONE fixed final expression. cᵢ² at ~10¹⁰ cents per
+    supplier is ~10²⁰ > 2⁶³, so the square runs in DECIMAL(38,0)
+    (HUGEINT on the oracle side) — exact to 38 digits, no overflow
+    to ~10⁹ suppliers."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(rnd_cents("l_extendedprice")).alias("_c"))
+    )
+    return (
+        per_supp.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("_c").alias("_sc"),
+            F.sum(
+                F.col("_c").cast("decimal(38,0)") * F.col("_c").cast("decimal(38,0)")
+            ).alias("_sc2"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            (F.col("_sc") / 100.0).alias("revenue"),
+            (
+                F.floor(
+                    F.col("_sc2") / (F.col("_sc") * 1.0 * F.col("_sc")) * 10000 + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("hhi"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_SUPPLIER_HHI_ORACLE = """
+    WITH per AS (
+      SELECT n_name, l_suppkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS c
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           sum(c) / 100.0 AS revenue,
+           CAST(floor(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+                      / (sum(c) * 1.0 * sum(c)) * 10000
+                      + 0.5) AS BIGINT) AS hhi
+    FROM per
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "graph_hits_scores",
@@ -1151,5 +1273,17 @@ PENDING: tuple[PendingQuery, ...] = (
         events_audience_overlap_query,
         _AUDIENCE_OVERLAP_ORACLE,
         tags=("events", "jaccard", "segments", "overlap"),
+    ),
+    PendingQuery(
+        "llm_dataset_card",
+        llm_dataset_card_query,
+        _DATASET_CARD_ORACLE,
+        tags=("llmops", "datasheet", "summary"),
+    ),
+    PendingQuery(
+        "agg_supplier_hhi",
+        agg_supplier_hhi_query,
+        _SUPPLIER_HHI_ORACLE,
+        tags=("agg", "hhi", "concentration", "integer-exact"),
     ),
 )
