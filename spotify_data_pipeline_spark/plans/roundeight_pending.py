@@ -1165,6 +1165,422 @@ _SUPPLIER_HHI_ORACLE = """
 """
 
 
+def events_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting per user — the API-gateway admission
+    rule (capacity 100, refill 1 token/minute, per-type costs), batch-
+    replayed to answer 'which users would the limiter throttle, and how
+    hard?'. The recursion is DOUBLY non-associative (refill clamps at
+    capacity above, spend gates on sufficiency below), so no window
+    frame computes it — like `events_wallet_balance` it folds the
+    per-user ordered event array with the built-in ``aggregate`` HOF:
+    per-KEY sequential, corpus-parallel, no Python. Microsecond epoch
+    integers end to end (refill = Δus div 6·10⁷ — floor division IS the
+    spec, both engines truncate identically), so the fold is exact
+    cross-engine. DuckDB's ``list_reduce`` requires accumulator type ==
+    element type, so the element struct reuses the state shape (its
+    `tok` field carries the event COST, `pus` the event time) — the
+    lambda reads acc as state and e as event; documented asymmetry, not
+    a bug. STATE FIELD ORDER IS LOAD-BEARING: DuckDB 1.0.0 evaluates
+    the lambda's result-struct fields sequentially and mutates the
+    accumulator in place, so a field computed after `tok` would read
+    the NEW tok (measured: one admit/reject flip per threshold
+    crossing). Ordering the state (adm, rej, tok, pus) makes every
+    field's inputs be fields updated strictly LATER — correct under
+    both in-place and functional evaluation, pinned by the minimal
+    repro in tests. Per-user arrays are the same sessionization-scale
+    bound every fold op here relies on (~thousands of events/user)."""
+    ev = load_table(spark, sf_dir, "events")
+    cost = (
+        F.when(F.col("event_type") == "purchase", 30)
+        .when(F.col("event_type") == "click", 5)
+        .when(F.col("event_type") == "view", 3)
+        .when(F.col("event_type") == "error", 10)
+        .otherwise(0)
+        .cast("long")
+    )
+    refill = "least(CAST(100 AS BIGINT), acc.tok + (e.pus - acc.pus) div 60000000)"
+    fold = f"""
+      aggregate(
+        array_sort(collect_list(named_struct('pus', _us, 'eid', event_id, 'cost', _cost))),
+        named_struct('adm', CAST(0 AS BIGINT), 'rej', CAST(0 AS BIGINT),
+                     'tok', CAST(100 AS BIGINT), 'pus', CAST(0 AS BIGINT)),
+        (acc, e) -> named_struct(
+          'adm', acc.adm + CASE WHEN {refill} >= e.cost THEN 1 ELSE 0 END,
+          'rej', acc.rej + CASE WHEN {refill} >= e.cost THEN 0 ELSE 1 END,
+          'tok', CASE WHEN {refill} >= e.cost
+                      THEN {refill} - e.cost ELSE {refill} END,
+          'pus', e.pus))
+    """
+    per_user = (
+        ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+            "event_id",
+            cost.alias("_cost"),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.expr(fold).alias("_st"))
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.col("_st.adm").alias("admitted"),
+        F.col("_st.rej").alias("rejected"),
+        F.col("_st.tok").alias("final_tokens"),
+    )
+
+
+_RATE_LIMIT_REFILL = (
+    "least(CAST(100 AS BIGINT), acc.tok + (e.pus - acc.pus) // 60000000)"
+)
+
+_RATE_LIMIT_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(CASE event_type WHEN 'purchase' THEN 30 WHEN 'click' THEN 5
+                  WHEN 'view' THEN 3 WHEN 'error' THEN 10 ELSE 0 END AS BIGINT) AS cost
+      FROM events
+    ), st AS (
+      -- state field order (adm, rej, tok, pus) is LOAD-BEARING: DuckDB
+      -- 1.0.0 list_reduce mutates the accumulator field-by-field, so
+      -- every field must only read fields updated LATER than itself
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             list_reduce(
+               list_prepend(
+                 {{'adm': CAST(0 AS BIGINT), 'rej': CAST(0 AS BIGINT),
+                   'tok': CAST(100 AS BIGINT), 'pus': CAST(0 AS BIGINT)}},
+                 list({{'adm': CAST(0 AS BIGINT), 'rej': CAST(0 AS BIGINT),
+                        'tok': cost, 'pus': epoch_us(ts)}}
+                      ORDER BY ts, event_id)),
+               (acc, e) -> {{
+                 'adm': acc.adm + CASE WHEN {_RATE_LIMIT_REFILL} >= e.tok THEN 1 ELSE 0 END,
+                 'rej': acc.rej + CASE WHEN {_RATE_LIMIT_REFILL} >= e.tok THEN 0 ELSE 1 END,
+                 'tok': CASE WHEN {_RATE_LIMIT_REFILL} >= e.tok
+                             THEN {_RATE_LIMIT_REFILL} - e.tok
+                             ELSE {_RATE_LIMIT_REFILL} END,
+                 'pus': e.pus}}
+             ) AS s
+      FROM ev GROUP BY 1)
+    SELECT user_id, n_events, s.adm AS admitted, s.rej AS rejected,
+           s.tok AS final_tokens
+    FROM st
+"""
+
+
+def orders_auc_urgency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (Mann–Whitney U) of order value as a predictor of
+    urgency, per order status — the model-evaluation metric NDCG's
+    retrieval axis doesn't cover (does a higher total price predict a
+    1-URGENT/2-HIGH priority?). The float trap: per-pair comparison is
+    O(P·N); instead AUC's rank-sum identity runs on GROUPED distinct
+    scores — per score value s: p·(2·N_below) + p·n, summed, gives
+    2U with ties worth 1 each (the ½ tie credit, doubled to stay
+    INTEGER). One agg on (status, score-cents) + one cumulative window
+    over distinct scores + one final agg; u2 and the P/N counts are
+    exact integers, AUC itself one fixed 6dp division. 100 TB: shuffle
+    keys are (status, score) then status — no pair ever materializes."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = (
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    )
+    by_score = (
+        o.select(
+            "o_orderstatus",
+            rnd_cents("o_totalprice").alias("score"),
+            pos.alias("_p"),
+        )
+        .groupBy("o_orderstatus", "score")
+        .agg(F.sum("_p").alias("p"), F.sum(1 - F.col("_p")).alias("n"))
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = by_score.withColumn(
+        "_u2",
+        F.col("p") * (2 * F.coalesce(F.sum("n").over(w), F.lit(0))) + F.col("p") * F.col("n"),
+    )
+    return (
+        scored.groupBy("o_orderstatus")
+        .agg(
+            F.sum("p").alias("n_pos"),
+            F.sum("n").alias("n_neg"),
+            F.sum("_u2").alias("u2"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_pos",
+            "n_neg",
+            "u2",
+            (
+                F.floor(
+                    F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg")) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("auc"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_AUC_ORACLE = """
+    WITH by_score AS (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS score,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS p,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS n
+      FROM orders GROUP BY 1, 2
+    ), scored AS (
+      SELECT o_orderstatus, p, n,
+             p * (2 * coalesce(sum(n) OVER (PARTITION BY o_orderstatus ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               + p * n AS u2
+      FROM by_score)
+    SELECT o_orderstatus,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_neg,
+           CAST(sum(u2) AS BIGINT) AS u2,
+           floor(CAST(sum(u2) AS DOUBLE) / (2.0 * sum(p) * sum(n)) * 1000000
+                 + 0.5) / 1000000 AS auc
+    FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+def text_heaps_law_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct vocabulary
+    vs cumulative tokens at power-of-two document checkpoints — the
+    corpus-scaling diagnostic (V ≈ K·nᵝ) that tells a training-data
+    team whether more data still buys new vocabulary. Exact and
+    order-deterministic: each term's first appearance is min(doc_id)
+    (an agg, not a scan-order artifact), new-vocab-per-doc re-joins the
+    doc spine, and two running sums produce the curve; checkpoints are
+    ranks with (rnk & (rnk−1)) = 0 plus the final rank, so the output
+    is ~log₂(n_docs) rows at ANY scale. The global-order windows run
+    over ONE ROW PER DOC (post-agg), not tokens — at 100 TB the
+    two-phase distributed cumsum in `operators/batching.py` replaces
+    them; the curve itself is inherently a corpus-level diagnostic."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    )
+    wd = Window.orderBy("doc_id")
+    spine = docs.select(
+        "doc_id",
+        F.size("_toks").alias("_nt"),
+    ).select(
+        "doc_id",
+        F.row_number().over(wd).alias("rnk"),
+        F.sum("_nt").over(wd).alias("cum_tokens"),
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(F.array_distinct("_toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("_fd"))
+        .groupBy("_fd")
+        .agg(F.count("*").alias("_newv"))
+    )
+    curve = spine.join(firsts, spine.doc_id == firsts._fd, "left").select(
+        "rnk",
+        "cum_tokens",
+        F.sum(F.coalesce("_newv", F.lit(0))).over(wd).alias("cum_vocab"),
+        F.max("rnk").over(Window.partitionBy(F.lit(1))).alias("_last"),
+    )
+    return (
+        curve.where(
+            (F.expr("(rnk & (rnk - 1)) = 0") & (F.col("rnk") > 0))
+            | (F.col("rnk") == F.col("_last"))
+        )
+        .select(
+            F.col("rnk").cast("long").alias("checkpoint_docs"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        )
+        .orderBy("checkpoint_docs")
+    )
+
+
+_HEAPS_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) > 0
+                  THEN string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+                  ELSE [] END AS toks
+      FROM documents
+    ), spine AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) AS rnk,
+             sum(len(toks)) OVER (ORDER BY doc_id) AS cum_tokens
+      FROM t
+    ), firsts AS (
+      SELECT min_doc AS doc_id, count(*) AS newv
+      FROM (SELECT term, min(doc_id) AS min_doc
+            FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+            GROUP BY 1)
+      GROUP BY 1
+    ), curve AS (
+      SELECT rnk, cum_tokens,
+             sum(coalesce(newv, 0)) OVER (ORDER BY doc_id) AS cum_vocab,
+             max(rnk) OVER () AS last_rnk
+      FROM spine LEFT JOIN firsts USING (doc_id))
+    SELECT CAST(rnk AS BIGINT) AS checkpoint_docs,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab
+    FROM curve
+    WHERE ((rnk & (rnk - 1)) = 0 AND rnk > 0) OR rnk = last_rnk
+    ORDER BY 1
+"""
+
+
+def orders_trend_ols_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: OLS slope/intercept of monthly revenue
+    on the month index — the 'is this market growing?' regression. The
+    float trap: accumulating means/residuals is partition-order-
+    dependent; instead the closed form runs entirely on EXACT integer
+    moments (n, Σx, Σy, Σxy, Σx² — x = months since the nation's first
+    month, y = monthly cents) and the output carries slope_num =
+    n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)² as exact integers (the
+    auditable rational), plus one fixed double division for the
+    readable slope. Overflow headroom: Σy·Σx² ≈ 10¹⁷ at sf0.1, two
+    decades under 2⁶³; at 1000× pre-aggregate y to whole dollars.
+    100 TB: broadcast dims, one (nation, month) agg, one 25-row final."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    monthly = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", m.cast("long").alias("_m"))
+        .agg(F.sum(rnd_cents("o_totalprice")).alias("_y"))
+    )
+    xy = monthly.select(
+        "n_name",
+        (F.col("_m") - F.min("_m").over(Window.partitionBy("n_name"))).alias("_x"),
+        "_y",
+    )
+    stats = xy.groupBy("n_name").agg(
+        F.count("*").alias("n_months"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    return stats.select(
+        "n_name",
+        "n_months",
+        (F.col("n_months") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n_months") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias(
+            "slope_den"
+        ),
+        (F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")).alias(
+            "intercept_num"
+        ),
+        (
+            (F.col("n_months") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            * 1.0
+            / (F.col("n_months") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        ).alias("slope_cents_per_month"),
+    ).orderBy("n_name")
+
+
+_TREND_OLS_ORACLE = """
+    WITH monthly AS (
+      SELECT n_name,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), xy AS (
+      SELECT n_name, m - min(m) OVER (PARTITION BY n_name) AS x, y FROM monthly
+    ), s AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy GROUP BY 1)
+    SELECT n_name, n_months,
+           CAST(n_months * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_months * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num,
+           CAST(n_months * sxy - sx * sy AS DOUBLE)
+             / (n_months * sxx - sx * sx) AS slope_cents_per_month
+    FROM s ORDER BY 1
+"""
+
+
+def window_moving_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row EXACT moving median of line-item price per
+    supplier (1996 shipments) — the robust smoother percentile_approx
+    cannot replace (approx sketches have no rank guarantee inside a
+    moving frame). The frame's value list is collected per row
+    (bounded: ≤7 elements), array-sorted, and the median read as the
+    SUM OF THE TWO MIDDLE ELEMENTS (med2 = 2·median for odd frames) so
+    even-length frames stay INTEGER — no float averaging, exact
+    cross-engine. Deterministic order: (shipdate, orderkey, linenumber)
+    is a unique key. 100 TB: one shuffle on the supplier key; the
+    collected frame is O(7) per row regardless of scale."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    base = li.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        rnd_cents("l_extendedprice").alias("_c"),
+    ).select(
+        "l_suppkey",
+        F.row_number().over(w).alias("rnk"),
+        F.array_sort(F.collect_list("_c").over(w.rowsBetween(-6, 0))).alias("_win"),
+    )
+    s = F.size("_win")
+    # integer DIV, not float-cast: CAST(3.5 AS INT) truncates in Spark
+    # but rounds in DuckDB — floor division sidesteps the divergence
+    lo = F.expr("CAST((size(_win) + 1) DIV 2 AS INT)")
+    hi = F.expr("CAST(size(_win) DIV 2 + 1 AS INT)")
+    return base.select(
+        "l_suppkey",
+        "rnk",
+        s.cast("long").alias("n_win"),
+        (F.element_at("_win", lo) + F.element_at("_win", hi)).alias("med2_cents"),
+    )
+
+
+_MOVING_MEDIAN_ORACLE = """
+    WITH li AS (
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    ), base AS (
+      SELECT l_suppkey,
+             row_number() OVER wo AS rnk,
+             list_sort(list(c) OVER (wo ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+               AS win
+      FROM li
+      WINDOW wo AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    )
+    SELECT l_suppkey, rnk, CAST(len(win) AS BIGINT) AS n_win,
+           win[(len(win) + 1) // 2] + win[len(win) // 2 + 1] AS med2_cents
+    FROM base
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "graph_hits_scores",
@@ -1285,5 +1701,35 @@ PENDING: tuple[PendingQuery, ...] = (
         agg_supplier_hhi_query,
         _SUPPLIER_HHI_ORACLE,
         tags=("agg", "hhi", "concentration", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_rate_limit",
+        events_rate_limit_query,
+        _RATE_LIMIT_ORACLE,
+        tags=("events", "fold", "rate-limit", "token-bucket"),
+    ),
+    PendingQuery(
+        "orders_auc_urgency",
+        orders_auc_urgency_query,
+        _AUC_ORACLE,
+        tags=("agg", "auc", "mann-whitney", "integer-exact"),
+    ),
+    PendingQuery(
+        "text_heaps_law",
+        text_heaps_law_query,
+        _HEAPS_ORACLE,
+        tags=("text", "vocabulary", "heaps", "scaling"),
+    ),
+    PendingQuery(
+        "orders_trend_ols",
+        orders_trend_ols_query,
+        _TREND_OLS_ORACLE,
+        tags=("agg", "ols", "regression", "integer-exact"),
+    ),
+    PendingQuery(
+        "window_moving_median",
+        window_moving_median_query,
+        _MOVING_MEDIAN_ORACLE,
+        tags=("window", "median", "order-statistics"),
     ),
 )

@@ -108,3 +108,49 @@ def test_gini_known_values(spark):
             ).alias("g")
         ).collect()[0].g
         assert got == want, (xs, got)
+
+
+def test_rate_limit_fold_vs_python_model(spark):
+    """Pin the token-bucket fold (BOTH engines) against an independent
+    Python replay of the spec on real data. This regression exists
+    because DuckDB 1.0.0's list_reduce mutates the accumulator struct
+    FIELD-BY-FIELD (a field computed after 'tok' reads the NEW tok) —
+    the oracle's (adm, rej, tok, pus) state order is what makes it
+    correct, and this test fails if anyone reorders it."""
+    import duckdb
+
+    from spotify_data_pipeline_spark.plans.roundeight_pending import (
+        events_rate_limit_query,
+        _RATE_LIMIT_ORACLE,
+    )
+    from tests.oracle_check import run_oracle
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    rows = con.execute(
+        """
+        SELECT user_id, epoch_us(ts),
+               CASE event_type WHEN 'purchase' THEN 30 WHEN 'click' THEN 5
+                    WHEN 'view' THEN 3 WHEN 'error' THEN 10 ELSE 0 END
+        FROM events ORDER BY user_id, ts, event_id
+        """
+    ).fetchall()
+    model = {}
+    for uid, us, cost in rows:
+        adm, rej, tok, pus = model.get(uid, (0, 0, 100, 0))
+        refill = min(100, tok + (us - pus) // 60_000_000)
+        if refill >= cost:
+            model[uid] = (adm + 1, rej, refill - cost, us)
+        else:
+            model[uid] = (adm, rej + 1, refill, us)
+
+    for df in (
+        events_rate_limit_query(spark, SF_DIR).toPandas(),
+        run_oracle(_RATE_LIMIT_ORACLE, SF_DIR),
+    ):
+        got = {
+            int(r.user_id): (int(r.admitted), int(r.rejected), int(r.final_tokens))
+            for r in df.itertuples()
+        }
+        want = {u: (a, r, t) for u, (a, r, t, _) in model.items()}
+        assert got == want
