@@ -1581,6 +1581,222 @@ _MOVING_MEDIAN_ORACLE = """
 """
 
 
+def events_pattern_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern session matching — SQL-2016 MATCH_RECOGNIZE
+    re-expressed Spark-first: sessionize (the shared 30-min gap rule),
+    render each session as an ORDERED event-initial string
+    (p/c/v/s/e), and count sessions whose string matches each of three
+    fixed regex patterns (click→purchase with no error between,
+    view→…→purchase, signup-led session — all measured NON-VACUOUS at
+    every test SF: sessions here are short, so a 3-step funnel regex
+    would match zero sessions and prove nothing, the Q7 lesson). The
+    signature trick turns sequence predicates into ONE vectorized
+    regex per session instead of a per-step self-join cascade; the
+    patterns use only character classes and `.*`, where Java regex and
+    RE2 agree, so the oracle replicates them verbatim. 100 TB: one
+    shuffle on the user key; session strings are bounded by the same
+    per-session event counts sessionization already assumes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    _us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = _us - F.lag(_us).over(wu)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("_us", _us).withColumn("_sid", F.sum(new_s).over(wu))
+    per_sess = sess.groupBy("user_id", "_sid").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(_us, event_id, event_type)))"
+            ", s -> left(s.event_type, 1)), '')"
+        ).alias("sig")
+    )
+    tot = per_sess.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("sig").rlike("c[^e]*p").cast("long")).alias("_f1"),
+        F.sum(F.col("sig").rlike("v.*p").cast("long")).alias("_f2"),
+        F.sum(F.col("sig").rlike("^s").cast("long")).alias("_f3"),
+    )
+    return tot.selectExpr(
+        "stack(3, 'click_to_purchase', _f1, 'view_to_purchase', _f2,"
+        " 'signup_start', _f3) AS (pattern, n_sessions)",
+        "_n AS n_total_sessions",
+    )
+
+
+_PATTERN_MATCH_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) AS us
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM marked
+    ), sigs AS (
+      SELECT user_id, sid,
+             string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS sig
+      FROM sess GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN regexp_matches(sig, 'c[^e]*p') THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN regexp_matches(sig, 'v.*p') THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(CASE WHEN regexp_matches(sig, '^s') THEN 1 ELSE 0 END) AS BIGINT) AS f3
+      FROM sigs)
+    SELECT 'click_to_purchase' AS pattern, f1 AS n_sessions, n AS n_total_sessions FROM tot
+    UNION ALL
+    SELECT 'view_to_purchase', f2, n FROM tot
+    UNION ALL
+    SELECT 'signup_start', f3, n FROM tot
+"""
+
+
+def events_growth_accounting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — the canonical DAU decomposition every
+    growth team reports: each active (user, day) is NEW (first-ever
+    day), RETAINED (also active the previous day) or RESURRECTED
+    (returning after a gap), and CHURNED(d) counts users active on d−1
+    but not d. One distinct-presence agg, one lag/lead window pass per
+    user, two small per-day aggs joined full-outer on the day spine —
+    no presence×presence self-join. Days are integer epoch-days end to
+    end; churn after the corpus's last observed day is censored (not
+    emitted), the standard right-edge convention. 100 TB: shuffles on
+    user then day — both natural keys."""
+    ev = load_table(spark, sf_dir, "events")
+    pres = (
+        ev.select(
+            "user_id",
+            (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400))
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    marked = pres.select(
+        "user_id",
+        "day",
+        F.lag("day").over(wu).alias("_prev"),
+        F.lead("day").over(wu).alias("_next"),
+    )
+    classes = marked.groupBy("day").agg(
+        F.sum(F.col("_prev").isNull().cast("long")).alias("n_new"),
+        F.sum((F.col("_prev") == F.col("day") - 1).cast("long")).alias("n_retained"),
+        F.sum(
+            (F.col("_prev").isNotNull() & (F.col("_prev") < F.col("day") - 1)).cast(
+                "long"
+            )
+        ).alias("n_resurrected"),
+    )
+    max_day = pres.agg(F.max("day").alias("_maxd"))
+    churn = (
+        marked.where(F.col("_next").isNull() | (F.col("_next") > F.col("day") + 1))
+        .select((F.col("day") + 1).alias("day"))
+        .join(F.broadcast(max_day), F.col("day") <= F.col("_maxd"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        classes.join(churn, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("day")
+    )
+
+
+_GROWTH_ACCOUNTING_ORACLE = """
+    WITH pres AS (
+      SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ), marked AS (
+      SELECT user_id, day,
+             lag(day) OVER w AS prev, lead(day) OVER w AS next
+      FROM pres WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), classes AS (
+      SELECT day,
+             CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM marked GROUP BY 1
+    ), churn AS (
+      SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+      FROM marked
+      WHERE (next IS NULL OR next > day + 1)
+        AND day + 1 <= (SELECT max(day) FROM pres)
+      GROUP BY 1)
+    SELECT coalesce(c.day, ch.day) AS day,
+           coalesce(n_new, 0) AS n_new,
+           coalesce(n_retained, 0) AS n_retained,
+           coalesce(n_resurrected, 0) AS n_resurrected,
+           coalesce(n_churned, 0) AS n_churned
+    FROM classes c FULL OUTER JOIN churn ch ON c.day = ch.day
+    ORDER BY 1
+"""
+
+
+def llm_source_diversity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source-diversity report for corpus mixing — the
+    Gini–Simpson index (1 − Σpᵢ², the probability two random docs come
+    from different sources) and the effective source count (1/Σpᵢ²,
+    'how many equally-sized sources is this mix worth'). Entropy needs
+    a log and is not bit-reproducible cross-engine; Gini–Simpson is the
+    RATIONAL diversity index — div_num = n² − Σcᵢ² and div_den = n²
+    are exact integers, the two doubles are single fixed divisions.
+    Two tiny aggs (lang×source, then lang); at 100 TB both ride the
+    natural keys and the final table is O(languages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(F.count("*").alias("_c"))
+    return (
+        per_src.groupBy("lang")
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.count("*").alias("n_sources"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_sc2"),
+        )
+        .select(
+            "lang",
+            F.col("_n").alias("n_docs"),
+            "n_sources",
+            (F.col("_n") * F.col("_n") - F.col("_sc2")).alias("div_num"),
+            (F.col("_n") * F.col("_n")).alias("div_den"),
+            (
+                (F.col("_n") * F.col("_n") - F.col("_sc2"))
+                * 1.0
+                / (F.col("_n") * F.col("_n"))
+            ).alias("gini_simpson"),
+            (F.col("_n") * F.col("_n") * 1.0 / F.col("_sc2")).alias(
+                "effective_sources"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_SOURCE_DIVERSITY_ORACLE = """
+    WITH per_src AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), s AS (
+      SELECT lang, sum(c) AS n, CAST(count(*) AS BIGINT) AS n_sources,
+             sum(c * c) AS sc2
+      FROM per_src GROUP BY 1)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs, n_sources,
+           CAST(n * n - sc2 AS BIGINT) AS div_num,
+           CAST(n * n AS BIGINT) AS div_den,
+           CAST(n * n - sc2 AS DOUBLE) / (n * n) AS gini_simpson,
+           CAST(n * n AS DOUBLE) / sc2 AS effective_sources
+    FROM s ORDER BY 1
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "graph_hits_scores",
@@ -1731,5 +1947,23 @@ PENDING: tuple[PendingQuery, ...] = (
         window_moving_median_query,
         _MOVING_MEDIAN_ORACLE,
         tags=("window", "median", "order-statistics"),
+    ),
+    PendingQuery(
+        "events_pattern_match",
+        events_pattern_match_query,
+        _PATTERN_MATCH_ORACLE,
+        tags=("events", "match-recognize", "regex", "sessions"),
+    ),
+    PendingQuery(
+        "events_growth_accounting",
+        events_growth_accounting_query,
+        _GROWTH_ACCOUNTING_ORACLE,
+        tags=("events", "growth", "churn", "retention"),
+    ),
+    PendingQuery(
+        "llm_source_diversity",
+        llm_source_diversity_query,
+        _SOURCE_DIVERSITY_ORACLE,
+        tags=("llmops", "diversity", "gini-simpson", "integer-exact"),
     ),
 )

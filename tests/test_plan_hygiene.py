@@ -92,6 +92,8 @@ _BNLJ_WHITELIST = {
     # --- round-8 staged (pre-whitelisted for activation) ---
     # two 1-row broadcast corpus-total aggregates under the lift ratio
     "text_collocation_lift",
+    # 1-row broadcast max(day) censoring the churn right edge (<= theta)
+    "events_growth_accounting",
 }
 
 

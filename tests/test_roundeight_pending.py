@@ -59,6 +59,8 @@ def _plan_of(df) -> str:
 _BNLJ_OK = {
     # two 1-row broadcast corpus-total aggregates under the lift ratio
     "text_collocation_lift",
+    # 1-row broadcast max(day) censoring the churn right edge (<= theta)
+    "events_growth_accounting",
 }
 
 
@@ -154,3 +156,15 @@ def test_rate_limit_fold_vs_python_model(spark):
         }
         want = {u: (a, r, t) for u, (a, r, t, _) in model.items()}
         assert got == want
+
+
+def test_pattern_match_patterns_nonvacuous():
+    """Every row-pattern must match at least one session at the test SF
+    (the Q7 lesson: an all-zero pattern column proves nothing)."""
+    from spotify_data_pipeline_spark.plans.roundeight_pending import (
+        _PATTERN_MATCH_ORACLE,
+    )
+    from tests.oracle_check import run_oracle
+
+    df = run_oracle(_PATTERN_MATCH_ORACLE, SF_DIR)
+    assert (df["n_sessions"] > 0).all(), df.to_dict("records")
