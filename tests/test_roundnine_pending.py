@@ -1,0 +1,184 @@
+"""Round-9 staged queries (plans/roundnine_pending.py) get the SAME
+driver-shaped oracle check as declared queries — activation later is
+registration-only (after the evidence-hash refresh)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spotify_data_pipeline_spark.plans.roundnine_pending import PENDING
+from tests.oracle_check import compare, run_oracle
+
+SF_DIR = os.environ.get("ORACLE_SF", "/root/testdata/sf0.001")
+
+# staged queries allowed to be empty at the default sf0.001 (none currently)
+_EMPTY_OK = set()
+
+
+@pytest.mark.parametrize("pq", PENDING, ids=lambda pq: pq.name)
+def test_pending_oracle_match(spark, pq):
+    result = pq.fn(spark, SF_DIR)
+    oracle = run_oracle(pq.oracle, SF_DIR)
+    errs = compare(result, oracle)
+    assert not errs, f"{pq.name}: " + "; ".join(errs)
+    # vacuousness guard: an empty-vs-empty oracle match proves nothing
+    if pq.name not in _EMPTY_OK:
+        assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
+
+
+def test_pending_not_registered(spark):
+    from spotify_data_pipeline_spark.plans import all_queries
+
+    names = set(all_queries())
+    assert not names & {pq.name for pq in PENDING}
+
+
+def test_pending_names_unique_and_oracle_bearing():
+    names = [pq.name for pq in PENDING]
+    assert len(names) == len(set(names))
+    assert all(pq.oracle for pq in PENDING)
+    # and no collision with the earlier staging areas either
+    from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING as P8
+    from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
+    from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
+
+    for earlier in (P6, P7, P8):
+        assert not set(names) & {pq.name for pq in earlier}
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# broadcast-1-row patterns, documented at the call site; these join the
+# plan-hygiene whitelist (with the same reasons) at activation
+_BNLJ_OK = {
+    # 1-row broadcast totals (sum, n_keys) under the skew-ratio DIV
+    "ops_skew_report",
+    # 1-row broadcast max(day) anchor under the two window filters
+    "events_trending",
+}
+
+
+def test_plans_no_nested_loop(spark):
+    for pq in PENDING:
+        if pq.name in _BNLJ_OK:
+            continue
+        plan = _plan_of(pq.fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, pq.name
+        assert "CartesianProduct" not in plan, pq.name
+
+
+def test_k_anonymity_buckets_partition_population(spark):
+    """Bucket shares must sum to <= 1e6 ppm (floor loses at most
+    n_buckets ppm) and row counts must sum to the full customer
+    table — the report partitions the population."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        privacy_k_anonymity_query,
+    )
+
+    rows = privacy_k_anonymity_query(spark, SF_DIR).collect()
+    total_rows = sum(r.n_rows for r in rows)
+    cust_count = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert total_rows == cust_count
+    ppm = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= ppm <= 1_000_000
+
+
+def test_link_prediction_jaccard_bounds(spark):
+    """0 < jaccard <= 1e6 ppm, and common neighbors never exceed
+    either endpoint degree (the capped graph is internally
+    consistent)."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        graph_link_prediction_query,
+    )
+
+    rows = graph_link_prediction_query(spark, SF_DIR).collect()
+    assert rows, "no co-purchase pairs at test SF"
+    for r in rows:
+        assert 0 < r.jaccard_ppm <= 1_000_000
+        assert r.common_customers <= min(r.deg1, r.deg2)
+
+
+def test_skew_report_salt_levels_key(spark):
+    """suggested_salt is the ceiling of cnt/(t/nk): salting the key by
+    that factor brings every sub-key's expected share to <= the
+    uniform share."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        ops_skew_report_query,
+    )
+
+    rows = ops_skew_report_query(spark, SF_DIR).collect()
+    assert rows
+    li_count = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    n_keys = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_suppkey")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        import math
+
+        assert r.suggested_salt == math.ceil(r.cnt * n_keys / li_count)
+        # salted sub-key expected size <= uniform share (the point of the salt)
+        assert r.cnt / r.suggested_salt <= li_count / n_keys + 1e-9
+
+
+def test_autocorrelation_atoms_match_python(spark):
+    """The per-lag sufficient statistics equal an independent pandas
+    recomputation from the raw parquet (and corr derived from the
+    atoms is a valid correlation in [-1, 1])."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        agg_autocorrelation_query,
+    )
+
+    rows = {r.lag: r for r in agg_autocorrelation_query(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(1, 8))
+
+    df = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    cents = (df.o_totalprice * 100 + 0.5).apply(int)  # floor for positives
+    daily = (
+        pd.DataFrame({"day": df.o_orderdate.dt.normalize(), "c": cents})
+        .groupby("day")["c"]
+        .sum()
+        .floordiv(100)
+    )
+    for lag in range(1, 8):
+        shifted = daily.copy()
+        shifted.index = shifted.index - pd.Timedelta(days=lag)
+        pairs = pd.concat([daily.rename("x"), shifted.rename("y")], axis=1).dropna()
+        # exact Python ints: the concat+dropna upcasts to float64, which
+        # loses precision on products beyond 2^53 at sf0.1+
+        xs = [int(v) for v in pairs.x]
+        ys = [int(v) for v in pairs.y]
+        r = rows[lag]
+        assert r.n_pairs == len(pairs)
+        assert r.sum_x == sum(xs)
+        assert r.sum_y == sum(ys)
+        assert r.sum_xy == sum(a * b for a, b in zip(xs, ys))
+        n, sx, sy, sxy, sxx, syy = (
+            r.n_pairs, r.sum_x, r.sum_y, r.sum_xy, r.sum_xx, r.sum_yy,
+        )
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        assert dx >= 0 and dy >= 0
+        if dx > 0 and dy > 0:
+            assert num * num <= dx * dy  # |corr| <= 1, exact integers
+
+
+def test_trending_lift_is_exact_ratio(spark):
+    """lift_ppm is exactly floor(c1*7*1e6/c7) for every emitted row."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        events_trending_query,
+    )
+
+    rows = events_trending_query(spark, SF_DIR).collect()
+    assert rows, "no trending buckets at test SF"
+    for r in rows:
+        assert r.lift_ppm == (r.c1 * 7 * 1_000_000) // r.c7
