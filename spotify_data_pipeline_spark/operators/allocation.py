@@ -29,7 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["largest_remainder_allocation"]
+__all__ = [
+    "largest_remainder_allocation",
+    "largest_remainder_allocation_per_group",
+]
 
 
 def largest_remainder_allocation(
@@ -55,6 +58,39 @@ def largest_remainder_allocation(
     )
     w_rank = Window.partitionBy().orderBy(F.col("_rem").desc(), F.col(key_col).asc())
     leftover = F.lit(budget) - F.sum("_base").over(w_all)
+    return (
+        staged.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn(out_col, F.col("_base") + (F.col("_rk") <= leftover).cast("long"))
+        .drop("_total", "_base", "_rem", "_rk")
+    )
+
+
+def largest_remainder_allocation_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    budget_col: str,
+    out_col: str = "alloc",
+) -> DataFrame:
+    """Per-group variant: every ``group_col`` partition gets its own
+    ``budget_col`` (a BIGINT column, constant within the group) divided
+    across that group's rows proportionally to ``weight_col``, summing
+    exactly to the group's budget. This is the scale shape the global
+    form's docstring points at: the windows partition on the group key,
+    so a billion groups parallelize as an ordinary shuffle — nothing is
+    unpartitioned. Same integer-exact arithmetic and quota property per
+    group; (group, key) pairs must be distinct."""
+    w_all = Window.partitionBy(group_col)
+    staged = (
+        df.withColumn("_total", F.sum(weight_col).over(w_all))
+        .withColumn("_base", F.expr(f"({budget_col} * {weight_col}) DIV _total"))
+        .withColumn("_rem", F.expr(f"({budget_col} * {weight_col}) % _total"))
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("_rem").desc(), F.col(key_col).asc()
+    )
+    leftover = F.col(budget_col) - F.sum("_base").over(w_all)
     return (
         staged.withColumn("_rk", F.row_number().over(w_rank))
         .withColumn(out_col, F.col("_base") + (F.col("_rk") <= leftover).cast("long"))

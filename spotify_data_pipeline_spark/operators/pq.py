@@ -1,0 +1,180 @@
+"""Product quantization (Jégou, Douze, Schmid — TPAMI 2011): the
+memory-compression layer every billion-vector ANN deployment runs
+under its IVF/LSH coarse index. A D-dim vector is split into S
+subvectors; each subvector is replaced by the id of its nearest code
+in a per-subspace codebook of K entries, so the vector stores in
+S·log2(K) bits (here 8 subspaces x 4 codes = 16 bits per 64-dim
+vector, a 128x cut vs float32) and asymmetric-distance (ADC) search
+scores candidates by S table lookups instead of D multiplies.
+
+Spark-first shape: assignment is a map-only Catalyst expression
+(slice + zip_with/aggregate HOFs per subspace, argmin over a K-entry
+literal array) — no shuffle, no Python, no UDF; ADC search broadcasts
+the S x K lookup table inside the plan as literals. At 100 TB the
+codes column shuffles 128x fewer bytes than raw vectors, which is the
+entire point.
+
+Determinism/exactness discipline (what makes an exact oracle possible,
+same as quantization.py): vectors first quantize to integers with the
+shared fixed-point rule ``floor(x * qscale + 0.5)`` (requires |x| <= 1
+— guarded in-plan), codebook entries ARE integers, so every distance
+is an exact int64 and argmin ties break to the smallest code id via
+``array_position`` first-occurrence. The codebook here is a FIXED
+deterministic literal grid (the ``sim_ann_ivf_fixed`` precedent — the
+serving-time contract where the quantizer is a frozen artifact);
+training one is per-subspace Lloyd, the clustering.py pattern, and
+does not change any signature below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "default_codebook",
+    "pq_assign",
+    "pq_reconstruct_py",
+    "adc_tables_py",
+    "pq_adc_topk",
+]
+
+
+def default_codebook(
+    n_subspaces: int = 8, n_codes: int = 4, sub_dim: int = 8
+) -> tuple:
+    """The deterministic literal codebook: integer entries in
+    [-108, 108] from a fixed affine-mod grid — arbitrary but frozen,
+    replicated verbatim by the oracle SQL generator. Shape:
+    codebook[s][k] = tuple of ``sub_dim`` ints."""
+    return tuple(
+        tuple(
+            tuple(
+                (((s * 73 + k * 37 + i * 11) % 19) - 9) * 12
+                for i in range(sub_dim)
+            )
+            for k in range(n_codes)
+        )
+        for s in range(n_subspaces)
+    )
+
+
+def _quantized(vec_col: str, qscale: int) -> Column:
+    """Fixed-scale integer quantization with an in-plan range guard:
+    inputs must satisfy |x| <= 1 (true for the normalized embeddings
+    this engine stores); a violating vector fails the job loudly
+    rather than silently wrapping."""
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    guarded = F.when(
+        maxabs <= 1.0, v
+    ).otherwise(F.raise_error(F.lit("pq: |component| > 1 — rescale upstream")))
+    return F.transform(
+        guarded, lambda x: F.floor(x * qscale + F.lit(0.5)).cast("long")
+    )
+
+
+def pq_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    codebook: tuple | None = None,
+    qscale: int = 127,
+    codes_col: str = "pq_codes",
+    err_col: str = "pq_err",
+) -> DataFrame:
+    """Append ``codes_col`` (array<int>, one code id per subspace) and
+    ``err_col`` (long — total squared reconstruction error in the
+    quantized integer space). Map-only."""
+    cb = codebook or default_codebook()
+    sub_dim = len(cb[0][0])
+    q = _quantized(vec_col, qscale)
+    codes = []
+    errs = []
+    for s, sub_codes in enumerate(cb):
+        sub = F.slice(q, s * sub_dim + 1, sub_dim)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(c) for c in code]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for code in sub_codes
+            ]
+        )
+        m = F.array_min(dists)
+        codes.append((F.array_position(dists, m) - 1).cast("int"))
+        errs.append(m)
+    total_err = errs[0]
+    for e in errs[1:]:
+        total_err = total_err + e
+    return df.withColumn(codes_col, F.array(*codes)).withColumn(
+        err_col, total_err.cast("long")
+    )
+
+
+def pq_reconstruct_py(codes, codebook: tuple | None = None) -> list:
+    """Pure-Python reconstruction (test/model side): concatenate the
+    selected code vectors. Lives here so tests and the oracle
+    generator share one source of truth with the Spark path."""
+    cb = codebook or default_codebook()
+    out: list = []
+    for s, k in enumerate(codes):
+        out.extend(cb[s][k])
+    return out
+
+
+def adc_tables_py(query_q: list, codebook: tuple | None = None) -> list:
+    """ADC lookup tables for an integer-quantized query: tables[s][k] =
+    squared L2 distance between the query's s-th subvector and code k.
+    S x K ints — broadcastable as plan literals."""
+    cb = codebook or default_codebook()
+    sub_dim = len(cb[0][0])
+    tables = []
+    for s, sub_codes in enumerate(cb):
+        qs = query_q[s * sub_dim : (s + 1) * sub_dim]
+        tables.append(
+            [sum((a - b) ** 2 for a, b in zip(qs, code)) for code in sub_codes]
+        )
+    return tables
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query: list,
+    k: int = 10,
+    codes_col: str = "pq_codes",
+    id_col: str = "vec_id",
+    qscale: int = 127,
+    codebook: tuple | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: score every row by summing S table
+    lookups over its stored codes (NO vector column touched — the
+    serving-side win), then TakeOrdered k with (dist, id) tiebreak.
+    ``query`` is the raw float vector; it quantizes driver-side with
+    the same fixed-point rule the corpus used."""
+    import math
+
+    cb = codebook or default_codebook()
+    query_q = [math.floor(x * qscale + 0.5) for x in query]
+    tables = adc_tables_py(query_q, cb)
+    lut = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in tables]
+    )  # S x K literal grid
+    codes = F.col(codes_col)
+    n_sub = len(cb)
+    dist = F.lit(0).cast("long")
+    for s in range(n_sub):
+        dist = dist + F.element_at(
+            F.element_at(lut, s + 1), F.element_at(codes, s + 1) + 1
+        ).cast("long")
+    return (
+        df.withColumn("adc_dist", dist)
+        .select(id_col, codes_col, "adc_dist")
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

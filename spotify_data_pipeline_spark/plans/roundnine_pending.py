@@ -403,6 +403,579 @@ _TRENDING_ORACLE = """
 """
 
 
+def events_attribution_position_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    the complement of the last-touch rollup already declared
+    (roundsix ``events_attribution``): each purchase's revenue splits
+    40% to the first touch, 40% to the last, 20% shared across the
+    middles, over the user's non-purchase events in the preceding 30
+    minutes; 1-touch gets all, 2-touch splits 50/50, no-touch is
+    'direct'. Money never leaves integer cents: the per-purchase split
+    uses ``largest_remainder_allocation_per_group``
+    (operators/allocation.py) with integer weights (n<=2 -> 1 each;
+    else first/last 40*(n-2), middles 20 — totals 100*(n-2), exactly
+    the 40/40/20 shares), so every purchase's credits SUM EXACTLY to
+    its cents and the oracle can replicate the whole division. The
+    candidate join rides the user_id equi key (theta only as a
+    post-filter); windows partition on purchase id. At 100 TB:
+    per-user time-locality bounds the fan-out (30-min window), and no
+    window is unpartitioned."""
+    from spotify_data_pipeline_spark.operators.allocation import (
+        largest_remainder_allocation_per_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    t = ev.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    cand = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("p_id", "cents", "t_id", "t_ts", "channel")
+    wp = Window.partitionBy("p_id")
+    wo = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    weighted = (
+        cand.withColumn("n", F.count("*").over(wp))
+        .withColumn("pos", F.row_number().over(wo))
+        .withColumn(
+            "w",
+            F.when(F.col("n") <= 2, F.lit(1))
+            .when(
+                (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+                40 * (F.col("n") - 2),
+            )
+            .otherwise(F.lit(20))
+            .cast("long"),
+        )
+    )
+    credited = largest_remainder_allocation_per_group(
+        weighted, "p_id", "t_id", "w", "cents", out_col="credit"
+    ).select("channel", "credit")
+    direct = p.join(
+        cand.select("p_id").distinct(), "p_id", "left_anti"
+    ).select(F.lit("direct").alias("channel"), F.col("cents").alias("credit"))
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            (F.sum("credit") / 100.0).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTRIBUTION_POSITION_ORACLE = """
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts,
+             event_type AS channel
+      FROM events WHERE event_type <> 'purchase'
+    ), cand AS (
+      SELECT p.p_id, p.cents, t.t_id, t.t_ts, t.channel
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 30 MINUTE
+    ), weighted AS (
+      SELECT *,
+             CASE WHEN n <= 2 THEN 1
+                  WHEN pos = 1 OR pos = n THEN 40 * (n - 2)
+                  ELSE 20 END AS w
+      FROM (
+        SELECT *,
+               count(*) OVER (PARTITION BY p_id) AS n,
+               row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS pos
+        FROM cand
+      )
+    ), alloc AS (
+      SELECT p_id, channel,
+             base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS credit
+      FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY p_id
+                                  ORDER BY rem DESC, t_id ASC) AS rk,
+               cents - sum(base) OVER (PARTITION BY p_id) AS leftover
+        FROM (
+          SELECT *,
+                 (cents * w) // sum(w) OVER (PARTITION BY p_id) AS base,
+                 (cents * w) %  sum(w) OVER (PARTITION BY p_id) AS rem
+          FROM weighted
+        )
+      )
+    ), direct AS (
+      SELECT 'direct' AS channel, cents AS credit
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.p_id = p.p_id)
+    ), credits AS (
+      SELECT channel, credit FROM alloc
+      UNION ALL SELECT channel, credit FROM direct
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           sum(credit) / 100.0 AS attributed_revenue
+    FROM credits
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def text_zipf_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit check for the corpus vocabulary — the companion
+    to the staged Heaps-law query (roundeight): for the top-100 terms,
+    rank x frequency should be roughly constant (= C, the top term's
+    frequency); the report carries the exact integer product and each
+    term's ppm deviation |rank*freq - C| / C. Distributed top-k: the
+    global top-100 comes from orderBy+limit (TakeOrdered — no
+    unpartitioned window ever sees the full vocabulary), and ranks are
+    assigned by a window over the 100 surviving rows only. Term counts
+    are one explode + hash agg over the shared tokenizer
+    (functions/text.py::tokens — same normalization as every text
+    query, so the oracle's string_split twin matches byte-for-byte)."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), "term").limit(100)
+    w = Window.partitionBy().orderBy(F.col("freq").desc(), "term")
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "c_top", F.max("freq").over(Window.partitionBy())
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.col("freq").cast("long").alias("freq"),
+        F.expr("rank * freq").cast("long").alias("zipf_product"),
+        F.expr("abs(rank * freq - c_top) * 1000000 DIV c_top")
+        .cast("long")
+        .alias("dev_ppm"),
+    ).orderBy("rank")
+
+
+_ZIPF_ORACLE = """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+      WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), counts AS (
+      SELECT term, count(*) AS freq FROM toks GROUP BY term
+    ), top AS (
+      SELECT term, freq FROM counts ORDER BY freq DESC, term LIMIT 100
+    ), ranked AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rank,
+             max(freq) OVER () AS c_top
+      FROM top
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, term,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(rank * freq AS BIGINT) AS zipf_product,
+           CAST((abs(rank * freq - c_top) * 1000000) // c_top AS BIGINT)
+             AS dev_ppm
+    FROM ranked
+    ORDER BY rank
+"""
+
+
+def fn_datetime_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function breadth row (the calendar sibling of the
+    fn_date/fn_string suites): datediff vs an epoch anchor, add_months
+    (end-of-month clamping), last_day, quarter, day-of-year,
+    ISO week, Monday week-truncation, and make_date reconstruction —
+    each pinned cross-engine. Engine quirk handled in the ORACLE, not
+    the query: Spark's dayofweek is 1=Sunday..7=Saturday while
+    DuckDB's is 0=Sunday..6=Saturday, so the oracle adds 1 — the
+    kind of off-by-one a multi-engine shop must pin in tests exactly
+    like this. Map-only; one scan of orders."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_day"),
+        F.datediff(d, F.lit("1995-01-01")).cast("long").alias("days_since_95"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.dayofweek(d).cast("int").alias("dow_sun1"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.to_date(F.date_trunc("week", d)).alias("week_start"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+    ).orderBy("o_orderkey")
+
+
+_DATETIME_SUITE_ORACLE = """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS days_since_95,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           make_date(CAST(year(o_orderdate) AS INTEGER),
+                     CAST(month(o_orderdate) AS INTEGER), 1) AS month_start
+    FROM orders
+    ORDER BY o_orderkey
+"""
+
+
+def sim_pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (operators/pq.py — Jégou
+    et al. 2011) over the embeddings table: every 64-dim vector
+    compresses to 8 code ids (2 bits each against the frozen 4-entry
+    per-subspace codebook) plus its exact integer reconstruction
+    error. Map-only — slice + zip_with/aggregate HOFs, argmin over a
+    K-entry literal array, no shuffle, no Python. The oracle
+    replicates the ENTIRE assignment (quantization, all 32 code
+    distances, min-id tie argmin, error sum) from the same literal
+    codebook via generated SQL — the approximation itself is what the
+    driver hash-checks, the sim_ann_ivf_fixed precedent."""
+    from spotify_data_pipeline_spark.operators.pq import pq_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = pq_assign(emb, "embedding")
+    return assigned.select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform(F.col("pq_codes"), lambda x: x.cast("string"))
+        ).alias("pq_code"),
+        F.col("pq_err").alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+def _pq_codes_oracle() -> str:
+    from spotify_data_pipeline_spark.operators.pq import default_codebook
+
+    cb = default_codebook()
+    sub_dim = len(cb[0][0])
+    q = [
+        f"CAST(floor(embedding[{i + 1}] * 127 + 0.5) AS BIGINT) AS q{i}"
+        for i in range(len(cb) * sub_dim)
+    ]
+    dists = []
+    for s, sub_codes in enumerate(cb):
+        for k, code in enumerate(sub_codes):
+            terms = " + ".join(
+                f"(q{s * sub_dim + i} - ({c})) * (q{s * sub_dim + i} - ({c}))"
+                for i, c in enumerate(code)
+            )
+            dists.append(f"({terms}) AS d{s}_{k}")
+    mins = [
+        f"least({', '.join(f'd{s}_{k}' for k in range(len(cb[s])))}) AS m{s}"
+        for s in range(len(cb))
+    ]
+    codes = []
+    for s in range(len(cb)):
+        cases = " ".join(
+            f"WHEN d{s}_{k} = m{s} THEN {k}" for k in range(len(cb[s]))
+        )
+        codes.append(f"CASE {cases} END AS c{s}")
+    code_str = ", ".join(f"CAST(c{s} AS VARCHAR)" for s in range(len(cb)))
+    err = " + ".join(f"m{s}" for s in range(len(cb)))
+    return f"""
+    WITH quant AS (
+      SELECT vec_id, {', '.join(q)} FROM embeddings
+    ), dist AS (
+      SELECT vec_id, {', '.join(dists)} FROM quant
+    ), m AS (
+      SELECT *, {', '.join(mins)} FROM dist
+    ), coded AS (
+      SELECT vec_id, {', '.join(codes)}, {err} AS recon_err FROM m
+    )
+    SELECT vec_id, concat_ws('-', {code_str}) AS pq_code,
+           CAST(recon_err AS BIGINT) AS recon_err
+    FROM coded ORDER BY vec_id
+    """
+
+
+# the fixed probe for the ADC serving-path query: the first axis unit
+# vector (quantizes to [127, 0, 0, ...] under the shared rule)
+_PQ_PROBE = [1.0] + [0.0] * 63
+
+
+def sim_pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-10 for a fixed literal probe:
+    candidates are scored purely from their stored codes via S table
+    lookups — the raw vector column is never touched after encoding,
+    which is the serving-side point of PQ (the lookup table is S x K
+    integers broadcast as plan literals). The oracle recomputes each
+    row's ADC distance from the SAME Python-generated table constants,
+    so the whole lookup pipeline (encode -> table -> sum -> top-k with
+    (dist, id) tiebreak) is driver-proven exact."""
+    from spotify_data_pipeline_spark.operators.pq import pq_adc_topk, pq_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = pq_assign(emb, "embedding")
+    top = pq_adc_topk(coded, _PQ_PROBE, k=10)
+    return top.select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform(F.col("pq_codes"), lambda x: x.cast("string"))
+        ).alias("pq_code"),
+        F.col("adc_dist").cast("long").alias("adc_dist"),
+    )
+
+
+def _pq_adc_oracle() -> str:
+    import math
+
+    from spotify_data_pipeline_spark.operators.pq import (
+        adc_tables_py,
+        default_codebook,
+    )
+
+    cb = default_codebook()
+    sub_dim = len(cb[0][0])
+    query_q = [math.floor(x * 127 + 0.5) for x in _PQ_PROBE]
+    tables = adc_tables_py(query_q, cb)
+    q = [
+        f"CAST(floor(embedding[{i + 1}] * 127 + 0.5) AS BIGINT) AS q{i}"
+        for i in range(len(cb) * sub_dim)
+    ]
+    dists = []
+    for s, sub_codes in enumerate(cb):
+        for k, code in enumerate(sub_codes):
+            terms = " + ".join(
+                f"(q{s * sub_dim + i} - ({c})) * (q{s * sub_dim + i} - ({c}))"
+                for i, c in enumerate(code)
+            )
+            dists.append(f"({terms}) AS d{s}_{k}")
+    mins = [
+        f"least({', '.join(f'd{s}_{k}' for k in range(len(cb[s])))}) AS m{s}"
+        for s in range(len(cb))
+    ]
+    codes = []
+    adc_terms = []
+    for s in range(len(cb)):
+        cases = " ".join(
+            f"WHEN d{s}_{k} = m{s} THEN {k}" for k in range(len(cb[s]))
+        )
+        codes.append(f"CASE {cases} END AS c{s}")
+        lut = " ".join(
+            f"WHEN c{s} = {k} THEN {tables[s][k]}" for k in range(len(cb[s]))
+        )
+        adc_terms.append(f"(CASE {lut} END)")
+    code_str = ", ".join(f"CAST(c{s} AS VARCHAR)" for s in range(len(cb)))
+    return f"""
+    WITH quant AS (
+      SELECT vec_id, {', '.join(q)} FROM embeddings
+    ), dist AS (
+      SELECT vec_id, {', '.join(dists)} FROM quant
+    ), m AS (
+      SELECT *, {', '.join(mins)} FROM dist
+    ), coded AS (
+      SELECT vec_id, {', '.join(codes)} FROM m
+    )
+    SELECT vec_id, concat_ws('-', {code_str}) AS pq_code,
+           CAST({' + '.join(adc_terms)} AS BIGINT) AS adc_dist
+    FROM coded
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """
+
+
+def ml_nb_segment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes classification as EXACT relational algebra — train
+    on 90% of customers (custkey % 10 != 0), predict market segment
+    for the held-out 10% from (nation, balance-band), emit the
+    confusion matrix. Laplace-smoothed class scores are kept as exact
+    RATIONALS a_c/b_c (a = cnt_c·(cnt_{f1,c}+1)·(cnt_{f2,c}+1), b =
+    (cnt_c+V1)·(cnt_c+V2); the shared 1/N prior denominator cancels):
+    the argmax is a pairwise tournament — class c beats c' iff
+    a_c·b_{c'} > a_{c'}·b_c (ties to the lexicographically smaller
+    class) — so no float, no log, and the oracle replicates every
+    comparison. The single cross-multiply that exceeds int64
+    (~7.8e20) runs in DECIMAL(37,0) / HUGEINT; everything else is
+    int64. Plan shape: the 5-row class-prior table broadcasts into
+    the test split (bounded-dim pattern, whitelisted), feature
+    likelihoods join on (segment, feature) equi keys, and the 5x5
+    tournament joins on custkey — at 100 TB: per-row fan-out is a
+    constant 25."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("f1"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("f2"),
+    )
+    train = cust.where(F.col("c_custkey") % 10 != 0)
+    test = cust.where(F.col("c_custkey") % 10 == 0)
+    vocab = train.agg(
+        F.countDistinct("f1").alias("v1"), F.countDistinct("f2").alias("v2")
+    )
+    cls = train.groupBy("seg").agg(F.count("*").alias("cnt_c")).crossJoin(
+        F.broadcast(vocab)
+    )
+    f1c = train.groupBy("seg", "f1").agg(F.count("*").alias("cnt_f1"))
+    f2c = train.groupBy("seg", "f2").agg(F.count("*").alias("cnt_f2"))
+    scored = (
+        test.crossJoin(F.broadcast(cls.select(F.col("seg").alias("cand"), "cnt_c", "v1", "v2")))
+        .join(
+            f1c.select(F.col("seg").alias("cand"), "f1", "cnt_f1"),
+            ["cand", "f1"],
+            "left",
+        )
+        .join(
+            f2c.select(F.col("seg").alias("cand"), "f2", "cnt_f2"),
+            ["cand", "f2"],
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.col("seg").alias("actual"),
+            "cand",
+            F.expr(
+                "cnt_c * (coalesce(cnt_f1, 0) + 1) * (coalesce(cnt_f2, 0) + 1)"
+            ).cast("long").alias("a"),
+            F.expr("(cnt_c + v1) * (cnt_c + v2)").cast("long").alias("b"),
+        )
+    )
+    s1 = scored.select("c_custkey", "actual", F.col("cand").alias("c1"), F.col("a").alias("a1"), F.col("b").alias("b1"))
+    s2 = scored.select("c_custkey", F.col("cand").alias("c2"), F.col("a").alias("a2"), F.col("b").alias("b2"))
+    wins = (
+        s1.join(s2, "c_custkey")
+        .where(F.col("c1") != F.col("c2"))
+        .withColumn(
+            "win",
+            (
+                (F.expr("CAST(a1 AS DECIMAL(18,0)) * CAST(b2 AS DECIMAL(18,0))")
+                 > F.expr("CAST(a2 AS DECIMAL(18,0)) * CAST(b1 AS DECIMAL(18,0))"))
+                | (
+                    (F.expr("CAST(a1 AS DECIMAL(18,0)) * CAST(b2 AS DECIMAL(18,0))")
+                     == F.expr("CAST(a2 AS DECIMAL(18,0)) * CAST(b1 AS DECIMAL(18,0))"))
+                    & (F.col("c1") < F.col("c2"))
+                )
+            ).cast("int"),
+        )
+        .groupBy("c_custkey", "actual", "c1")
+        .agg(F.sum("win").alias("n_wins"))
+    )
+    pred = wins.where(F.col("n_wins") == 4).select(
+        "c_custkey", "actual", F.col("c1").alias("predicted")
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+_NB_SEGMENT_ORACLE = """
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS f1,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS f2
+      FROM customer
+    ), train AS (
+      SELECT * FROM cust WHERE c_custkey % 10 <> 0
+    ), test AS (
+      SELECT * FROM cust WHERE c_custkey % 10 = 0
+    ), vocab AS (
+      SELECT count(DISTINCT f1) AS v1, count(DISTINCT f2) AS v2 FROM train
+    ), cls AS (
+      SELECT seg AS cand, count(*) AS cnt_c FROM train GROUP BY 1
+    ), f1c AS (
+      SELECT seg AS cand, f1, count(*) AS cnt_f1 FROM train GROUP BY 1, 2
+    ), f2c AS (
+      SELECT seg AS cand, f2, count(*) AS cnt_f2 FROM train GROUP BY 1, 2
+    ), scored AS (
+      SELECT t.c_custkey, t.seg AS actual, c.cand,
+             c.cnt_c * (coalesce(f1c.cnt_f1, 0) + 1)
+                     * (coalesce(f2c.cnt_f2, 0) + 1) AS a,
+             (c.cnt_c + v.v1) * (c.cnt_c + v.v2) AS b
+      FROM test t
+      CROSS JOIN cls c
+      CROSS JOIN vocab v
+      LEFT JOIN f1c ON f1c.cand = c.cand AND f1c.f1 = t.f1
+      LEFT JOIN f2c ON f2c.cand = c.cand AND f2c.f2 = t.f2
+    ), wins AS (
+      SELECT s1.c_custkey, s1.actual, s1.cand AS c1,
+             sum(CASE WHEN CAST(s1.a AS HUGEINT) * s2.b
+                           > CAST(s2.a AS HUGEINT) * s1.b
+                       OR (CAST(s1.a AS HUGEINT) * s2.b
+                           = CAST(s2.a AS HUGEINT) * s1.b
+                           AND s1.cand < s2.cand)
+                      THEN 1 ELSE 0 END) AS n_wins
+      FROM scored s1
+      JOIN scored s2 ON s1.c_custkey = s2.c_custkey AND s1.cand <> s2.cand
+      GROUP BY 1, 2, 3
+    )
+    SELECT actual, c1 AS predicted, CAST(count(*) AS BIGINT) AS n
+    FROM wins WHERE n_wins = 4
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def etl_rowset_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-group rowset digest — auditable
+    aggregation: each group's digest is the SUM of a 60-bit integer
+    derived from each row's md5 (first 15 hex chars), so one changed,
+    added, or dropped row OCCURRENCE flips the group digest (a BAG
+    digest — multiplicity-sensitive by summation, which matters here:
+    (orderkey, linenumber) is not unique in this testdata) while the
+    sum stays map-side partial-aggregatable — the property string-concat
+    digests lack (string_agg of a 100 TB group is a single giant
+    string; an integer sum is a normal combiner). Sums run in
+    DECIMAL(38,0) / HUGEINT (1e12 rows x 2^60 ~ 1e30, 8 orders of
+    headroom) and compare as digit STRINGS (the agg_decimal_exact
+    precedent). Spark parses hex with conv(); DuckDB lacks conv, so
+    the oracle unrolls the 15-digit positional fold — both exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            F.expr(
+                "CAST(conv(substring(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 15), 16, 10) AS DECIMAL(38,0))"
+            ).alias("rh"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("rh").cast("decimal(38,0)").cast("string").alias("digest"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _rowset_digest_oracle() -> str:
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT l_returnflag,
+             md5(concat_ws('|', l_orderkey, l_linenumber)) AS h
+      FROM lineitem
+    ), ints AS (
+      SELECT l_returnflag, CAST({fold} AS HUGEINT) AS rh FROM hashed
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(rh) AS VARCHAR) AS digest
+    FROM ints
+    GROUP BY 1 ORDER BY 1
+    """
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "privacy_k_anonymity",
@@ -433,5 +1006,47 @@ PENDING: tuple[PendingQuery, ...] = (
         events_trending_query,
         _TRENDING_ORACLE,
         tags=("events", "trending", "burst-detection", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_attribution_position",
+        events_attribution_position_query,
+        _ATTRIBUTION_POSITION_ORACLE,
+        tags=("events", "attribution", "multi-touch", "allocation", "integer-exact"),
+    ),
+    PendingQuery(
+        "text_zipf_fit",
+        text_zipf_fit_query,
+        _ZIPF_ORACLE,
+        tags=("text", "zipf", "vocabulary", "integer-exact"),
+    ),
+    PendingQuery(
+        "fn_datetime_suite",
+        fn_datetime_suite_query,
+        _DATETIME_SUITE_ORACLE,
+        tags=("functions", "datetime", "calendar", "parity"),
+    ),
+    PendingQuery(
+        "sim_pq_codes",
+        sim_pq_codes_query,
+        _pq_codes_oracle(),
+        tags=("similarity", "product-quantization", "ann", "integer-exact"),
+    ),
+    PendingQuery(
+        "sim_pq_adc_topk",
+        sim_pq_adc_topk_query,
+        _pq_adc_oracle(),
+        tags=("similarity", "product-quantization", "adc", "serving"),
+    ),
+    PendingQuery(
+        "ml_nb_segment",
+        ml_nb_segment_query,
+        _NB_SEGMENT_ORACLE,
+        tags=("ml", "naive-bayes", "classification", "integer-exact"),
+    ),
+    PendingQuery(
+        "etl_rowset_digest",
+        etl_rowset_digest_query,
+        _rowset_digest_oracle(),
+        tags=("etl", "digest", "audit", "mergeable"),
     ),
 )

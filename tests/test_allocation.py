@@ -68,3 +68,66 @@ def test_invariants_hold(spark, weights, budget):
     for i, w in enumerate(weights):
         ideal = budget * w / total
         assert got[i] in (math.floor(ideal), math.ceil(ideal))
+
+
+# ---- per-group variant -------------------------------------------------
+
+
+def _alloc_groups(spark, groups):
+    """groups: {g: (budget, [w0, w1, ...])} -> {g: {k: alloc}}"""
+    from spotify_data_pipeline_spark.operators.allocation import (
+        largest_remainder_allocation_per_group,
+    )
+
+    rows = [
+        (g, i, w, budget)
+        for g, (budget, ws) in groups.items()
+        for i, w in enumerate(ws)
+    ]
+    df = spark.createDataFrame(rows, "g long, k long, w long, b long")
+    out = largest_remainder_allocation_per_group(df, "g", "k", "w", "b").collect()
+    res: dict = {}
+    for r in out:
+        res.setdefault(r.g, {})[r.k] = r.alloc
+    return res
+
+
+def test_per_group_sums_and_quota(spark):
+    groups = {1: (100, [3, 3, 3]), 2: (21, [10, 0, 10]), 3: (7, [1])}
+    got = _alloc_groups(spark, groups)
+    for g, (budget, ws) in groups.items():
+        assert sum(got[g].values()) == budget, g
+        total = sum(ws)
+        for i, w in enumerate(ws):
+            ideal = budget * w / total
+            assert got[g][i] in (math.floor(ideal), math.ceil(ideal)), (g, i)
+    # the global form's deterministic tiebreak carries over per group
+    assert got[1][0] == 34
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.dictionaries(
+        st.integers(0, 5),
+        st.tuples(
+            st.integers(0, 100_000),
+            st.lists(st.integers(0, 1_000), min_size=1, max_size=6).filter(
+                lambda ws: sum(ws) > 0
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_per_group_invariants_hold(spark, data):
+    got = _alloc_groups(spark, data)
+    for g, (budget, ws) in data.items():
+        assert sum(got[g].values()) == budget
+        total = sum(ws)
+        for i, w in enumerate(ws):
+            ideal = budget * w / total
+            assert got[g][i] in (math.floor(ideal), math.ceil(ideal))

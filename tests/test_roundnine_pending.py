@@ -59,6 +59,9 @@ _BNLJ_OK = {
     "ops_skew_report",
     # 1-row broadcast max(day) anchor under the two window filters
     "events_trending",
+    # bounded broadcasts: the 1-row vocab aggregate and the 5-row
+    # class-prior table (|segments| is a domain constant)
+    "ml_nb_segment",
 }
 
 
@@ -182,3 +185,88 @@ def test_trending_lift_is_exact_ratio(spark):
     assert rows, "no trending buckets at test SF"
     for r in rows:
         assert r.lift_ppm == (r.c1 * 7 * 1_000_000) // r.c7
+
+
+def test_attribution_position_conserves_revenue(spark):
+    """Every purchase's cents land somewhere: total attributed revenue
+    equals total purchase revenue to the cent (the exactness claim of
+    the largest-remainder split)."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        events_attribution_position_query,
+    )
+    from spotify_data_pipeline_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    rows = events_attribution_position_query(spark, SF_DIR).collect()
+    attributed_cents = round(sum(r.attributed_revenue for r in rows) * 100)
+    purchases = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"))
+        .agg(F.sum("c").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert attributed_cents == purchases
+
+
+def test_zipf_rank1_has_zero_deviation(spark):
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        text_zipf_fit_query,
+    )
+
+    rows = text_zipf_fit_query(spark, SF_DIR).collect()
+    assert rows[0].rank == 1 and rows[0].dev_ppm == 0
+    assert rows[0].zipf_product == rows[0].freq
+    # ranks are 1..n with frequencies non-increasing
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_nb_predictions_cover_test_split(spark):
+    """Exactly one winner per held-out customer: the tournament is a
+    total order, so confusion-matrix counts sum to the test-split
+    size."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        ml_nb_segment_query,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ml_nb_segment_query(spark, SF_DIR).collect()
+    predicted = sum(r.n for r in rows)
+    test_n = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .where(F.col("c_custkey") % 10 == 0)
+        .count()
+    )
+    assert predicted == test_n
+
+
+def test_rowset_digest_detects_single_row_change(spark):
+    """Dropping one input row changes that group's digest and no
+    other's — the audit property the query exists for."""
+    import duckdb
+
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        _rowset_digest_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    base = {r[0]: r[2] for r in con.execute(_rowset_digest_oracle()).fetchall()}
+    # drop EXACTLY one row (the first by a total order) — (orderkey,
+    # linenumber) is not unique in this testdata, so the digest is a
+    # BAG digest and the mutation must remove a single occurrence
+    con2 = duckdb.connect()
+    con2.execute(
+        f"""CREATE VIEW lineitem AS
+            SELECT * EXCLUDE (rn) FROM (
+              SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+              FROM '{SF_DIR}/lineitem.parquet'
+            ) WHERE rn > 1"""
+    )
+    mutated = {r[0]: r[2] for r in con2.execute(_rowset_digest_oracle()).fetchall()}
+    changed = [g for g in base if base[g] != mutated.get(g)]
+    assert len(changed) == 1

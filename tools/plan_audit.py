@@ -76,8 +76,10 @@ def main() -> None:
     # the pending tests carry their own _BNLJ_OK sets, which are
     # pre-merged into the hygiene whitelist at staging time
     from test_roundeight_pending import _BNLJ_OK as _OK8
+    from test_roundnine_pending import _BNLJ_OK as _OK9
     from test_roundseven_pending import _BNLJ_OK as _OK7
     from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING as P8
+    from spotify_data_pipeline_spark.plans.roundnine_pending import PENDING as P9
     from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
     from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
 
@@ -85,6 +87,7 @@ def main() -> None:
         ("round-6 staging", P6, _BNLJ_WHITELIST),
         ("round-7 staging", P7, _BNLJ_WHITELIST | _OK7),
         ("round-8 staging", P8, _BNLJ_WHITELIST | _OK8),
+        ("round-9 staging", P9, _BNLJ_WHITELIST | _OK9),
     ):
         print(f"\n## Staged: {title} ({len(pending)} queries)\n")
         print(header)
