@@ -181,6 +181,7 @@ def main() -> None:
     out["incremental_probe"] = _incremental_probe(spark, sf_dir)
     out["rangejoin_probe"] = _rangejoin_probe(spark, sf_dir)
     out["dpp_probe"] = _dpp_probe(spark, sf_dir)
+    out["pq_probe"] = _pq_probe(spark, sf_dir)
     out["env"] = {
         **env_start,
         "loadavg_end": _env_snapshot()["loadavg"],
@@ -249,6 +250,73 @@ def _dpp_probe(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _pq_probe(spark, sf_dir: str) -> dict:
+    """Product-quantization payoff (operators/pq.py): the claim that
+    scales is BYTE compression — candidates score from the codes
+    column, the vector column never ships. Measured, not asserted:
+    both projections written to parquet and their on-disk bytes
+    compared (parquet's own encoding included, so the ratio is the
+    one a real table would see), plus warm timings of ADC top-10
+    (code lookups) vs int8-quantized brute cosine top-10 (full
+    64-dim integer dots) for the same probe."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.pq import pq_adc_topk, pq_assign
+    from spotify_data_pipeline_spark.operators.quantization import (
+        cosine_topk_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [0.1] * 64
+
+    def _dir_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    with tempfile.TemporaryDirectory() as td:
+        emb.select("vec_id", "embedding").write.mode("overwrite").parquet(
+            f"{td}/raw"
+        )
+        pq_assign(emb, "embedding").select("vec_id", "pq_codes").write.mode(
+            "overwrite"
+        ).parquet(f"{td}/codes")
+        raw_b, code_b = _dir_bytes(f"{td}/raw"), _dir_bytes(f"{td}/codes")
+
+    coded = (
+        pq_assign(emb, "embedding")
+        .select("vec_id", "pq_codes")
+        .localCheckpoint(eager=True)
+    )
+    probe_df = spark.range(1).select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.array(*[F.lit(x) for x in probe]).alias("embedding"),
+    )
+
+    def timed(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    timed(pq_adc_topk(coded, probe, k=10))  # warm
+    timed(cosine_topk_quantized(probe_df, emb, k=10))
+    return {
+        "raw_parquet_bytes": raw_b,
+        "codes_parquet_bytes": code_b,
+        "bytes_ratio": round(raw_b / max(code_b, 1), 2),
+        "adc_topk_sec": timed(pq_adc_topk(coded, probe, k=10)),
+        "quantized_brute_sec": timed(cosine_topk_quantized(probe_df, emb, k=10)),
+        "note": "bytes_ratio is the scaling claim; timings are toy-scale",
+    }
 
 
 def _bloom_probe(spark, sf_dir: str) -> dict:

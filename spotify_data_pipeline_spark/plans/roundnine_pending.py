@@ -976,6 +976,373 @@ def _rowset_digest_oracle() -> str:
     """
 
 
+_RRF_TERMS = ("dup", "spark", "merge", "vector")  # the proven BM25 mixed-df set
+_RRF_PROBE = [0.1] * 64  # constant direction; per-vector max-abs scaling handles it
+
+
+def sim_rrf_fusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09) — the standard way production search combines a lexical
+    ranker with a vector ranker without score calibration: top-50 BM25
+    (operators/retrieval.py, rational-idf exact scores) fused with
+    top-50 int8-quantized cosine (operators/quantization.py) for a
+    fixed probe, RRF = sum of floor(1e9/(60+rank)) over the lists a
+    doc appears in (the float 1/(k+r) made an exact integer via DIV —
+    order statistics only, no score mixing). documents and embeddings
+    share the id space in this testdata (vec_id = doc_id); docs
+    without an embedding simply never appear in the vector list, which
+    RRF handles by construction. Both branches reuse ALREADY-PROVEN
+    oracle arithmetic (text_bm25_topk, sim_quantized_topk); the fusion
+    adds a full-outer join of two 50-row lists — driver-provable end
+    to end. At 100 TB each branch is its own proven plan; fusion cost
+    is nil."""
+    from spotify_data_pipeline_spark.operators.quantization import (
+        cosine_topk_quantized,
+    )
+    from spotify_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _RRF_TERMS, k=50)
+    wl = Window.partitionBy().orderBy(F.col("score_scaled").desc(), "doc_id")
+    lexr = (
+        lex.select("doc_id", "score_scaled")
+        .withColumn("rank_lex", F.row_number().over(wl))
+        .select("doc_id", "rank_lex")
+    )
+    probe = spark.range(1).select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.array(*[F.lit(x) for x in _RRF_PROBE]).alias("embedding"),
+    )
+    vec = cosine_topk_quantized(probe, emb, k=50)
+    vecr = vec.select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank_vec")
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+    rrf = F.expr(
+        "coalesce(1000000000 DIV (60 + rank_lex), 0)"
+        " + coalesce(1000000000 DIV (60 + rank_vec), 0)"
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rank_lex").cast("long").alias("rank_lex"),
+            F.col("rank_vec").cast("long").alias("rank_vec"),
+            rrf.cast("long").alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    probe = "[" + ", ".join(str(x) for x in _RRF_PROBE) + "]"
+    qcos = (
+        "(list_dot_product(a.q, b.q)"
+        " / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM dl
+    ), post AS (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM post WHERE term IN ({terms}) GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), c AS (
+      SELECT tf.doc_id,
+             -- parenthesization mirrors the Spark tree EXACTLY (see
+             -- the proven text_bm25_topk oracle)
+             CAST(floor(((2 * n - 2 * df + 1) / (2 * df + 1))
+                        * ((22 * tf)
+                           / (10 * tf + 3 + 9 * ((dl * n) / CAST(tt AS DOUBLE))))
+                        * 1000000) AS BIGINT) AS cs
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), tot
+    ), lexs AS (
+      SELECT doc_id, sum(cs) AS ss FROM c GROUP BY 1
+    ), lex AS (
+      SELECT doc_id, rn AS rank_lex FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY ss DESC, doc_id) AS rn
+        FROM lexs
+      ) WHERE rn <= 50
+    ), z AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             CASE WHEN m = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(least(greatest(
+                         floor(CAST(x AS DOUBLE) * 127 / m + 0.5),
+                         -127.0), 127.0) AS DOUBLE))
+             END AS q
+      FROM z
+    ), pz AS (
+      SELECT CASE WHEN m = 0
+                  THEN list_transform(pe, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(pe, x -> CAST(least(greatest(
+                         floor(CAST(x AS DOUBLE) * 127 / m + 0.5),
+                         -127.0), 127.0) AS DOUBLE))
+             END AS q
+      FROM (SELECT {probe} AS pe,
+                   list_max(list_transform({probe}, x -> abs(CAST(x AS DOUBLE)))) AS m)
+    ), scored AS (
+      SELECT b.vec_id, floor({qcos} * 10000 + 0.5) / 10000 AS qcos
+      FROM pz a, qz b
+    ), vec AS (
+      SELECT vec_id AS doc_id, rn AS rank_vec FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY qcos DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 50
+    ), f AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec
+      FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id,
+           CAST(rank_lex AS BIGINT) AS rank_lex,
+           CAST(rank_vec AS BIGINT) AS rank_vec,
+           CAST(coalesce(1000000000 // (60 + rank_lex), 0)
+                + coalesce(1000000000 // (60 + rank_vec), 0) AS BIGINT)
+             AS rrf_score
+    FROM f
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """
+
+
+def llm_quantile_normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a per-doc score (here
+    n_chars) — the calibration step before mixing sources whose raw
+    score distributions differ (a long doc from a verbose source
+    should not outrank a long doc from a terse one): each doc maps to
+    the POOLED value at its within-source quantile. All arithmetic is
+    integer ppm; the quantile lookup is an as-of match of the source
+    CDF against the pooled CDF, executed as a map-side scan of a
+    broadcast sorted (cdf, value) array (the pooled DISTINCT-VALUE
+    frame is domain-bounded — thousands of entries — so the 1-row
+    collected array broadcasts; whitelisted pattern). No window ever
+    spans the full doc table unpartitioned: per-source windows shuffle
+    on source; the only unpartitioned window runs over the distinct
+    VALUES. The oracle states the same lookup as the naive theta join
+    + max — the binned-vs-IEJoin precedent of events_window_count."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wsn = Window.partitionBy("source")
+    src = (
+        docs.withColumn("r", F.row_number().over(ws))
+        .withColumn("n_s", F.count("*").over(wsn))
+        .withColumn("target_ppm", F.expr("r * 1000000 DIV n_s"))
+    )
+    vals = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    wv = Window.partitionBy().orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cdf = (
+        vals.withColumn("cum", F.sum("c").over(wv))
+        .withColumn("tot", F.sum("c").over(wall))
+        .select(
+            F.col("n_chars").alias("v"),
+            F.expr("cum * 1000000 DIV tot").cast("long").alias("cdf_ppm"),
+        )
+    )
+    arr = cdf.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cdf_ppm").alias("cdf"), F.col("v")))
+        ).alias("lut")
+    )
+    joined = src.crossJoin(F.broadcast(arr))
+    pref = F.filter(F.col("lut"), lambda e: e["cdf"] <= F.col("target_ppm"))
+    norm = F.when(F.size(pref) > 0, F.element_at(pref, -1)["v"]).otherwise(
+        F.element_at(F.col("lut"), 1)["v"]
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        norm.cast("long").alias("norm_chars"),
+        F.col("target_ppm").cast("long").alias("target_ppm"),
+    ).orderBy("doc_id")
+
+
+_QUANTILE_NORMALIZE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents
+    ), s AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n_s
+      FROM d
+    ), tgt AS (
+      SELECT doc_id, source, n_chars, (r * 1000000) // n_s AS target_ppm FROM s
+    ), vals AS (
+      SELECT n_chars AS v, count(*) AS c FROM d GROUP BY 1
+    ), cdf AS (
+      SELECT v,
+             (sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1000000)
+               // (SELECT count(*) FROM d) AS cdf_ppm
+      FROM vals
+    ), m AS (
+      SELECT t.doc_id, max(cd.v) AS mv
+      FROM tgt t JOIN cdf cd ON cd.cdf_ppm <= t.target_ppm
+      GROUP BY 1
+    )
+    SELECT t.doc_id, t.source,
+           CAST(t.n_chars AS BIGINT) AS n_chars,
+           CAST(coalesce(m.mv, (SELECT min(v) FROM cdf)) AS BIGINT) AS norm_chars,
+           CAST(t.target_ppm AS BIGINT) AS target_ppm
+    FROM tgt t LEFT JOIN m ON t.doc_id = m.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+def events_active_time_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals per user — the classic overlapping-interval
+    merge (each event opens a 5-minute activity window; total active
+    time = measure of the UNION, so overlapping windows never
+    double-count): a new island starts where an event's open exceeds
+    the running max of all previous closes (one lag-max window),
+    islands number by a running sum of those flags (second window,
+    same partition+order — ONE shuffle total), and per-island length
+    is max(close)-min(open). All arithmetic in exact epoch
+    MICROSECONDS (unix_micros / epoch_us — the µs timestamps make
+    second-rounding a final single floor-DIV, never per-interval).
+    Output per user: island count + floor-seconds active. At 100 TB
+    this is the one-shuffle gaps-and-islands shape — no interval
+    self-join ever."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("o"), "event_id"
+    )
+    span = 300_000_000  # 5 min in µs
+    w = Window.partitionBy("user_id").orderBy("o", "event_id")
+    prev_max_close = F.max(F.col("o") + span).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        (F.col("o") > F.coalesce(prev_max_close, F.lit(-1))).cast("long"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        (F.max(F.col("o") + span) - F.min("o")).alias("len_us")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.expr("sum(len_us) DIV 1000000").cast("long").alias("active_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ACTIVE_TIME_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS o, event_id FROM events
+    ), flagged AS (
+      SELECT user_id, o, event_id,
+             CASE WHEN o > coalesce(max(o + 300000000) OVER (
+                    PARTITION BY user_id ORDER BY o, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM ev
+    ), numbered AS (
+      SELECT user_id, o,
+             -- the event_id tiebreak must match the Spark window: with
+             -- o-only ordering, equal-timestamp rows could fold the
+             -- island flag in a different order across engines
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY o, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ), islands AS (
+      SELECT user_id, island,
+             max(o + 300000000) - min(o) AS len_us
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len_us) // 1000000 AS BIGINT) AS active_seconds
+    FROM islands
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def fn_hof_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function breadth row (the HOF sibling of
+    fn_array_suite): transform / aggregate (fold) / filter / exists /
+    forall / slice / sort over the shared token arrays, each pinned
+    against its DuckDB list_* twin (exists/forall re-expressed as
+    list_filter cardinalities — DuckDB spells quantifiers
+    differently). Booleans are surfaced as BIGINT 0/1: cross-engine
+    boolean columns canonicalize differently in the driver compare,
+    integers never do. Map-only, one scan."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(F.col("toks"), lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.filter(F.col("toks"), lambda x: F.length(x) > 5))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.exists(F.col("toks"), lambda x: x == F.lit("spark"))
+        .cast("long")
+        .alias("has_spark"),
+        F.forall(F.col("toks"), lambda x: F.length(x) < 20)
+        .cast("long")
+        .alias("all_short"),
+        F.concat_ws("_", F.slice(F.col("toks"), 1, 3)).alias("first3"),
+        F.element_at(F.array_sort(F.col("toks")), 1).alias("first_sorted"),
+    ).orderBy("doc_id")
+
+
+_HOF_SUITE_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+                  THEN string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+                  ELSE CAST([] AS VARCHAR[]) END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                AS BIGINT) AS total_chars,
+           CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT)
+             AS n_long_tokens,
+           CAST(CASE WHEN len(list_filter(toks, x -> x = 'spark')) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_spark,
+           CAST(CASE WHEN len(list_filter(toks, x -> NOT (length(x) < 20))) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS all_short,
+           array_to_string(toks[1:3], '_') AS first3,
+           list_sort(toks)[1] AS first_sorted
+    FROM t
+    ORDER BY doc_id
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "privacy_k_anonymity",
@@ -1048,5 +1415,29 @@ PENDING: tuple[PendingQuery, ...] = (
         etl_rowset_digest_query,
         _rowset_digest_oracle(),
         tags=("etl", "digest", "audit", "mergeable"),
+    ),
+    PendingQuery(
+        "sim_rrf_fusion",
+        sim_rrf_fusion_query,
+        _rrf_oracle(),
+        tags=("similarity", "hybrid-search", "rrf", "retrieval"),
+    ),
+    PendingQuery(
+        "llm_quantile_normalize",
+        llm_quantile_normalize_query,
+        _QUANTILE_NORMALIZE_ORACLE,
+        tags=("llmops", "normalization", "quantile", "calibration"),
+    ),
+    PendingQuery(
+        "events_active_time",
+        events_active_time_query,
+        _ACTIVE_TIME_ORACLE,
+        tags=("events", "intervals", "gaps-and-islands", "integer-exact"),
+    ),
+    PendingQuery(
+        "fn_hof_suite",
+        fn_hof_suite_query,
+        _HOF_SUITE_ORACLE,
+        tags=("functions", "higher-order", "arrays", "parity"),
     ),
 )

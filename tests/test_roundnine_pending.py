@@ -62,6 +62,12 @@ _BNLJ_OK = {
     # bounded broadcasts: the 1-row vocab aggregate and the 5-row
     # class-prior table (|segments| is a domain constant)
     "ml_nb_segment",
+    # inherits both proven anchors: BM25's 1-row corpus-totals
+    # broadcast and the quantized brute-force 1-row probe broadcast
+    "sim_rrf_fusion",
+    # 1-row broadcast of the collected (cdf, value) lookup array
+    # (distinct-value frame, domain-bounded)
+    "llm_quantile_normalize",
 }
 
 
@@ -270,3 +276,65 @@ def test_rowset_digest_detects_single_row_change(spark):
     mutated = {r[0]: r[2] for r in con2.execute(_rowset_digest_oracle()).fetchall()}
     changed = [g for g in base if base[g] != mutated.get(g)]
     assert len(changed) == 1
+
+
+def test_rrf_fusion_score_decomposition(spark):
+    """Every emitted row's rrf_score equals the sum of its two rank
+    contributions (0 when absent from a list), and a doc in both lists
+    outscores the same ranks taken singly."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        sim_rrf_fusion_query,
+    )
+
+    rows = sim_rrf_fusion_query(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        lex = 1_000_000_000 // (60 + r.rank_lex) if r.rank_lex else 0
+        vec = 1_000_000_000 // (60 + r.rank_vec) if r.rank_vec else 0
+        assert r.rrf_score == lex + vec
+
+
+def test_quantile_normalize_is_monotone_within_source(spark):
+    """Within a source, a higher raw score never maps to a lower
+    normalized score (quantile mapping is monotone), and every
+    normalized value is an actual pooled value."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        llm_quantile_normalize_query,
+    )
+
+    rows = llm_quantile_normalize_query(spark, SF_DIR).collect()
+    assert rows
+    pooled = {r.n_chars for r in rows}
+    by_source: dict = {}
+    for r in rows:
+        assert r.norm_chars in pooled
+        by_source.setdefault(r.source, []).append((r.n_chars, r.doc_id, r.norm_chars))
+    for vals in by_source.values():
+        vals.sort()
+        norms = [n for _, _, n in vals]
+        assert norms == sorted(norms), "non-monotone quantile map"
+
+
+def test_active_time_bounds(spark):
+    """Active seconds per user is bounded below by one window (300s —
+    at least one island exists for any active user) and above by
+    n_events * 300s (disjoint windows), and islands never exceed
+    events."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        events_active_time_query,
+    )
+    from pyspark.sql import functions as F
+    from spotify_data_pipeline_spark.io import load_table
+
+    rows = {r.user_id: r for r in events_active_time_query(spark, SF_DIR).collect()}
+    counts = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(counts)
+    for uid, r in rows.items():
+        assert 1 <= r.n_islands <= counts[uid]
+        assert 300 <= r.active_seconds <= counts[uid] * 300
