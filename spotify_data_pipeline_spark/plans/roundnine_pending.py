@@ -1343,6 +1343,225 @@ _HOF_SUITE_ORACLE = """
 """
 
 
+def orders_fifo_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO supply-demand matching — the warehouse/inventory lot
+    matching problem (and the accounting cost-basis one), solved the
+    set-based way: per part, returns (l_returnflag='R') are the supply
+    stream and the rest the demand stream, each ordered by ship date;
+    running sums turn every row into an INTERVAL on the cumulative-
+    quantity axis ([cum-qty, cum+qty)), and FIFO matching IS interval
+    intersection: matched(s,d) = min(hi_s,hi_d) - max(lo_s,lo_d) when
+    positive. No procedural queue walk, no recursion — one window pass
+    per stream and one part-keyed equi join with a range filter
+    (per-part line counts are domain-bounded, ~50 here, so fan-out is
+    tiny). Quantities are integral in this data -> everything exact
+    int64. The running-sum ORDER carries a full tiebreak (date, order,
+    line, qty, supp) — identical-to-the-last-column rows may still
+    swap across engines, but then their intervals are interchangeable
+    and the emitted ROW SET is unchanged (the keys carried are the
+    tied columns themselves). Top-20 matches by quantity."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_returnflag",
+        "l_shipdate",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "qty", "l_suppkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sup = (
+        li.where(F.col("l_returnflag") == "R")
+        .withColumn("s_hi", F.sum("qty").over(w))
+        .select(
+            "l_partkey",
+            F.col("l_orderkey").alias("s_order"),
+            F.col("l_linenumber").alias("s_line"),
+            (F.col("s_hi") - F.col("qty")).alias("s_lo"),
+            "s_hi",
+        )
+    )
+    dem = (
+        li.where(F.col("l_returnflag") != "R")
+        .withColumn("d_hi", F.sum("qty").over(w))
+        .select(
+            "l_partkey",
+            F.col("l_orderkey").alias("d_order"),
+            F.col("l_linenumber").alias("d_line"),
+            (F.col("d_hi") - F.col("qty")).alias("d_lo"),
+            "d_hi",
+        )
+    )
+    pairs = sup.join(dem, "l_partkey").where(
+        (F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi"))
+    )
+    matched = F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")
+    return (
+        pairs.select(
+            "l_partkey",
+            "s_order",
+            "s_line",
+            "d_order",
+            "d_line",
+            matched.cast("long").alias("matched_qty"),
+        )
+        .orderBy(
+            F.col("matched_qty").desc(),
+            "l_partkey",
+            "s_order",
+            "s_line",
+            "d_order",
+            "d_line",
+        )
+        .limit(20)
+    )
+
+
+_FIFO_MATCH_ORACLE = """
+    WITH li AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_suppkey,
+             l_returnflag, l_shipdate,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), sup AS (
+      SELECT l_partkey, l_orderkey AS s_order, l_linenumber AS s_line,
+             s_hi - qty AS s_lo, s_hi
+      FROM (
+        SELECT *, sum(qty) OVER (
+                 PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_hi
+        FROM li WHERE l_returnflag = 'R'
+      )
+    ), dem AS (
+      SELECT l_partkey, l_orderkey AS d_order, l_linenumber AS d_line,
+             d_hi - qty AS d_lo, d_hi
+      FROM (
+        SELECT *, sum(qty) OVER (
+                 PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_hi
+        FROM li WHERE l_returnflag <> 'R'
+      )
+    )
+    SELECT s.l_partkey, s.s_order, s.s_line, d.d_order, d.d_line,
+           CAST(least(s.s_hi, d.d_hi) - greatest(s.s_lo, d.d_lo) AS BIGINT)
+             AS matched_qty
+    FROM sup s JOIN dem d
+      ON s.l_partkey = d.l_partkey
+     AND s.s_lo < d.d_hi AND d.d_lo < s.s_hi
+    ORDER BY matched_qty DESC, s.l_partkey, s_order, s_line, d_order, d_line
+    LIMIT 20
+"""
+
+
+def graph_weighted_sssp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford, 3
+    synchronized min-plus rounds) on the bipartite supplier<->customer
+    purchase graph — the weighted axis the BFS hop operator
+    (operators/hops.py) deliberately leaves out: edge weight = the
+    MINIMUM order->ship latency in days ever observed between the
+    pair clamped at 0 (this synthetic data ships some lines before
+    the order date), sources = the suppkey%7=0 suppliers at distance 0 (a modulo
+    rule is non-empty at every SF; a nation filter is not at the
+    smallest). Round 1 reaches
+    customers, round 2 folds back to suppliers (keeping the source
+    min), round 3 reaches customers again via a cheaper intermediate
+    if one exists — each round is one equi join + min agg (the
+    min-plus matrix-vector product), the dataflow Bellman-Ford every
+    scalable graph engine runs. Integer day weights -> exact; final
+    dist = min(round1, round3). Top-20 nearest customers."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c")
+        )
+        .agg(
+            F.greatest(
+                F.min(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("w")
+        )
+    )
+    src = supp.where(F.col("s_suppkey") % 7 == 0).select(
+        F.col("s_suppkey").alias("s")
+    )
+    d1 = (
+        edges.join(src, "s")
+        .groupBy("c")
+        .agg(F.min("w").alias("d"))
+    )
+    s2 = (
+        d1.join(edges, "c")
+        .groupBy("s")
+        .agg(F.min(F.col("d") + F.col("w")).alias("d"))
+    )
+    # sources stay at 0 — a round-trip through a customer never helps
+    s2m = (
+        s2.join(src.withColumn("_z", F.lit(0)), "s", "left")
+        .select("s", F.least(F.col("d"), F.col("_z")).alias("d"))
+    )
+    d3 = (
+        s2m.join(edges, "s")
+        .groupBy("c")
+        .agg(F.min(F.col("d") + F.col("w")).alias("d"))
+    )
+    final = (
+        d1.select("c", "d")
+        .unionByName(d3.select("c", "d"))
+        .groupBy("c")
+        .agg(F.min("d").alias("dist_days"))
+    )
+    return (
+        final.select(F.col("c").alias("c_custkey"), F.col("dist_days").cast("long").alias("dist_days"))
+        .orderBy("dist_days", "c_custkey")
+        .limit(20)
+    )
+
+
+_WEIGHTED_SSSP_ORACLE = """
+    WITH edges AS (
+      SELECT l_suppkey AS s, o_custkey AS c,
+             CAST(greatest(min(datediff('day', o_orderdate, l_shipdate)), 0) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), src AS (
+      SELECT s_suppkey AS s FROM supplier WHERE s_suppkey % 7 = 0
+    ), d1 AS (
+      SELECT c, min(w) AS d FROM edges JOIN src USING (s) GROUP BY 1
+    ), s2 AS (
+      SELECT e.s, min(d1.d + e.w) AS d
+      FROM d1 JOIN edges e ON e.c = d1.c GROUP BY 1
+    ), s2m AS (
+      SELECT s2.s,
+             CASE WHEN s2.s IN (SELECT s FROM src)
+                  THEN least(s2.d, 0) ELSE s2.d END AS d
+      FROM s2
+    ), d3 AS (
+      SELECT e.c, min(s2m.d + e.w) AS d
+      FROM s2m JOIN edges e ON e.s = s2m.s GROUP BY 1
+    ), merged AS (
+      SELECT c, d FROM d1 UNION ALL SELECT c, d FROM d3
+    )
+    SELECT c AS c_custkey, CAST(min(d) AS BIGINT) AS dist_days
+    FROM merged
+    GROUP BY c
+    ORDER BY dist_days, c_custkey
+    LIMIT 20
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "privacy_k_anonymity",
@@ -1439,5 +1658,17 @@ PENDING: tuple[PendingQuery, ...] = (
         fn_hof_suite_query,
         _HOF_SUITE_ORACLE,
         tags=("functions", "higher-order", "arrays", "parity"),
+    ),
+    PendingQuery(
+        "orders_fifo_match",
+        orders_fifo_match_query,
+        _FIFO_MATCH_ORACLE,
+        tags=("orders", "fifo", "interval-intersection", "integer-exact"),
+    ),
+    PendingQuery(
+        "graph_weighted_sssp",
+        graph_weighted_sssp_query,
+        _WEIGHTED_SSSP_ORACLE,
+        tags=("graph", "bellman-ford", "shortest-path", "integer-exact"),
     ),
 )

@@ -338,3 +338,72 @@ def test_active_time_bounds(spark):
     for uid, r in rows.items():
         assert 1 <= r.n_islands <= counts[uid]
         assert 300 <= r.active_seconds <= counts[uid] * 300
+
+
+def test_fifo_match_conservation(spark):
+    """FULL pair-level FIFO matching conserves quantity: for every
+    part, the sum of matched quantities equals min(total supply,
+    total demand) — the defining identity of the interval-intersection
+    formulation (checked on the un-limited pair set, not the top-20
+    display query)."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_suppkey",
+        "l_returnflag", "l_shipdate", F.col("l_quantity").cast("long").alias("qty"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "qty", "l_suppkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sup = (
+        li.where(F.col("l_returnflag") == "R")
+        .withColumn("s_hi", F.sum("qty").over(w))
+        .select("l_partkey", (F.col("s_hi") - F.col("qty")).alias("s_lo"), "s_hi")
+    )
+    dem = (
+        li.where(F.col("l_returnflag") != "R")
+        .withColumn("d_hi", F.sum("qty").over(w))
+        .select("l_partkey", (F.col("d_hi") - F.col("qty")).alias("d_lo"), "d_hi")
+    )
+    matched = (
+        sup.join(dem, "l_partkey")
+        .where((F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi")))
+        .select(
+            "l_partkey",
+            (F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")).alias("m"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("m").alias("matched"))
+    )
+    totals = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("qty")).otherwise(0)).alias("s"),
+            F.sum(F.when(F.col("l_returnflag") != "R", F.col("qty")).otherwise(0)).alias("d"),
+        )
+    )
+    rows = totals.join(matched, "l_partkey", "left").collect()
+    assert rows
+    for r in rows:
+        expect = min(r.s, r.d)
+        got = r.matched or 0
+        assert got == expect, f"part {r.l_partkey}: {got} != min({r.s},{r.d})"
+
+
+def test_weighted_sssp_dominates_and_sane(spark):
+    """Distances are non-negative, non-decreasing in rank order, and
+    round-3 never WORSENS a customer reached in round 1 (final is a
+    min over rounds)."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        graph_weighted_sssp_query,
+    )
+
+    rows = graph_weighted_sssp_query(spark, SF_DIR).collect()
+    assert rows
+    dists = [r.dist_days for r in rows]
+    assert all(d >= 0 for d in dists)
+    assert dists == sorted(dists)
