@@ -28,11 +28,12 @@ does not change any signature below.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "default_codebook",
+    "pq_train",
     "pq_assign",
     "pq_reconstruct_py",
     "adc_tables_py",
@@ -55,6 +56,101 @@ def default_codebook(
             )
             for k in range(n_codes)
         )
+        for s in range(n_subspaces)
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_subspaces: int = 8,
+    n_codes: int = 4,
+    qscale: int = 127,
+    iters: int = 4,
+) -> tuple:
+    """Train a codebook — per-subspace Lloyd (k-means) over the
+    QUANTIZED integer subvectors, the clustering.py pattern applied S
+    times in ONE dataflow: the corpus explodes into (subspace,
+    subvector) rows once, assignment is a map-side fold over the
+    broadcast per-subspace centroid arrays (min (L2, cid) — no shuffle
+    beyond the recompute agg), and each iteration's driver state is
+    the S x K x d integer centroid grid only. Initialization is
+    hash-deterministic (per subspace, the K subvectors with smallest
+    xxhash64(id)) so training is reproducible without RNG; centroids
+    round half-up back to integers so the result plugs straight into
+    ``pq_assign(codebook=...)`` and keeps the exact-arithmetic
+    contract. Empty clusters keep their previous centroid.
+
+    Returns the same shape ``default_codebook`` does. At 100 TB each
+    iteration is one corpus scan + one (subspace, code, pos) agg —
+    the IVF/clustering scale shape."""
+    q = _quantized(vec_col, qscale)
+    first = df.select(F.size(vec_col).alias("n")).first()
+    sub_dim = first.n // n_subspaces
+    subs = df.select(
+        F.col(id_col).alias("_id"),
+        q.alias("_q"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("s"),
+    ).select(
+        "_id",
+        "s",
+        F.expr(f"slice(_q, s * {sub_dim} + 1, {sub_dim})").alias("sub"),
+    )
+    subs = subs.localCheckpoint(eager=True)  # one materialization, reused per iter
+
+    init = (
+        subs.withColumn("_h", F.xxhash64("_id", "s"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("s").orderBy("_h", "_id")),
+        )
+        .where(F.col("_rn") <= n_codes)
+        .select("s", (F.col("_rn") - 1).alias("cid"), "sub")
+        .collect()
+    )
+    cents = {(r.s, r.cid): [int(x) for x in r.sub] for r in init}
+
+    for _ in range(iters):
+        cent_rows = [
+            (s, [{"cid": k, "c": cents[(s, k)]} for k in range(n_codes)])
+            for s in range(n_subspaces)
+        ]
+        cdf = df.sparkSession.createDataFrame(
+            cent_rows, f"s int, cents array<struct<cid:int,c:array<bigint>>>"
+        )
+        scored = subs.join(F.broadcast(cdf), "s")
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda e: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sub"), e["c"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    e["cid"].alias("cid"),
+                ),
+            )
+        )
+        assigned = scored.withColumn("cid", best["cid"])
+        new = (
+            assigned.select(
+                "s", "cid", F.posexplode(F.col("sub")).alias("pos", "v")
+            )
+            .groupBy("s", "cid", "pos")
+            .agg(F.floor(F.avg("v") + F.lit(0.5)).cast("long").alias("c"))
+            .collect()
+        )
+        fresh: dict = {}
+        for r in new:
+            fresh.setdefault((r.s, r.cid), [0] * sub_dim)[r.pos] = int(r.c)
+        for key, vec in fresh.items():
+            cents[key] = vec  # empty clusters keep the old centroid
+    return tuple(
+        tuple(tuple(cents[(s, k)]) for k in range(n_codes))
         for s in range(n_subspaces)
     )
 

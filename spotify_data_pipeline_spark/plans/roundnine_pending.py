@@ -1562,6 +1562,218 @@ _WEIGHTED_SSSP_ORACLE = """
 """
 
 
+def events_peak_concurrency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line — the capacity-planning question
+    (max simultaneous activity windows): each event opens a 5-minute
+    window; emit +1 at each open and -1 at each close, sort the
+    boundary stream, and the running sum IS the concurrency curve —
+    its per-day maximum is the answer. Both boundaries of a window
+    live in its OPENING day, so every day is a complete sweep (no
+    orphan closes from midnight-crossing windows; cross-midnight pairs
+    are not counted as concurrent — the stated semantics). The close
+    boundary sorts with a
+    type key AFTER an equal-timestamp open (a window closing exactly
+    when another opens counts as overlap at the boundary instant —
+    half-open [o, c) semantics pinned by the tiebreak (t, typ DESC,
+    event_id) where open=1 sorts before close=0 via DESC). One global
+    shuffle on day + one windowed pass; the ±1 stream is 2 rows per
+    event — the sweep line never materializes pairs. Exact epoch-µs.
+    Per-day output keeps the curve partitioned at scale (the running
+    sum windows on day — no unpartitioned window)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts)").alias("o"),
+        F.to_date("ts").alias("day"),  # BOTH boundaries live in the
+        # opening day: each day is a complete sweep (no orphan closes
+        # from midnight-crossing windows), at the documented cost of
+        # not counting cross-midnight pairs as concurrent
+        "event_id",
+    )
+    span = 300_000_000
+    opens = ev.select(
+        "day", F.col("o").alias("t"), F.lit(1).alias("typ"),
+        F.lit(1).alias("delta"), "event_id",
+    )
+    closes = ev.select(
+        "day",
+        (F.col("o") + span).alias("t"),
+        F.lit(0).alias("typ"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    bounds = opens.unionByName(closes)
+    w = Window.partitionBy("day").orderBy(
+        "t", F.col("typ").desc(), "event_id", F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = bounds.withColumn("conc", F.sum("delta").over(w))
+    return (
+        curve.groupBy("day")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .orderBy("day")
+    )
+
+
+_PEAK_CONCURRENCY_ORACLE = """
+    WITH ev AS (
+      SELECT epoch_us(ts) AS o, CAST(ts AS DATE) AS day, event_id FROM events
+    ), bounds AS (
+      SELECT day, o AS t, 1 AS typ, 1 AS delta, event_id FROM ev
+      UNION ALL
+      SELECT day, o + 300000000 AS t, 0 AS typ, -1 AS delta, event_id FROM ev
+    ), curve AS (
+      SELECT day,
+             sum(delta) OVER (
+               PARTITION BY day
+               ORDER BY t, typ DESC, event_id, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM bounds
+    )
+    SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM curve
+    GROUP BY day ORDER BY day
+"""
+
+
+def text_proximity_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval — the IR operator between exact phrase
+    match (adjacent) and boolean AND (anywhere): documents where
+    'spark' and 'merge' occur within 5 tokens of each other, plus the
+    closest observed distance. MAP-ONLY: both terms' position lists
+    come from one pass over the token array (filter over
+    posexplode-free transform+filter HOFs), the pairwise min distance
+    folds over the two SHORT position lists in-row (term frequency per
+    doc is tiny; never a join, never a shuffle beyond the final
+    order). The DuckDB twin states the same via list comprehensions.
+    At 100 TB this is embarrassingly parallel — the plan has zero
+    exchanges before the output sort."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    idx = F.transform(toks, lambda x, i: F.struct(x.alias("tok"), i.alias("pos")))
+    pos_of = lambda term: F.transform(  # noqa: E731
+        F.filter(idx, lambda e: e["tok"] == F.lit(term)), lambda e: e["pos"]
+    )
+    t = docs.select(
+        "doc_id",
+        pos_of("spark").alias("pa"),
+        pos_of("merge").alias("pb"),
+    ).where((F.size("pa") > 0) & (F.size("pb") > 0))
+    # min |i-j| over the two short lists, folded in-row
+    mind = F.aggregate(
+        F.flatten(
+            F.transform(
+                F.col("pa"),
+                lambda i: F.transform(F.col("pb"), lambda j: F.abs(i - j)),
+            )
+        ),
+        F.lit(1 << 30).cast("long"),
+        lambda acc, d: F.least(acc, d.cast("long")),
+    )
+    return (
+        t.withColumn("min_dist", mind)
+        .where(F.col("min_dist") <= 5)
+        .select("doc_id", F.col("min_dist").cast("long").alias("min_dist"))
+        .orderBy("doc_id")
+    )
+
+
+_PROXIMITY_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id,
+             [i for i in range(1, len(toks) + 1) IF toks[i] = 'spark'] AS pa,
+             [i for i in range(1, len(toks) + 1) IF toks[i] = 'merge'] AS pb
+      FROM t
+    ), near AS (
+      SELECT doc_id,
+             list_min(flatten(list_transform(pa,
+               i -> list_transform(pb, j -> abs(i - j))))) AS min_dist
+      FROM pos
+      WHERE len(pa) > 0 AND len(pb) > 0
+    )
+    SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist
+    FROM near WHERE min_dist <= 5
+    ORDER BY doc_id
+"""
+
+
+def events_interval_join_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream FULL OUTER interval join
+    (streaming/events.py::purchase_window_join_full) — the union-of-
+    two-flipped-left-outers composition, driver-proven against a naive
+    FULL theta-join oracle: a single outer join over either binned
+    side would emit one phantom null per unmatched advertised copy, so
+    (a) purchases-keep-one-row vs events-advertise-{bin,bin+1} left
+    join carries the inner pairs + exact purchase nulls, and (b) the
+    mirror (events own bin, purchases advertise {bin-1,bin}) filtered
+    to unmatched events carries exact event nulls. Both sides take a
+    deterministic key filter (purchase id%4=3, event id%3=1 — both
+    engines) purely to bound the driver-compared output."""
+    from spotify_data_pipeline_spark.operators.rangejoin import _floordiv_sql
+
+    win_us = 5 * 60 * 1_000_000
+    ev_all = load_table(spark, sf_dir, "events")
+    pur = ev_all.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 4 == 3)
+    ).select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    evt = ev_all.where(F.col("event_id") % 3 == 1).select("event_id", "ts")
+
+    ev_adv = evt.withColumn(
+        "_bin",
+        F.explode(
+            F.array(
+                F.expr(_floordiv_sql("unix_micros(ts)", win_us)),
+                F.expr(_floordiv_sql("unix_micros(ts)", win_us) + " + 1"),
+            )
+        ),
+    )
+    pur_own = pur.withColumn(
+        "_bin", F.expr(_floordiv_sql("unix_micros(p_ts)", win_us))
+    )
+    cond = F.expr(
+        "ev._bin = p._bin AND ts > p_ts - interval 5 minutes"
+        " AND ts <= p_ts AND event_id != purchase_id"
+    )
+    left = (
+        pur_own.alias("p")
+        .join(ev_adv.alias("ev"), cond, "left_outer")
+        .select("purchase_id", "p_ts", "event_id", F.col("ts").alias("ev_ts"))
+    )
+    ev_own = evt.withColumn(
+        "_bin", F.expr(_floordiv_sql("unix_micros(ts)", win_us))
+    )
+    pur_adv = pur.withColumn(
+        "_bin",
+        F.explode(
+            F.array(
+                F.expr(_floordiv_sql("unix_micros(p_ts)", win_us) + " - 1"),
+                F.expr(_floordiv_sql("unix_micros(p_ts)", win_us)),
+            )
+        ),
+    )
+    right_nulls = (
+        ev_own.alias("ev")
+        .join(pur_adv.alias("p"), cond, "left_outer")
+        .where(F.col("purchase_id").isNull())
+        .select("purchase_id", "p_ts", "event_id", F.col("ts").alias("ev_ts"))
+    )
+    return left.unionByName(right_nulls)
+
+
+_INTERVAL_FULL_ORACLE = """
+    SELECT p.event_id AS purchase_id, p.ts AS p_ts,
+           e.event_id AS event_id, e.ts AS ev_ts
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND event_id % 4 = 3) p
+    FULL JOIN (SELECT * FROM events WHERE event_id % 3 = 1) e
+      ON e.ts > p.ts - INTERVAL 5 MINUTE AND e.ts <= p.ts
+     AND e.event_id <> p.event_id
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "privacy_k_anonymity",
@@ -1670,5 +1882,23 @@ PENDING: tuple[PendingQuery, ...] = (
         graph_weighted_sssp_query,
         _WEIGHTED_SSSP_ORACLE,
         tags=("graph", "bellman-ford", "shortest-path", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_peak_concurrency",
+        events_peak_concurrency_query,
+        _PEAK_CONCURRENCY_ORACLE,
+        tags=("events", "sweep-line", "concurrency", "capacity"),
+    ),
+    PendingQuery(
+        "text_proximity_search",
+        text_proximity_search_query,
+        _PROXIMITY_ORACLE,
+        tags=("text", "proximity", "retrieval", "map-only"),
+    ),
+    PendingQuery(
+        "events_interval_join_full",
+        events_interval_join_full_query,
+        _INTERVAL_FULL_ORACLE,
+        tags=("events", "interval-join", "full-outer", "streaming-twin"),
     ),
 )

@@ -294,6 +294,65 @@ def purchase_window_join_outer(
     )
 
 
+def purchase_window_join_full(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """FULL-OUTER twin — the one interval-join mode the family still
+    lacked: every purchase emits (null event when its window was
+    empty) AND every event emits (null purchase when no later purchase
+    window covered it). A single full_outer over either binned side
+    would break one null multiplicity (the 2x-advertised side yields
+    one phantom null per unmatched copy), so the form is the UNION of
+    two LEFT-OUTER joins, each with the exploded side flipped to keep
+    its preserved side's multiplicity exact:
+
+    - (a) the declared left-outer form: purchases keep one row, events
+      advertise into {bin, bin+1} -> inner pairs + exactly one null
+      row per lonely purchase;
+    - (b) the mirror: events keep one row at their own bin, purchases
+      advertise into {bin-1, bin} (e matches p iff e_bin is in
+      {p_bin-1, p_bin}), left-join, then FILTER to unmatched events
+      only — their matched rows already came from (a).
+
+    Each join keeps its own state store (multiple stateful operators,
+    append mode); same min-of-watermarks operational caveat as the
+    left-outer form, now on both sides."""
+    from spotify_data_pipeline_spark.operators.rangejoin import _floordiv_sql
+
+    left = purchase_window_join_outer(events, watermark, window)
+    bin_w = _interval_micros(window)
+    ev_own = (
+        events.select("event_id", "ts")
+        .withWatermark("ts", watermark)
+        .withColumn("_bin", F.expr(_floordiv_sql("unix_micros(ts)", bin_w)))
+    )
+    pur_adv = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.array(
+                    F.expr(_floordiv_sql("unix_micros(p_ts)", bin_w) + " - 1"),
+                    F.expr(_floordiv_sql("unix_micros(p_ts)", bin_w)),
+                )
+            ),
+        )
+    )
+    cond = F.expr(
+        f"ev._bin = p._bin AND ts > p_ts - interval {window}"
+        " AND ts <= p_ts AND event_id != purchase_id"
+    )
+    right_nulls = (
+        ev_own.alias("ev")
+        .join(pur_adv.alias("p"), cond, "left_outer")
+        .where(F.col("purchase_id").isNull())
+        .select("purchase_id", "event_id", "ts", "p_ts")
+    )
+    return left.unionByName(right_nulls)
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
     §2.10): per-user lifetime running totals (event count + value sum),

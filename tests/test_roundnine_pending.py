@@ -407,3 +407,53 @@ def test_weighted_sssp_dominates_and_sane(spark):
     dists = [r.dist_days for r in rows]
     assert all(d >= 0 for d in dists)
     assert dists == sorted(dists)
+
+
+def test_peak_concurrency_vs_python_sweep(spark):
+    """Per-day peaks equal an independent Python sweep over the raw
+    parquet (same opening-day assignment, same boundary tiebreak)."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        events_peak_concurrency_query,
+    )
+
+    got = {
+        str(r.day): r.peak_concurrency
+        for r in events_peak_concurrency_query(spark, SF_DIR).collect()
+    }
+    df = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts", "event_id"])
+    span = 300_000_000
+    by_day: dict = {}
+    for ts, eid in zip(df.ts, df.event_id):
+        o = int(pd.Timestamp(ts).value // 1000)  # ns -> µs
+        day = str(pd.Timestamp(ts).date())
+        by_day.setdefault(day, []).append((o, 1, 1, int(eid)))
+        by_day.setdefault(day, []).append((o + span, 0, -1, int(eid)))
+    expect = {}
+    for day, bounds in by_day.items():
+        bounds.sort(key=lambda b: (b[0], -b[1], b[3], -b[2]))
+        cur = peak = 0
+        for _, _, delta, _ in bounds:
+            cur += delta
+            peak = max(peak, cur)
+        expect[day] = peak
+    assert got == expect
+
+
+def test_proximity_is_map_only(spark):
+    """Zero exchanges before the output sort — the embarrassingly-
+    parallel claim in the docstring, plan-asserted."""
+    from spotify_data_pipeline_spark.plans.roundnine_pending import (
+        text_proximity_search_query,
+    )
+
+    rows = text_proximity_search_query(spark, SF_DIR)
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the only allowed exchange is the final global sort's range partition
+    n_exchanges = len(re.findall(r"Exchange (?!rangepartitioning)", plan))
+    assert n_exchanges == 0, plan
+    got = rows.collect()
+    assert got and all(0 <= r.min_dist <= 5 for r in got)

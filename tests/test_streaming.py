@@ -489,3 +489,63 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
     assert {(r.event_id, r.weight) for r in got} == {
         (r.event_id, r.weight) for r in want
     }
+
+
+def test_purchase_window_join_full_both_null_sides(spark, tmp_path):
+    """Full-outer stream-stream interval join: matched pairs once,
+    exactly ONE null row per lonely purchase AND per uncovered event,
+    equal to the batch FULL theta join (restricted to rows the final
+    watermark released)."""
+    from spotify_data_pipeline_spark.streaming.events import (
+        purchase_window_join_full,
+    )
+
+    rows1 = [
+        (1, _TS(2024, 1, 1, 10, 0), 10, "click", 1.0),    # covered by 2
+        (2, _TS(2024, 1, 1, 10, 45), 11, "purchase", 9.0),
+        (3, _TS(2024, 1, 1, 14, 0), 12, "purchase", 9.0),  # lonely purchase
+        (6, _TS(2024, 1, 1, 16, 0), 14, "click", 1.0),     # uncovered event
+    ]
+    # purchase-bearing tail batches keep BOTH side watermarks moving
+    # (min-of-watermarks policy), releasing the buffered null rows
+    rows2 = [(4, _TS(2024, 1, 3, 12, 0), 13, "purchase", 9.0)]
+    rows3 = [(5, _TS(2024, 1, 5, 12, 0), 13, "purchase", 9.0)]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = tmp_path / "pw_full"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(str(d))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(rows3, schema).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = purchase_window_join_full(_read_stream(spark, str(d)))
+    got = {
+        (r.purchase_id, r.event_id)
+        for r in _run_stream(spark, stream, "t_pwjoin_full", "append")
+    }
+
+    batch = spark.createDataFrame(rows1 + rows2 + rows3, schema)
+    p = batch.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    full = p.join(
+        batch,
+        F.expr("ts > p_ts - interval 1 hour AND ts <= p_ts AND event_id != purchase_id"),
+        "full_outer",
+    ).collect()
+    # restrict to rows the final watermark (from batch-2 end: 1/3 12:00
+    # minus 1h) has released on BOTH sides; 5's own rows stay buffered
+    want = {
+        (r.purchase_id, r.event_id)
+        for r in full
+        if (r.purchase_id is None or r.purchase_id <= 4)
+        and (r.event_id is None or r.event_id <= 4 or r.event_id == 6)
+    }
+    assert got == want
+    assert (2, 1) in got            # matched pair, exactly once
+    assert (3, None) in got         # lonely purchase: one null row
+    assert (None, 6) in got         # uncovered event: one null row
+    assert sum(1 for pid, eid in got if pid == 3) == 1
+    assert sum(1 for pid, eid in got if eid == 6) == 1
+    # purchases 2/3/4 are events too: covered by nothing -> each also
+    # appears exactly once on the event side of the full join
+    for eid in (2, 3, 4):
+        assert sum(1 for pid, e in got if e == eid) >= 1

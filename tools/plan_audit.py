@@ -78,16 +78,19 @@ def main() -> None:
     from test_roundeight_pending import _BNLJ_OK as _OK8
     from test_roundnine_pending import _BNLJ_OK as _OK9
     from test_roundseven_pending import _BNLJ_OK as _OK7
+    from test_roundten_pending import _BNLJ_OK as _OK10
     from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING as P8
     from spotify_data_pipeline_spark.plans.roundnine_pending import PENDING as P9
     from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
     from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
+    from spotify_data_pipeline_spark.plans.roundten_pending import PENDING as P10
 
     for title, pending, wl in (
         ("round-6 staging", P6, _BNLJ_WHITELIST),
         ("round-7 staging", P7, _BNLJ_WHITELIST | _OK7),
         ("round-8 staging", P8, _BNLJ_WHITELIST | _OK8),
         ("round-9 staging", P9, _BNLJ_WHITELIST | _OK9),
+        ("round-10 staging", P10, _BNLJ_WHITELIST | _OK10),
     ):
         print(f"\n## Staged: {title} ({len(pending)} queries)\n")
         print(header)
