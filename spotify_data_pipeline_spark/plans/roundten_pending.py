@@ -4,10 +4,15 @@ declared — the earlier activation windows are fully planned).
 
 Each entry: exact-oracle query + DuckDB SQL, exercised by
 ``tests/test_roundten_pending.py`` with the driver-shaped comparison.
-Families this wave: alert-fatigue suppression (the emit-then-cooldown
-non-associative fold), randomness screening (Wald-Wolfowitz runs), and
-training-mixture planning (epochs/repeat factors via exact
-largest-remainder budgeting).
+Families: alert-fatigue suppression (the emit-then-cooldown
+non-associative fold — which surfaced and works around a NEW DuckDB
+1.0.0 list_reduce cross-group misalignment, pinned in tests),
+randomness screening (Wald-Wolfowitz runs), training-mixture planning
+(epochs via exact largest-remainder budgeting), Kaplan-Meier survival
+with right censoring (integer ppm prefix folds), regex-function
+breadth, the skyline/Pareto-frontier operator (set-based, naive
+NOT EXISTS oracle), and integer-exact STL-lite seasonal
+decomposition.
 """
 
 from __future__ import annotations
@@ -284,6 +289,333 @@ def _mixture_oracle() -> str:
     """
 
 
+_KM_HORIZON_H = 72  # observation horizon (hours): conversions later than
+# this are CENSORED — chosen so both branches bite at every SF (at
+# sf0.001 every signup converts within 0-4 days, so an unbounded
+# horizon would leave the censoring branch vacuous — the Q7 lesson)
+
+
+def events_survival_km_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of signup->purchase conversion (right-
+    censored at a 72h observation horizon) — the survival-analysis
+    family's entry point, exact: the KM table (t, n_at_risk, d_events,
+    c_censored) comes from ONE descending cumulative window (everyone
+    leaves the risk set at exactly their observed time, so n_t is the
+    suffix sum of leavers — no per-t join), and the survival curve
+    S(t) = prod (1 - d/n), the sequential floor-ppm fold no window
+    can express, folds a PREFIX SLICE of the broadcast (t, n, d)
+    array per output row: the timepoint domain is horizon-bounded
+    (<=73 rows), so O(T^2) prefix folds are trivial while the USER
+    table scales freely. (n, d) pack into one BIGINT (n*2^20 + d —
+    n < 2^20 documented) because DuckDB's list_reduce demands
+    accumulator type == element type; the scalar-BIGINT fold shape is
+    the one measured IMMUNE to the copy-self hazard pinned below.
+    S_ppm is floor-rounded at every step — the deterministic
+    sequential definition both engines replicate exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.expr("unix_micros(ts)")).alias("s_us"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("unix_micros(ts)").alias("p_us")
+    )
+    first_p = (
+        signup.join(purch, "user_id")
+        .where(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("fp_us"))
+    )
+    obs = (
+        signup.join(first_p, "user_id", "left")
+        .select(
+            "user_id",
+            F.expr("(fp_us - s_us) DIV 3600000000").alias("dur_h"),
+        )
+        .select(
+            F.when(
+                F.col("dur_h").isNotNull() & (F.col("dur_h") <= _KM_HORIZON_H),
+                F.col("dur_h"),
+            )
+            .otherwise(F.lit(_KM_HORIZON_H))
+            .alias("t"),
+            (
+                F.col("dur_h").isNotNull()
+                & (F.col("dur_h") <= _KM_HORIZON_H)
+            )
+            .cast("long")
+            .alias("event"),
+        )
+    )
+    km = obs.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(1 - F.col("event")).alias("c"),
+    )
+    from pyspark.sql import Window
+
+    w_desc = Window.partitionBy().orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.partitionBy().orderBy("t")
+    km2 = (
+        km.withColumn("n", F.sum(F.col("d") + F.col("c")).over(w_desc))
+        .withColumn("idx", F.row_number().over(w_asc))
+        .withColumn("packed", F.expr("n * 1048576 + d"))
+    )
+    arr = km2.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("packed")))
+        ).alias("karr")
+    )
+    folded = km2.crossJoin(F.broadcast(arr)).withColumn(
+        "s_ppm",
+        F.expr(
+            "aggregate(slice(transform(karr, e -> e.packed), 1, idx),"
+            " CAST(1000000 AS BIGINT),"
+            " (acc, e) -> (acc * ((e DIV 1048576) - (e % 1048576)))"
+            " DIV (e DIV 1048576))"
+        ),
+    )
+    return folded.select(
+        F.col("t").cast("long").alias("t_hours"),
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("c").cast("long").alias("c_censored"),
+        F.col("s_ppm").cast("long").alias("s_ppm"),
+    ).orderBy("t_hours")
+
+
+_KM_ORACLE = f"""
+    WITH signup AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), first_p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS fp_us
+      FROM events e JOIN signup s
+        ON e.user_id = s.user_id AND epoch_us(e.ts) >= s.s_us
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1
+    ), obs AS (
+      SELECT CASE WHEN dur_h IS NOT NULL AND dur_h <= {_KM_HORIZON_H}
+                  THEN dur_h ELSE {_KM_HORIZON_H} END AS t,
+             CASE WHEN dur_h IS NOT NULL AND dur_h <= {_KM_HORIZON_H}
+                  THEN 1 ELSE 0 END AS event
+      FROM (
+        SELECT s.user_id, (f.fp_us - s.s_us) // 3600000000 AS dur_h
+        FROM signup s LEFT JOIN first_p f USING (user_id)
+      )
+    ), km AS (
+      SELECT t, sum(event) AS d, sum(1 - event) AS c FROM obs GROUP BY t
+    ), km2 AS (
+      SELECT t, d, c,
+             sum(d + c) OVER (ORDER BY t DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n,
+             row_number() OVER (ORDER BY t) AS idx
+      FROM km
+    ), arr AS (
+      SELECT list(n * 1048576 + d ORDER BY t) AS karr FROM km2
+    )
+    SELECT CAST(t AS BIGINT) AS t_hours,
+           CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS c_censored,
+           CAST(list_reduce(
+             list_prepend(CAST(1000000 AS BIGINT), karr[1:idx]),
+             (acc, e) -> (acc * ((e // 1048576) - (e % 1048576)))
+                         // (e // 1048576)) AS BIGINT) AS s_ppm
+    FROM km2, arr
+    ORDER BY t_hours
+"""
+
+
+def fn_regex_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function breadth row (the pattern-matching sibling of the
+    string/datetime suites): extract-with-group, global replace (via
+    md5 to bound the compared payload), occurrence counting (Spark's
+    regexp_count vs DuckDB's len(regexp_extract_all) — different
+    spellings, same semantics, pinned), and boolean match as BIGINT
+    0/1. Map-only, one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"^(\w+)", 1).alias("first_word"),
+        F.md5(
+            F.regexp_replace(F.lower(F.col("text")), r"[aeiou]", "")
+        ).alias("devoweled_md5"),
+        F.expr(r"regexp_count(text, '[0-9]')").cast("long").alias("n_digits"),
+        F.col("text").rlike(r"[0-9]{2,}").cast("long").alias("has_long_number"),
+    ).orderBy("doc_id")
+
+
+_REGEX_SUITE_ORACLE = r"""
+    SELECT doc_id,
+           regexp_extract(text, '^(\w+)', 1) AS first_word,
+           md5(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+             AS devoweled_md5,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(CASE WHEN regexp_matches(text, '[0-9]{2,}')
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_long_number
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+def part_skyline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query — the classic multi-objective
+    operator (Borzsony/Kossmann/Stocker ICDE'01): parts not DOMINATED
+    in (minimize retail price, maximize size); q dominates p iff q is
+    <= on price and >= on size with at least one strict. Identical
+    (price, size) points do not dominate each other — all survive.
+    Set-based form, no O(n^2) self-join: collapse to distinct prices
+    with their per-price max size, one running strict-predecessor max
+    over that (domain-bounded) price frame, then p survives iff its
+    size exceeds every cheaper point's best size AND equals its own
+    price group's best. The ORACLE is the naive NOT EXISTS dominance
+    scan — the optimized-vs-naive proof pattern (events_window_count
+    precedent). Price enters as exact cents."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    per_price = part.groupBy("price_cents").agg(F.max("size").alias("gmax"))
+    w = Window.partitionBy().orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bests = per_price.withColumn(
+        "prev_best", F.max("gmax").over(w)
+    )
+    return (
+        part.join(bests, "price_cents")
+        .where(
+            (F.col("size") == F.col("gmax"))
+            & (
+                F.col("prev_best").isNull()
+                | (F.col("size") > F.col("prev_best"))
+            )
+        )
+        .select("p_partkey", "p_name", "price_cents", "size")
+        .orderBy("price_cents", "size", "p_partkey")
+    )
+
+
+_SKYLINE_ORACLE = """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT p_partkey, p_name, price_cents, size
+    FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+        AND (q.price_cents < p.price_cents OR q.size > p.size)
+    )
+    ORDER BY price_cents, size, p_partkey
+"""
+
+
+def orders_seasonal_decompose_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of daily revenue, STL-lite and
+    INTEGER-EXACT end to end: trend = centered 7-day moving average
+    (floor-DIV, emitted only where the full window exists), detrended
+    = x - trend, seasonal = per-day-of-week LOWER MEDIAN of the
+    detrended series (the discrete order statistic — DuckDB's median()
+    averages the middle pair into a float on even counts, so both
+    engines instead pick the element at rank (n+1) DIV 2), residual =
+    detrended - seasonal. Additive decomposition x = trend + seasonal
+    + residual holds by construction. Windows partition trivially (the
+    daily frame is calendar-bounded); the heavy lifting — orders to
+    daily — is one hash agg."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.expr(
+            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) DIV 100"
+        ).alias("x")
+    )
+    w7 = Window.partitionBy().orderBy("day").rowsBetween(-3, 3)
+    trended = (
+        daily.withColumn("n7", F.count("*").over(w7))
+        .withColumn("sum7", F.sum("x").over(w7))
+        .where(F.col("n7") == 7)
+        .select("day", "x", F.expr("sum7 DIV 7").alias("trend"))
+        .withColumn("detrended", F.col("x") - F.col("trend"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    wd = Window.partitionBy("dow").orderBy("detrended", "day")
+    wdn = Window.partitionBy("dow")
+    med = (
+        trended.withColumn("rn", F.row_number().over(wd))
+        .withColumn("nd", F.count("*").over(wdn))
+        .where(F.col("rn") == F.expr("(nd + 1) DIV 2"))
+        .select("dow", F.col("detrended").alias("seasonal"))
+    )
+    return (
+        trended.join(med, "dow")
+        .select(
+            "day",
+            F.col("x").cast("long").alias("revenue_dollars"),
+            F.col("trend").cast("long").alias("trend"),
+            F.col("detrended").cast("long").alias("detrended"),
+            F.col("seasonal").cast("long").alias("seasonal"),
+            (F.col("detrended") - F.col("seasonal")).cast("long").alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+_SEASONAL_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100 AS x
+      FROM orders GROUP BY 1
+    ), trended AS (
+      SELECT day, x, sum7 // 7 AS trend, x - sum7 // 7 AS detrended,
+             dayofweek(day) + 1 AS dow
+      FROM (
+        SELECT day, x,
+               count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS n7,
+               sum(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS sum7
+        FROM daily
+      ) WHERE n7 = 7
+    ), med AS (
+      SELECT dow, detrended AS seasonal
+      FROM (
+        SELECT dow, detrended,
+               row_number() OVER (PARTITION BY dow
+                                  ORDER BY detrended, day) AS rn,
+               count(*) OVER (PARTITION BY dow) AS nd
+        FROM trended
+      ) WHERE rn = (nd + 1) // 2
+    )
+    SELECT t.day,
+           CAST(t.x AS BIGINT) AS revenue_dollars,
+           CAST(t.trend AS BIGINT) AS trend,
+           CAST(t.detrended AS BIGINT) AS detrended,
+           CAST(m.seasonal AS BIGINT) AS seasonal,
+           CAST(t.detrended - m.seasonal AS BIGINT) AS residual
+    FROM trended t JOIN med m USING (dow)
+    ORDER BY t.day
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_alert_suppression",
@@ -302,5 +634,29 @@ PENDING: tuple[PendingQuery, ...] = (
         llm_mixture_epochs_query,
         _mixture_oracle(),
         tags=("llmops", "mixture", "epochs", "allocation", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_survival_km",
+        events_survival_km_query,
+        _KM_ORACLE,
+        tags=("events", "survival", "kaplan-meier", "censoring", "integer-exact"),
+    ),
+    PendingQuery(
+        "fn_regex_suite",
+        fn_regex_suite_query,
+        _REGEX_SUITE_ORACLE,
+        tags=("functions", "regex", "parity"),
+    ),
+    PendingQuery(
+        "part_skyline",
+        part_skyline_query,
+        _SKYLINE_ORACLE,
+        tags=("skyline", "pareto", "multi-objective", "integer-exact"),
+    ),
+    PendingQuery(
+        "orders_seasonal_decompose",
+        orders_seasonal_decompose_query,
+        _SEASONAL_ORACLE,
+        tags=("timeseries", "decomposition", "stl", "integer-exact"),
     ),
 )

@@ -47,7 +47,11 @@ def test_pending_names_unique_and_oracle_bearing():
 
 
 # broadcast-1-row patterns, documented at the call site
-_BNLJ_OK = set()
+_BNLJ_OK = {
+    # 1-row broadcast of the collected KM (t, n, d) array under the
+    # per-row prefix folds (timepoint domain horizon-bounded <= 73)
+    "events_survival_km",
+}
 
 
 def test_plans_no_nested_loop(spark):
@@ -189,3 +193,86 @@ def test_duckdb_list_reduce_copy_self_hazard_pinned():
             "DuckDB no longer reproduces the list_reduce copy-self "
             "hazard — the greatest() workaround can be retired"
         )
+
+
+def test_km_survival_invariants(spark):
+    """S is non-increasing, starts <= 1e6, risk sets telescope
+    (n_{t+1} = n_t - d_t - c_t over observed timepoints), both event
+    and censoring branches are exercised, and S equals an independent
+    Python fold."""
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        events_survival_km_query,
+    )
+
+    rows = events_survival_km_query(spark, SF_DIR).collect()
+    assert rows
+    assert any(r.d_events > 0 for r in rows)
+    assert any(r.c_censored > 0 for r in rows), "censoring vacuous at this SF"
+    s_prev, n_expected = 1_000_000, None
+    s = 1_000_000
+    for r in rows:
+        if n_expected is not None:
+            assert r.n_at_risk == n_expected
+        n_expected = r.n_at_risk - r.d_events - r.c_censored
+        s = (s * (r.n_at_risk - r.d_events)) // r.n_at_risk
+        assert r.s_ppm == s
+        assert r.s_ppm <= s_prev
+        s_prev = r.s_ppm
+    assert n_expected == 0  # everyone leaves by the horizon
+
+
+def test_skyline_is_maximal_antichain(spark):
+    """No skyline point dominates another, and every non-skyline part
+    is dominated by some skyline point (correctness of the set-based
+    form vs the definition, checked directly)."""
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        part_skyline_query,
+    )
+    from pyspark.sql import functions as F
+    from spotify_data_pipeline_spark.io import load_table
+
+    sky = [
+        (r.price_cents, r.size)
+        for r in part_skyline_query(spark, SF_DIR).collect()
+    ]
+    assert sky
+    for i, (p1, s1) in enumerate(sky):
+        for j, (p2, s2) in enumerate(sky):
+            if i != j:
+                assert not (
+                    p2 <= p1 and s2 >= s1 and (p2 < p1 or s2 > s1)
+                ), "skyline point dominated"
+    allpts = [
+        (int(r.price_cents), int(r.size))
+        for r in load_table(spark, SF_DIR, "part")
+        .select(
+            F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+                "price_cents"
+            ),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .collect()
+    ]
+    skyset = set(sky)
+    for p, s in allpts:
+        if (p, s) not in skyset:
+            assert any(
+                q <= p and t >= s and (q < p or t > s) for q, t in sky
+            ), f"non-skyline point ({p},{s}) not dominated"
+
+
+def test_seasonal_decomposition_is_additive(spark):
+    """x = trend + seasonal + residual on every emitted row, and the
+    seasonal component is constant per day-of-week."""
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        orders_seasonal_decompose_query,
+    )
+
+    rows = orders_seasonal_decompose_query(spark, SF_DIR).collect()
+    assert rows
+    seasonal_by_dow: dict = {}
+    for r in rows:
+        assert r.revenue_dollars == r.trend + r.seasonal + r.residual
+        dow = r.day.weekday()
+        seasonal_by_dow.setdefault(dow, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in seasonal_by_dow.values())
