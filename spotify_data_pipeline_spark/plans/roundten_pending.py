@@ -616,6 +616,167 @@ _SEASONAL_ORACLE = """
 """
 
 
+_HIER_BUDGET = 10_000_000  # cents
+
+
+def agg_hierarchical_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical largest-remainder budgeting — the scale discipline
+    the allocation operator's docstring prescribes, demonstrated: a
+    global budget first splits across NATIONS by revenue weight (the
+    GLOBAL form — the nation frame is tiny, its unpartitioned windows
+    are free), then each nation's share splits across its MARKET
+    SEGMENTS (the PER-GROUP form — partitioned windows, a billion
+    leaf groups would parallelize). Exactness composes: leaf
+    allocations sum EXACTLY to each nation's share, nation shares sum
+    EXACTLY to the budget, so the leaf total is the budget to the
+    cent — the property naive two-level rounding loses twice over.
+    Weights are exact revenue cents from one orders+customer join."""
+    from spotify_data_pipeline_spark.operators.allocation import (
+        largest_remainder_allocation,
+        largest_remainder_allocation_per_group,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    leaf = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.sum("cents").alias("w"))
+    )
+    nation = leaf.groupBy("c_nationkey").agg(F.sum("w").alias("nw"))
+    nation_alloc = largest_remainder_allocation(
+        nation, "c_nationkey", "nw", _HIER_BUDGET, out_col="nation_budget"
+    )
+    leaf_in = leaf.join(
+        nation_alloc.select("c_nationkey", "nation_budget"), "c_nationkey"
+    )
+    allocated = largest_remainder_allocation_per_group(
+        leaf_in,
+        "c_nationkey",
+        "c_mktsegment",
+        "w",
+        "nation_budget",
+        out_col="leaf_alloc",
+    )
+    return allocated.select(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_mktsegment",
+        F.col("w").cast("long").alias("revenue_cents"),
+        F.col("nation_budget").cast("long").alias("nation_budget"),
+        F.col("leaf_alloc").cast("long").alias("leaf_alloc"),
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_HIER_ALLOC_ORACLE = f"""
+    WITH leaf AS (
+      SELECT c_nationkey, c_mktsegment,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS w
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), nation AS (
+      SELECT c_nationkey, sum(w) AS nw FROM leaf GROUP BY 1
+    ), nstage AS (
+      SELECT *, ({_HIER_BUDGET} * nw) // sum(nw) OVER () AS base,
+             ({_HIER_BUDGET} * nw) % sum(nw) OVER () AS rem
+      FROM nation
+    ), nalloc AS (
+      SELECT c_nationkey, nw,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, c_nationkey ASC)
+                         <= {_HIER_BUDGET} - sum(base) OVER () THEN 1 ELSE 0 END
+               AS nation_budget
+      FROM nstage
+    ), lstage AS (
+      SELECT l.c_nationkey, l.c_mktsegment, l.w, n.nation_budget,
+             (n.nation_budget * l.w)
+               // sum(l.w) OVER (PARTITION BY l.c_nationkey) AS base,
+             (n.nation_budget * l.w)
+               % sum(l.w) OVER (PARTITION BY l.c_nationkey) AS rem
+      FROM leaf l JOIN nalloc n USING (c_nationkey)
+    )
+    SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey, c_mktsegment,
+           CAST(w AS BIGINT) AS revenue_cents,
+           CAST(nation_budget AS BIGINT) AS nation_budget,
+           CAST(base + CASE WHEN row_number() OVER (
+                              PARTITION BY c_nationkey
+                              ORDER BY rem DESC, c_mktsegment ASC)
+                            <= nation_budget - sum(base) OVER (
+                                 PARTITION BY c_nationkey)
+                            THEN 1 ELSE 0 END AS BIGINT) AS leaf_alloc
+    FROM lstage
+    ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def events_ab_srm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B bucketing + the Sample-Ratio-Mismatch guard —
+    the experimentation-platform admission check run before trusting
+    any test readout: users hash into arms via md5 (engine-portable,
+    unlike xxhash — the seeded-sampling precedent), and the report
+    carries per-arm user counts plus the exact integer chi-square
+    NUMERATOR cells against the intended 50/50 split: cell =
+    (2*observed - total)^2 scaled by 1e6 DIV (2*total) per arm — the
+    z/p-value conversion stays downstream (its sqrt/exp are the
+    non-reproducible steps, per house rule). One distinct-users agg +
+    a 2-row report."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    counts = ev.select(arm.alias("arm")).groupBy("arm").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        counts.withColumn("total", F.sum("n").over(Window.partitionBy()))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            F.col("n").cast("long").alias("n_users"),
+            F.expr(
+                "(2 * n - total) * (2 * n - total) * 1000000 DIV (2 * total)"
+            )
+            .cast("long")
+            .alias("chi2_cell_x1e6"),
+        )
+        .orderBy("arm")
+    )
+
+
+_AB_SRM_ORACLE = """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), armed AS (
+      -- DuckDB lacks conv(): 4-hex-digit positional fold, the
+      -- rowset-digest oracle's precedent
+      SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 1) % 2 AS arm
+      FROM (SELECT substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 4) AS h
+            FROM u)
+    ), counts AS (
+      SELECT arm, count(*) AS n FROM armed GROUP BY 1
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(((2 * n - sum(n) OVER ()) * (2 * n - sum(n) OVER ()) * 1000000)
+                // (2 * sum(n) OVER ()) AS BIGINT) AS chi2_cell_x1e6
+    FROM counts
+    ORDER BY arm
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "events_alert_suppression",
@@ -658,5 +819,17 @@ PENDING: tuple[PendingQuery, ...] = (
         orders_seasonal_decompose_query,
         _SEASONAL_ORACLE,
         tags=("timeseries", "decomposition", "stl", "integer-exact"),
+    ),
+    PendingQuery(
+        "agg_hierarchical_allocation",
+        agg_hierarchical_allocation_query,
+        _HIER_ALLOC_ORACLE,
+        tags=("agg", "allocation", "hierarchical", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_ab_srm",
+        events_ab_srm_query,
+        _AB_SRM_ORACLE,
+        tags=("events", "experimentation", "srm", "bucketing"),
     ),
 )

@@ -276,3 +276,42 @@ def test_seasonal_decomposition_is_additive(spark):
         dow = r.day.weekday()
         seasonal_by_dow.setdefault(dow, set()).add(r.seasonal)
     assert all(len(v) == 1 for v in seasonal_by_dow.values())
+
+
+def test_hierarchical_allocation_conserves_at_both_levels(spark):
+    """Leaf allocations sum exactly to each nation's budget; nation
+    budgets sum exactly to the global budget — the composed quota
+    property naive two-level rounding loses twice."""
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        _HIER_BUDGET,
+        agg_hierarchical_allocation_query,
+    )
+
+    rows = agg_hierarchical_allocation_query(spark, SF_DIR).collect()
+    assert rows
+    by_nation: dict = {}
+    for r in rows:
+        by_nation.setdefault(r.c_nationkey, [0, r.nation_budget])
+        by_nation[r.c_nationkey][0] += r.leaf_alloc
+        assert by_nation[r.c_nationkey][1] == r.nation_budget
+    assert all(leaf == budget for leaf, budget in by_nation.values())
+    assert sum(b for _, b in by_nation.values()) == _HIER_BUDGET
+
+
+def test_ab_srm_covers_all_users_and_cells_exact(spark):
+    """Both arms exist, user counts sum to the distinct-user total,
+    and each chi-square cell equals its closed form."""
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        events_ab_srm_query,
+    )
+    from spotify_data_pipeline_spark.io import load_table
+
+    rows = events_ab_srm_query(spark, SF_DIR).collect()
+    assert {r.arm for r in rows} == {0, 1}
+    total = sum(r.n_users for r in rows)
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert total == n_users
+    for r in rows:
+        assert r.chi2_cell_x1e6 == ((2 * r.n_users - total) ** 2 * 1_000_000) // (
+            2 * total
+        )
