@@ -184,32 +184,48 @@ def pq_assign(
     cb = codebook or default_codebook()
     sub_dim = len(cb[0][0])
     q = _quantized(vec_col, qscale)
-    codes = []
-    errs = []
-    for s, sub_codes in enumerate(cb):
-        sub = F.slice(q, s * sub_dim + 1, sub_dim)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(c) for c in code]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                for code in sub_codes
-            ]
+
+    def _assign_from(qv):
+        """Build (codes, err) from the BOUND quantized vector. Binding
+        matters for performance, not correctness: referencing the
+        quantization expression directly from all 16 outputs inlines
+        the guarded transform ~32x per row (the shingles lesson,
+        functions/text.py) — bound through a one-element transform it
+        evaluates once per reference to the struct."""
+        codes = []
+        errs = []
+        for s, sub_codes in enumerate(cb):
+            sub = F.slice(qv, s * sub_dim + 1, sub_dim)
+            dists = F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(c) for c in code]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    for code in sub_codes
+                ]
+            )
+            m = F.array_min(dists)
+            codes.append((F.array_position(dists, m) - 1).cast("int"))
+            errs.append(m)
+        total_err = errs[0]
+        for e in errs[1:]:
+            total_err = total_err + e
+        return F.struct(
+            F.array(*codes).alias("codes"), total_err.cast("long").alias("err")
         )
-        m = F.array_min(dists)
-        codes.append((F.array_position(dists, m) - 1).cast("int"))
-        errs.append(m)
-    total_err = errs[0]
-    for e in errs[1:]:
-        total_err = total_err + e
-    return df.withColumn(codes_col, F.array(*codes)).withColumn(
-        err_col, total_err.cast("long")
+
+    bound = F.element_at(F.transform(F.array(q), _assign_from), 1)
+    return (
+        df.withColumn("_pq", bound)
+        .withColumn(codes_col, F.col("_pq.codes"))
+        .withColumn(err_col, F.col("_pq.err"))
+        .drop("_pq")
     )
 
 

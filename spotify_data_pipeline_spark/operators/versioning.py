@@ -3,7 +3,7 @@ atomic publish, time travel, and rollback: the minimal transactional-
 table core (the Delta/Iceberg idea) re-expressed with nothing but
 parquet files and a JSON manifest chain, no table-format dependency.
 
-Protocol (single writer, many readers — the honest scope):
+Protocol (optimistic single-slot concurrency, many readers):
 
 - every ``write_version`` writes its data files into an IMMUTABLE
   per-version directory, then publishes a manifest naming the complete
@@ -16,6 +16,13 @@ Protocol (single writer, many readers — the honest scope):
   manifest references, so readers never see a torn snapshot.
 - ``rollback`` is not an erase: it publishes a NEW version whose file
   list equals the old one, so history stays append-only and auditable.
+- concurrent writers are handled OPTIMISTICALLY: the manifest publish
+  uses O_EXCL create (the POSIX compare-and-swap on a name), so of two
+  writers racing for the same version number exactly one commits and
+  the loser raises ``VersionConflict`` — retry-by-rebase is the
+  caller's move, exactly as in production table formats. A caller can
+  also pass ``expected_version`` to fail fast when the table moved
+  since it read.
 - data files are never rewritten or deleted by this module; vacuuming
   unreferenced files is a separate concern (operators/compaction.py
   shows the checksum-preserving swap pattern for that).
@@ -40,7 +47,19 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_version", "read_version", "history", "rollback", "latest_version"]
+__all__ = [
+    "VersionConflict",
+    "write_version",
+    "read_version",
+    "history",
+    "rollback",
+    "latest_version",
+]
+
+
+class VersionConflict(RuntimeError):
+    """Another writer committed the version this writer raced for (or
+    the table moved past ``expected_version``). Re-read and retry."""
 
 _MANIFEST_DIR = "_manifests"
 _LATEST = "_latest"
@@ -50,14 +69,26 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"{version}.json")
 
 
-def _atomic_write_json(path: str, payload: dict) -> None:
+def _atomic_write_json(path: str, payload: dict, exclusive: bool = False) -> None:
+    """Atomic JSON publish. With ``exclusive``, the final step is an
+    O_EXCL hard-link — the POSIX compare-and-swap on a name: if the
+    manifest already exists, another writer won the race and this one
+    gets ``VersionConflict`` with the target untouched."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(payload, f, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, path)  # atomic on POSIX
+    if exclusive:
+        try:
+            os.link(tmp, path)  # fails with EEXIST if a racer committed
+        except FileExistsError:
+            raise VersionConflict(f"{path} was committed by another writer")
+        finally:
+            os.unlink(tmp)
+    else:
+        os.rename(tmp, path)  # atomic on POSIX
 
 
 def latest_version(root: str) -> Optional[int]:
@@ -77,14 +108,25 @@ def _data_files(version_dir: str) -> list:
     )
 
 
-def write_version(df: DataFrame, root: str, mode: str = "append") -> int:
+def write_version(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    expected_version: int | None = None,
+) -> int:
     """Publish ``df`` as the next snapshot. ``mode='append'`` stacks it
     on the previous snapshot's rows; ``'overwrite'`` replaces the
     logical content (old files stay on disk, still referenced by old
-    manifests — time travel keeps working). Returns the new version."""
+    manifests — time travel keeps working). Returns the new version.
+    ``expected_version`` (optimistic check): raise ``VersionConflict``
+    if the committed latest is no longer this value."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     prev = latest_version(root)
+    if expected_version is not None and prev != expected_version:
+        raise VersionConflict(
+            f"table at version {prev}, writer expected {expected_version}"
+        )
     # next version = past both the committed chain AND any orphaned
     # version dir a crashed writer left behind (its garbage must not
     # block the next commit — it is merely never referenced)
@@ -105,7 +147,10 @@ def write_version(df: DataFrame, root: str, mode: str = "append") -> int:
     if mode == "append" and prev is not None:
         with open(_manifest_path(root, prev)) as f:
             files = json.load(f)["files"] + files
-    # 2. publish the manifest, then 3. flip the pointer — both atomic
+    # 2. publish the manifest with O_EXCL (the CAS: exactly one of two
+    # racing writers commits this version number), then 3. flip the
+    # pointer — the loser's data files stay as invisible orphans, the
+    # torn-write case readers already ignore
     _atomic_write_json(
         _manifest_path(root, version),
         {
@@ -115,6 +160,7 @@ def write_version(df: DataFrame, root: str, mode: str = "append") -> int:
             "files": files,
             "committed_at": time.time(),
         },
+        exclusive=True,
     )
     _atomic_write_json(os.path.join(root, _LATEST), {"version": version})
     return version
@@ -182,6 +228,7 @@ def rollback(root: str, to_version: int) -> int:
             "files": target["files"],
             "committed_at": time.time(),
         },
+        exclusive=True,  # same CAS as write_version: racers lose loudly
     )
     _atomic_write_json(os.path.join(root, _LATEST), {"version": version})
     return version

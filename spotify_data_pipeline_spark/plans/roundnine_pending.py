@@ -649,9 +649,14 @@ def sim_pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances, min-id tie argmin, error sum) from the same literal
     codebook via generated SQL — the approximation itself is what the
     driver hash-checks, the sim_ann_ivf_fixed precedent."""
+    from spotify_data_pipeline_spark.operators.parallelism import (
+        ensure_min_parallelism,
+    )
     from spotify_data_pipeline_spark.operators.pq import pq_assign
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the fixture ships one row group -> one task; the interpreted HOF
+    # expression tree is compute-dense, so buy full parallelism first
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
     assigned = pq_assign(emb, "embedding")
     return assigned.select(
         "vec_id",
@@ -721,9 +726,12 @@ def sim_pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's ADC distance from the SAME Python-generated table constants,
     so the whole lookup pipeline (encode -> table -> sum -> top-k with
     (dist, id) tiebreak) is driver-proven exact."""
+    from spotify_data_pipeline_spark.operators.parallelism import (
+        ensure_min_parallelism,
+    )
     from spotify_data_pipeline_spark.operators.pq import pq_adc_topk, pq_assign
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
     coded = pq_assign(emb, "embedding")
     top = pq_adc_topk(coded, _PQ_PROBE, k=10)
     return top.select(

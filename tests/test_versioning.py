@@ -74,3 +74,30 @@ def test_read_uncommitted_version_raises(spark, tmp_path):
     write_version(_df(spark, 0, 3), root)
     with pytest.raises(FileNotFoundError):
         read_version(spark, root, 7)
+
+
+def test_optimistic_concurrency(spark, tmp_path):
+    """expected_version fails fast when the table moved; the O_EXCL
+    manifest publish means a simulated racer's manifest blocks this
+    writer's commit of the same version (exactly-one-commits)."""
+    import json
+    import os
+
+    from spotify_data_pipeline_spark.operators.versioning import VersionConflict
+
+    root = str(tmp_path / "tbl")
+    write_version(_df(spark, 0, 5), root)
+    # fail-fast path: the caller read v0 but someone committed v1
+    write_version(_df(spark, 5, 6), root)
+    with pytest.raises(VersionConflict, match="expected 0"):
+        write_version(_df(spark, 6, 7), root, expected_version=0)
+    # CAS path: a racer pre-commits manifest 2; our publish must lose
+    mdir = os.path.join(root, "_manifests")
+    with open(os.path.join(mdir, "2.json"), "w") as f:
+        json.dump({"version": 2, "mode": "append", "prev": 1,
+                   "files": [], "committed_at": 0}, f)
+    with pytest.raises(VersionConflict, match="another writer"):
+        write_version(_df(spark, 6, 7), root)
+    # the loser's orphan data dir does not corrupt anything: latest
+    # pointer still resolves and a fresh read works
+    assert read_version(spark, root, 1).count() == 6
