@@ -11,8 +11,12 @@ randomness screening (Wald-Wolfowitz runs), training-mixture planning
 (epochs via exact largest-remainder budgeting), Kaplan-Meier survival
 with right censoring (integer ppm prefix folds), regex-function
 breadth, the skyline/Pareto-frontier operator (set-based, naive
-NOT EXISTS oracle), and integer-exact STL-lite seasonal
-decomposition.
+NOT EXISTS oracle), integer-exact STL-lite seasonal
+decomposition, least-squares changepoint localization (binary
+segmentation's first split, exact integer atoms + IEEE-identical
+score), Kneser-Ney continuation counts (the KN unigram numerator),
+and the chi-square test of independence (the contingency-table
+member of the chi-square family).
 """
 
 from __future__ import annotations
@@ -777,7 +781,331 @@ _AB_SRM_ORACLE = """
 """
 
 
+def orders_changepoint_day_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares changepoint LOCALIZATION on daily revenue — the
+    first step of binary segmentation (Scott & Knott 1974; the AMOC
+    model): pick the split day k that maximizes the between-segment
+    sum of squares f(k) = s1²/n1 + s2²/n2 over prefix/suffix
+    (count, sum) pairs. Complements the round-7 CUSUM query, which
+    DETECTS drift against a fixed reference; this one LOCATES the
+    single best break with no tuning constant.
+
+    Exactness discipline: s1/s2 are exact whole-dollar BIGINTs; the
+    numerator A = s1²·n2 + s2²·n1 is computed exactly in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — s² exceeds int64 from
+    sf0.1 up. The SCORE A/D (D = n1·n2) is compared in float64: an
+    exact-rational argmax needs either an O(days²) tournament join or
+    an M-scaled integer key that leaves DECIMAL(38) around sf5, so
+    both engines instead cast the SAME exact integers A and D and
+    perform the SAME single correctly-rounded division — identical
+    IEEE doubles, identical argmax (the histogram precedent's
+    argument). Ties (exact or rounded) break to the EARLIEST day via
+    lexicographic (score, -i) max.
+
+    Scale shape: one scan → one hash agg to the day table (calendar-
+    bounded: ~2,405 rows at EVERY SF — the axis that does not grow
+    with data), unpartitioned running windows over that bounded table,
+    one struct max. No join anywhere; the 100 TB cost is the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice) AS BIGINT)")).alias("_dollars")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_day")
+    wall = Window.orderBy("_day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cands = daily.select(
+        "_day",
+        F.row_number().over(w).alias("_i"),
+        F.sum("_dollars").over(w).alias("_s1"),
+        F.sum("_dollars").over(wall).alias("_s"),
+        F.count("*").over(wall).alias("_t"),
+    ).where(F.col("_i") < F.col("_t"))
+    scored = cands.select(
+        "_day",
+        "_i",
+        (F.col("_t") - F.col("_i")).alias("_n2"),
+        "_s1",
+        (F.col("_s") - F.col("_s1")).alias("_s2"),
+    ).select(
+        "_day",
+        "_i",
+        "_n2",
+        "_s1",
+        "_s2",
+        (
+            (
+                F.col("_s1").cast("decimal(19,0)")
+                * F.col("_s1").cast("decimal(19,0)")
+                * F.col("_n2").cast("decimal(19,0)")
+                + F.col("_s2").cast("decimal(19,0)")
+                * F.col("_s2").cast("decimal(19,0)")
+                * F.col("_i").cast("decimal(19,0)")
+            ).cast("double")
+            / (F.col("_i") * F.col("_n2")).cast("double")
+        ).alias("_score"),
+    )
+    best = scored.agg(
+        F.max(
+            F.struct(
+                F.col("_score").alias("s"),
+                (-F.col("_i")).alias("ni"),
+                F.col("_day").alias("day"),
+                F.col("_i").alias("n1"),
+                F.col("_n2").alias("n2"),
+                F.col("_s1").alias("s1"),
+                F.col("_s2").alias("s2"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("_b.day").cast("timestamp").alias("split_day"),
+        F.col("_b.n1").cast("long").alias("n_days_before"),
+        F.col("_b.n2").cast("long").alias("n_days_after"),
+        F.col("_b.s1").cast("long").alias("dollars_before"),
+        F.col("_b.s2").cast("long").alias("dollars_after"),
+    ).select(
+        "*",
+        F.expr("dollars_before div n_days_before").alias("mean_before"),
+        F.expr("dollars_after div n_days_after").alias("mean_after"),
+    )
+
+
+_CHANGEPOINT_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice) AS BIGINT)) AS dollars
+      FROM orders GROUP BY 1
+    ), cands AS (
+      SELECT day,
+             row_number() OVER (ORDER BY day) AS i,
+             sum(dollars) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS s1,
+             sum(dollars) OVER () AS s,
+             count(*) OVER () AS t
+      FROM daily
+    ), scored AS (
+      SELECT day, i, t - i AS n2, s1, s - s1 AS s2,
+             -- exact HUGEINT numerator, ONE correctly-rounded cast +
+             -- ONE division: the identical IEEE double Spark computes
+             CAST(CAST(s1 AS HUGEINT) * s1 * (t - i)
+                  + CAST(s - s1 AS HUGEINT) * (s - s1) * i AS DOUBLE)
+             / CAST(i * (t - i) AS DOUBLE) AS score
+      FROM cands WHERE i < t
+    )
+    SELECT CAST(day AS TIMESTAMP) AS split_day,
+           CAST(i AS BIGINT) AS n_days_before,
+           CAST(n2 AS BIGINT) AS n_days_after,
+           CAST(s1 AS BIGINT) AS dollars_before,
+           CAST(s2 AS BIGINT) AS dollars_after,
+           CAST(s1 // i AS BIGINT) AS mean_before,
+           CAST(s2 // n2 AS BIGINT) AS mean_after
+    FROM scored
+    ORDER BY score DESC, i ASC
+    LIMIT 1
+"""
+
+
+def text_kn_continuation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney continuation counts (Kneser & Ney 1995; Chen &
+    Goodman 1999) — the statistic that separates KN smoothing from
+    plain frequency backoff: N1+(•w) = the number of DISTINCT left
+    contexts word w follows, the KN unigram numerator ('how many
+    bigram TYPES end in w'), famously small for 'francisco' despite
+    its high raw frequency. Also emitted: N1+(w•) (distinct right
+    contexts — the denominator atom of the KN lambda) and the raw
+    bigram-start frequency (the one-lineage denominator trick the
+    bigram-LM query documents). Top 50 by continuation count, term
+    tiebreak (50 covers the synthetic corpus's whole vocabulary, so
+    the low-continuation tail is in the checked result).
+
+    Plan: ONE tokenize scan → in-array bigram construction → hash agg
+    to the bigram-type table (vocab²-bounded, not corpus-bounded) —
+    then each aggregated pair fans out to its two (term, side) rows
+    IN-PLAN and a second vocab-bounded agg folds both direction
+    counts and the start frequency in one pass. Deriving the three
+    stats as separate aggs would rescan and re-tokenize the corpus
+    per branch (no cross-branch CSE — the bigram-LM lesson); the
+    explode keeps one lineage, two shuffles total."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("_toks"))
+    bigrams = (
+        toked.where(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+                )
+            ).alias("_bg")
+        )
+        .select("_bg.w1", "_bg.w2")
+    )
+    pairs = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("_n"))
+    sides = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("w2").alias("term"),
+                    F.lit(0).alias("is_right"),
+                    F.col("_n").alias("n"),
+                ),
+                F.struct(
+                    F.col("w1").alias("term"),
+                    F.lit(1).alias("is_right"),
+                    F.col("_n").alias("n"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.term", "_s.is_right", "_s.n")
+    stats = sides.groupBy("term").agg(
+        F.sum(F.when(F.col("is_right") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_left_types"),
+        F.sum(F.when(F.col("is_right") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_right_types"),
+        F.sum(F.when(F.col("is_right") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("freq_starts"),
+    )
+    return stats.orderBy(F.col("n_left_types").desc(), "term").limit(50)
+
+
+_KN_CONTINUATION_ORACLE = r"""
+    WITH t AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), bg AS (
+      SELECT unnest(list_transform(range(2, len(toks) + 1),
+                                   i -> struct_pack(w1 := toks[i-1], w2 := toks[i]))) AS s
+      FROM t WHERE len(toks) >= 2
+    ), pairs AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n FROM bg GROUP BY 1, 2
+    ), sides AS (
+      SELECT w2 AS term, 0 AS is_right, n FROM pairs
+      UNION ALL
+      SELECT w1 AS term, 1 AS is_right, n FROM pairs
+    )
+    SELECT term,
+           CAST(sum(CASE WHEN is_right = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_left_types,
+           CAST(sum(CASE WHEN is_right = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_right_types,
+           CAST(sum(CASE WHEN is_right = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS freq_starts
+    FROM sides
+    GROUP BY term
+    ORDER BY n_left_types DESC, term
+    LIMIT 50
+"""
+
+
+def events_chisq_independence_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of INDEPENDENCE between event type and
+    day-of-week — the two-way contingency-table test, completing the
+    chi-square family's third shape (goodness-of-fit vs uniform =
+    orders_dow_seasonality; 2-cell sample-ratio = events_ab_srm;
+    independence = this). Each cell's statistic
+    (O - E)²/E with E = R·C/n enters cross-multiplied:
+    cell·1e6 = (n·O - R·C)²·1e6 div (n·R·C) — every atom an exact
+    integer, the deviation squared in DECIMAL(38,0)/HUGEINT (it
+    exceeds int64 from sf0.1). Headroom: (n·O - R·C)²·1e6 stays
+    inside DECIMAL(38) to ~100× this row count; past that the 1e6
+    display scale is the documented dial (the ACF precedent).
+
+    Day-of-week cross-engine trap (the fn_datetime_suite pin): Spark
+    dayofweek() is 1=Sunday, DuckDB's is 0=Sunday — Spark subtracts 1
+    so both emit 0=Sunday.
+
+    Plan: one scan → one hash agg to the (type × dow) table (≤ 7·k
+    rows, k = |event types| — bounded at every SF), then marginals as
+    unpartitioned window sums over that bounded table. No join."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow")
+    ).agg(F.count("*").alias("n_obs"))
+    from pyspark.sql import Window
+
+    r = F.sum("n_obs").over(Window.partitionBy("event_type"))
+    c = F.sum("n_obs").over(Window.partitionBy("dow"))
+    n = F.sum("n_obs").over(
+        Window.partitionBy()
+    )
+    enriched = cells.select(
+        "event_type",
+        "dow",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        r.cast("long").alias("row_total"),
+        c.cast("long").alias("col_total"),
+        n.cast("long").alias("_n"),
+    )
+    return enriched.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        "row_total",
+        "col_total",
+        # ONE division by the full DECIMAL denominator: a chained
+        # per-factor div's intermediate quotient (dev²·1e6/n) already
+        # exceeds BIGINT, and n·R·C itself leaves int64 past ~sf10
+        F.expr(
+            "CAST((CAST(_n * n_obs - row_total * col_total AS DECIMAL(19,0))"
+            "      * CAST(_n * n_obs - row_total * col_total AS DECIMAL(19,0))"
+            "      * CAST(1000000 AS DECIMAL(19,0)))"
+            " div (CAST(_n AS DECIMAL(19,0)) * row_total * col_total)"
+            " AS BIGINT)"
+        ).alias("chi2_cell_x1e6"),
+    ).orderBy("event_type", "dow")
+
+
+_CHISQ_INDEP_ORACLE = """
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, dow, n_obs,
+             sum(n_obs) OVER (PARTITION BY event_type) AS row_total,
+             sum(n_obs) OVER (PARTITION BY dow) AS col_total,
+             sum(n_obs) OVER () AS n
+      FROM cells
+    )
+    SELECT event_type, dow, n_obs,
+           CAST(row_total AS BIGINT) AS row_total,
+           CAST(col_total AS BIGINT) AS col_total,
+           CAST((CAST(n * n_obs - row_total * col_total AS HUGEINT)
+                 * (n * n_obs - row_total * col_total) * 1000000)
+                // (CAST(n AS HUGEINT) * row_total * col_total)
+                AS BIGINT) AS chi2_cell_x1e6
+    FROM m
+    ORDER BY event_type, dow
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
+    PendingQuery(
+        "orders_changepoint_day",
+        orders_changepoint_day_query,
+        _CHANGEPOINT_ORACLE,
+        tags=("orders", "timeseries", "changepoint", "segmentation"),
+    ),
+    PendingQuery(
+        "text_kn_continuation",
+        text_kn_continuation_query,
+        _KN_CONTINUATION_ORACLE,
+        tags=("text", "ngram", "lm", "kneser-ney", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_chisq_independence",
+        events_chisq_independence_query,
+        _CHISQ_INDEP_ORACLE,
+        tags=("events", "statistics", "chisquare", "independence", "integer-exact"),
+    ),
     PendingQuery(
         "events_alert_suppression",
         events_alert_suppression_query,
