@@ -15,8 +15,12 @@ NOT EXISTS oracle), integer-exact STL-lite seasonal
 decomposition, least-squares changepoint localization (binary
 segmentation's first split, exact integer atoms + IEEE-identical
 score), Kneser-Ney continuation counts (the KN unigram numerator),
-and the chi-square test of independence (the contingency-table
-member of the chi-square family).
+the chi-square test of independence (the contingency-table
+member of the chi-square family), exact mergeable bitmap distinct
+counting (the production exact counterpart of the HLL family),
+time-weighted averages (LOCF duration weighting, DECIMAL/HUGEINT
+numerators), and exact join-size estimation from key histograms
+(the self-join blowup detector).
 """
 
 from __future__ import annotations
@@ -1087,6 +1091,207 @@ _CHISQ_INDEP_ORACLE = """
 """
 
 
+def agg_bitmap_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via integer bitmaps — the
+    production counterpart (ClickHouse groupBitmap / Doris BITMAP
+    columns) of the approximate-mergeable HLL the engine already
+    carries: user ids bucket into 63-bit words (word = id div 63,
+    bit = id mod 63 — bit 63 stays clear because BOTH engines fault
+    or sign-flip on 1<<63), words OR-merge associatively, and
+    popcount-sum recovers the EXACT distinct count at any rollup
+    level. The query proves the mergeability end-to-end: daily word
+    bitmaps are built first, MONTH words are derived by OR-merging
+    the day words (never re-touching raw events), and the oracle is
+    plain COUNT(DISTINCT) — exactness of the merged path is what the
+    driver hash-checks. Also emitted: the nonzero word count (bitmap
+    memory accounting), oracle COUNT(DISTINCT id div 63).
+
+    This solves the non-additivity trap events_uniques_rollup
+    demonstrates (distinct counts cannot be summed up a hierarchy) by
+    the OTHER production route: recompute-free exact rollup at the
+    cost of |id-space|/63 words per group. At 100 TB the refinement
+    is roaring-style containers + dictionary-encoded ids; the word
+    relation here IS that design's dense container."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("_day"),
+            (F.col("user_id") / 63).cast("long").alias("_word"),
+            (F.col("user_id") % 63).cast("int").alias("_bit"),
+        )
+        .groupBy("event_type", "_day", "_word")
+        .agg(
+            # SQL form: the Python shiftleft() binding takes only a
+            # literal shift amount, not a per-row column
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), _bit))").alias("_w")
+        )
+    )
+    monthly = daily.groupBy(
+        "event_type", F.trunc("_day", "month").alias("_month"), "_word"
+    ).agg(F.bit_or("_w").alias("_w"))
+    return (
+        monthly.groupBy("event_type", "_month")
+        .agg(
+            F.sum(F.bit_count("_w")).cast("long").alias("n_distinct_users"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+        .select(
+            "event_type",
+            F.col("_month").cast("timestamp").alias("month"),
+            "n_distinct_users",
+            "n_words",
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+_BITMAP_DISTINCT_ORACLE = """
+    SELECT event_type,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           CAST(count(DISTINCT user_id // 63) AS BIGINT) AS n_words
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def events_twap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP) — the financial /
+    IoT aggregate where each observation counts for HOW LONG it was
+    the latest, not how often it was reported: under LOCF each value
+    holds from its event to the next, so
+    twap = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first). A plain AVG
+    over-weights chatty reporting periods; the duration weighting is
+    what de-biases it. Exactness: values as integer cents, gaps as
+    exact epoch-µs; the numerator Σ cents·gap_µs exceeds int64 on
+    multi-year spans, so it accumulates in DECIMAL(38,0)/HUGEINT and
+    only the final BIGINT quotient (twap in cents) is emitted.
+    Equal-timestamp ties are harmless by construction: both engines
+    order by (ts, event_id) and a zero-length interval contributes
+    zero weight whatever its value. Single-event users carry no
+    interval and are excluded (den = 0). One window pass (lead), one
+    hash agg — no join, no Python."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    seg = ev.withColumn("_next", F.lead("_us").over(w)).where(
+        F.col("_next").isNotNull()
+    )
+    per_user = seg.groupBy("user_id").agg(
+        (F.count("*") + 1).cast("long").alias("n_events"),
+        F.sum(
+            F.col("_cents").cast("decimal(19,0)")
+            * (F.col("_next") - F.col("_us")).cast("decimal(19,0)")
+        ).alias("_num"),
+        F.sum(F.col("_next") - F.col("_us")).cast("long").alias("span_us"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.expr("CAST(_num div span_us AS BIGINT)").alias("twap_cents"),
+    ).orderBy("user_id")
+
+
+_TWAP_ORACLE = """
+    WITH seg AS (
+      SELECT user_id,
+             epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           CAST(sum(nxt - us) AS BIGINT) AS span_us,
+           CAST(sum(CAST(cents AS HUGEINT) * (nxt - us))
+                // sum(CAST(nxt - us AS HUGEINT)) AS BIGINT) AS twap_cents
+    FROM seg
+    WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+def ops_join_size_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output-size accounting from a key histogram — the
+    optimizer's cardinality question answered precisely BEFORE the
+    join runs: for the lineitem×lineitem self-join on l_partkey,
+    |A ⋈ A| = Σₖ cnt(k)², computed from the per-key counts alone
+    (the histogram is |keys|-sized; the join it predicts is
+    quadratically larger). The skew complement of ops_skew_report:
+    that query flags LINEAR per-key shuffle share; this one flags the
+    QUADRATIC blowup a hot key contributes to a self-join — the
+    all-pairs bomb the dedup operators' capped-bucket designs exist
+    to avoid. Emitted: the 10 heaviest keys with their pair counts
+    and ppm share of the total predicted join size, plus the global
+    totals each row carries from a 1-row broadcast aggregate (the
+    documented tfidf/sim_cosine pattern; whitelisted). The histogram
+    lineage is referenced twice (top-10 branch + totals branch) —
+    at 100 TB the production move is checkpointing the tiny
+    histogram; the recompute here is two scans, stated honestly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_partkey").agg(F.count("*").alias("_cnt"))
+    contrib = hist.select(
+        "l_partkey",
+        F.col("_cnt").cast("long").alias("n_rows"),
+        (F.col("_cnt") * F.col("_cnt")).cast("long").alias("pair_rows"),
+    )
+    totals = contrib.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.sum("pair_rows").cast("long").alias("total_join_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = contrib.orderBy(
+        F.col("pair_rows").desc(), "l_partkey"
+    ).limit(10)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "l_partkey",
+            "n_rows",
+            "pair_rows",
+            "total_rows",
+            "total_join_rows",
+            "n_keys",
+            F.expr(
+                "CAST(pair_rows * 1000000 div total_join_rows AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy(F.col("pair_rows").desc(), "l_partkey")
+    )
+
+
+_JOIN_SIZE_ORACLE = """
+    WITH hist AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) * count(*) AS BIGINT) AS pair_rows
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+             CAST(sum(pair_rows) AS BIGINT) AS total_join_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM hist
+    )
+    SELECT h.l_partkey, h.n_rows, h.pair_rows,
+           t.total_rows, t.total_join_rows, t.n_keys,
+           CAST(h.pair_rows * 1000000 // t.total_join_rows AS BIGINT)
+             AS share_ppm
+    FROM hist h CROSS JOIN tot t
+    ORDER BY h.pair_rows DESC, h.l_partkey
+    LIMIT 10
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "orders_changepoint_day",
@@ -1105,6 +1310,24 @@ PENDING: tuple[PendingQuery, ...] = (
         events_chisq_independence_query,
         _CHISQ_INDEP_ORACLE,
         tags=("events", "statistics", "chisquare", "independence", "integer-exact"),
+    ),
+    PendingQuery(
+        "agg_bitmap_distinct",
+        agg_bitmap_distinct_query,
+        _BITMAP_DISTINCT_ORACLE,
+        tags=("agg", "bitmap", "distinct", "mergeable", "exact"),
+    ),
+    PendingQuery(
+        "events_twap",
+        events_twap_query,
+        _TWAP_ORACLE,
+        tags=("events", "timeseries", "twap", "locf", "integer-exact"),
+    ),
+    PendingQuery(
+        "ops_join_size_estimate",
+        ops_join_size_estimate_query,
+        _JOIN_SIZE_ORACLE,
+        tags=("ops", "cardinality", "skew", "selfjoin", "integer-exact"),
     ),
     PendingQuery(
         "events_alert_suppression",

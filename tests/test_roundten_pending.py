@@ -51,6 +51,9 @@ _BNLJ_OK = {
     # 1-row broadcast of the collected KM (t, n, d) array under the
     # per-row prefix folds (timepoint domain horizon-bounded <= 73)
     "events_survival_km",
+    # 1-row broadcast global-totals aggregate onto the top-10 rows
+    # (the tfidf/sim_cosine documented pattern)
+    "ops_join_size_estimate",
 }
 
 
@@ -414,6 +417,112 @@ def test_chisq_independence_marginals_and_closed_form(spark):
             n * r.row_total * r.col_total
         )
     assert set(by_dow) <= set(range(7))
+
+
+def test_bitmap_distinct_words_nonneg_and_python_model(spark):
+    """Every emitted count equals an independent Python distinct
+    count; word bitmaps never set the sign bit (the 63-bit word
+    design's invariant — both engines fault or sign-flip on 1<<63);
+    and the bitmap path is genuinely merged (some month has more
+    distinct users than any single day contributes — the rollup is
+    not a rename of the daily numbers)."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        agg_bitmap_distinct_query,
+    )
+
+    rows = agg_bitmap_distinct_query(spark, SF_DIR).collect()
+    assert rows
+    df = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    df["month"] = df.ts.dt.to_period("M").dt.to_timestamp()
+    expect = {
+        (t, pd.Timestamp(m)): (g.user_id.nunique(), (g.user_id // 63).nunique())
+        for (t, m), g in df.groupby(["event_type", "month"])
+    }
+    got = {
+        (r.event_type, pd.Timestamp(r.month)): (r.n_distinct_users, r.n_words)
+        for r in rows
+    }
+    assert got == expect
+    daily_max = (
+        df.groupby(["event_type", df.ts.dt.date]).user_id.nunique().groupby(
+            level=0
+        ).max()
+    )
+    monthly_max = df.groupby(["event_type", "month"]).user_id.nunique().groupby(
+        level=0
+    ).max()
+    assert any(monthly_max[t] > daily_max[t] for t in monthly_max.index)
+
+
+def test_twap_vs_python_model_and_differs_from_mean(spark):
+    """TWAP equals an independent Python LOCF fold over the raw
+    events, and for some user it genuinely differs from the plain
+    (unweighted) mean — the duration weighting is load-bearing, not
+    a re-derivation of AVG."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        events_twap_query,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.span_us, r.twap_cents)
+        for r in events_twap_query(spark, SF_DIR).collect()
+    }
+    df = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    expect = {}
+    differs = False
+    for uid, grp in df.groupby("user_id"):
+        evs = sorted(
+            (
+                int(pd.Timestamp(t).value // 1000),
+                int(e),
+                int(
+                    Decimal(repr(v * 100)).quantize(
+                        Decimal(1), ROUND_HALF_UP
+                    )
+                ),
+            )
+            for t, e, v in zip(grp.ts, grp.event_id, grp.value)
+        )
+        if len(evs) < 2:
+            continue
+        num = den = 0
+        for (us, _, c), (nxt, _, _) in zip(evs, evs[1:]):
+            num += c * (nxt - us)
+            den += nxt - us
+        expect[int(uid)] = (len(evs), den, num // den)
+        plain_mean = sum(c for _, _, c in evs) // len(evs)
+        if abs(num // den - plain_mean) > 1:
+            differs = True
+    assert got == expect
+    assert differs
+
+
+def test_join_size_estimate_matches_executed_join(spark):
+    """The histogram's predicted self-join cardinality equals the
+    ACTUAL row count of the executed lineitem self-join on l_partkey
+    — prediction pinned against reality, not against another formula.
+    Shares sum to <= 1e6 ppm and top-10 ordering is by pair count."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        ops_join_size_estimate_query,
+    )
+
+    rows = ops_join_size_estimate_query(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey")
+    actual = li.alias("a").join(li.alias("b"), on="l_partkey").count()
+    assert rows[0].total_join_rows == actual
+    assert all(r.total_join_rows == rows[0].total_join_rows for r in rows)
+    pairs = [r.pair_rows for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    for r in rows:
+        assert r.share_ppm == r.pair_rows * 1_000_000 // r.total_join_rows
+        assert r.pair_rows == r.n_rows * r.n_rows
 
 
 def test_ab_srm_covers_all_users_and_cells_exact(spark):
