@@ -19,8 +19,12 @@ the chi-square test of independence (the contingency-table
 member of the chi-square family), exact mergeable bitmap distinct
 counting (the production exact counterpart of the HLL family),
 time-weighted averages (LOCF duration weighting, DECIMAL/HUGEINT
-numerators), and exact join-size estimation from key histograms
-(the self-join blowup detector).
+numerators), exact join-size estimation from key histograms
+(the self-join blowup detector), l-diversity (the homogeneity
+attack k-anonymity misses, reported as the exact l distribution),
+an exact 1R decision stump (integer majority-vote errors), and
+cross-correlation Pearson atoms at calendar lags (the ACF query's
+bivariate lead/lag sibling).
 """
 
 from __future__ import annotations
@@ -1292,6 +1296,263 @@ _JOIN_SIZE_ORACLE = """
 """
 
 
+def privacy_l_diversity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity risk report (Machanavajjhala et al. ICDE'06) —
+    the attack k-anonymity misses: a QI group can have k >= 10 rows
+    yet leak the sensitive attribute outright if every row SHARES the
+    same sensitive value (the homogeneity attack). Released table =
+    orders joined to the customer quasi-identifier the k-anonymity
+    query defines (nation, market segment, account-balance band of
+    1000); sensitive attribute = order priority. Per QI group,
+    l = exact distinct sensitive values; the report is the FULL l
+    distribution (group count, row count, exact ppm population share
+    per observed l — integer DIV, the k-anonymity precedent), with
+    l=1 rows being the homogeneity attack whenever present.
+    Deliberately NOT fixed risk buckets: on this synthetic data the
+    measured minimum is l=2 at every SF (near-uniform priorities
+    over ~10-order groups make a homogeneous group ~(1/5)^(n-1)
+    rare), so an l=1 bucket would be a permanently-dead branch — the
+    vacuousness lesson; the distribution form has no such branch and
+    the accompanying test pins the measured minimum so a testdata
+    change surfaces. Plan: one equi join riding the custkey, one QI
+    hash agg with an exact distinct, one <=5-row l agg — at 100 TB
+    the join broadcasts or buckets on the natural key and nothing is
+    driver-side."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    released = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    groups = released.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderpriority").alias("l"),
+    )
+    from pyspark.sql import Window
+
+    agg = groups.groupBy("l").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    # <=|sensitive domain|-row result: the all-rows window total is
+    # trivially safe here
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return agg.select(
+        F.col("l").cast("long").alias("l"),
+        "n_groups",
+        "n_rows",
+        total.cast("long").alias("_tot"),
+    ).select(
+        "l",
+        "n_groups",
+        "n_rows",
+        F.expr("CAST(n_rows * 1000000 AS BIGINT) div _tot").alias(
+            "share_ppm"
+        ),
+    ).orderBy("l")
+
+
+_L_DIVERSITY_ORACLE = """
+    WITH released AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             o_orderpriority
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), groups AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l
+      FROM released GROUP BY 1, 2, 3
+    ), agg AS (
+      SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_rows
+      FROM groups GROUP BY 1
+    )
+    SELECT l, n_groups, n_rows,
+           CAST(n_rows * 1000000 // sum(n_rows) OVER () AS BIGINT)
+             AS share_ppm
+    FROM agg
+    ORDER BY l
+"""
+
+
+_STUMP_THRESHOLD = 200_000  # whole dollars; splits this data ~60/40
+
+
+def ml_decision_stump_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1R decision stump (Holte 1993 — 'very simple
+    classification rules perform well'): for the binary label
+    high-value order (totalprice >= $200k literal), evaluate the
+    three categorical features (priority, status, order day-of-week)
+    by their majority-vote training error — per feature value the
+    rule predicts the majority class, so its errors are
+    min(n_high, n - n_high); the feature with the fewest summed
+    errors is the stump. Completes the exact-relational-ML pair with
+    ml_nb_segment (naive Bayes): counts in, argmin by integer
+    compare, zero floats. The feature axis melts IN-PLAN (explode of
+    three (feature, value) structs — one scan, no per-feature
+    branches), then (feature, value)-keyed agg, feature agg, and a
+    3-row window rank. Day-of-week uses the Spark-1=Sunday vs
+    DuckDB-0=Sunday pin (both emit 0=Sunday)."""
+    orders = load_table(spark, sf_dir, "orders")
+    melted = orders.select(
+        (F.col("o_totalprice") >= _STUMP_THRESHOLD).cast("long").alias("_hi"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("priority").alias("feature"),
+                    F.col("o_orderpriority").alias("value"),
+                ),
+                F.struct(
+                    F.lit("status").alias("feature"),
+                    F.col("o_orderstatus").alias("value"),
+                ),
+                F.struct(
+                    F.lit("dow").alias("feature"),
+                    (F.dayofweek("o_orderdate") - 1).cast("string").alias(
+                        "value"
+                    ),
+                ),
+            )
+        ).alias("_f"),
+    ).select("_f.feature", "_f.value", "_hi")
+    per_value = melted.groupBy("feature", "value").agg(
+        F.count("*").alias("n"), F.sum("_hi").alias("n_high")
+    )
+    per_feature = per_value.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum(F.least(F.col("n_high"), F.col("n") - F.col("n_high")))
+        .cast("long")
+        .alias("n_errors"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    from pyspark.sql import Window
+
+    # 3-row frame: the unpartitioned rank is trivially safe
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy("n_errors", "feature")
+    )
+    return per_feature.select(
+        "feature",
+        "n_values",
+        "n_errors",
+        F.expr("n_errors * 1000000 div n_total").alias("error_ppm"),
+        rk.cast("long").alias("rank"),
+    ).orderBy("rank")
+
+
+_STUMP_ORACLE = f"""
+    WITH melted AS (
+      SELECT f.feature, f.value,
+             CASE WHEN o_totalprice >= {_STUMP_THRESHOLD} THEN 1 ELSE 0 END
+               AS hi
+      FROM orders,
+           LATERAL (SELECT unnest([
+             {{'feature': 'priority', 'value': o_orderpriority}},
+             {{'feature': 'status',   'value': o_orderstatus}},
+             {{'feature': 'dow',
+               'value': CAST(dayofweek(o_orderdate) AS VARCHAR)}}
+           ]) AS f)
+    ), per_value AS (
+      SELECT feature, value, count(*) AS n, sum(hi) AS n_high
+      FROM melted GROUP BY 1, 2
+    ), per_feature AS (
+      SELECT feature,
+             CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(least(n_high, n - n_high)) AS BIGINT) AS n_errors,
+             CAST(sum(n) AS BIGINT) AS n_total
+      FROM per_value GROUP BY 1
+    )
+    SELECT feature, n_values, n_errors,
+           CAST(n_errors * 1000000 // n_total AS BIGINT) AS error_ppm,
+           CAST(row_number() OVER (ORDER BY n_errors, feature) AS BIGINT)
+             AS rank
+    FROM per_feature
+    ORDER BY rank
+"""
+
+
+def agg_crosscorrelation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation sufficient statistics between the daily
+    PURCHASE count and the daily ERROR count at calendar lags -3..+3
+    — the lead/lag discovery question ('do error spikes precede
+    purchase dips?') the ACF query answers for a series against
+    itself. Per lag the exact integer Pearson atoms (n, Sx, Sy, Sxy,
+    Sxx, Syy) over day pairs (d, d+lag) where BOTH days are observed;
+    the correlation's sqrt stays OUT (the ACF precedent — the one
+    non-bit-reproducible step). Daily COUNTS are small integers, so
+    the atoms sit far inside int64 at any SF. One scan → conditional
+    day agg (both series from the same pass), 7x in-row lag explode,
+    ONE date-shift equi join — no lag table, no self-join fan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    lagged = daily.select(
+        "day", "x", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag")
+    ).withColumn("match_day", F.expr("date_add(day, CAST(lag AS INT))"))
+    right = daily.select(F.col("day").alias("match_day"), F.col("y").alias("y2"))
+    pairs = lagged.join(right, "match_day")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y2").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y2")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y2") * F.col("y2")).cast("long").alias("syy"),
+        )
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n",
+            "sx",
+            "sy",
+            "sxy",
+            "sxx",
+            "syy",
+        )
+        .orderBy("lag")
+    )
+
+
+_CCF_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT day, x, lag, day + to_days(CAST(lag AS INT)) AS match_day
+      FROM daily, LATERAL (SELECT unnest(range(-3, 4)) AS lag)
+    ), pairs AS (
+      SELECT l.lag, l.x, d.y
+      FROM lagged l JOIN daily d ON l.match_day = d.day
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pairs
+    GROUP BY lag
+    ORDER BY lag
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "orders_changepoint_day",
@@ -1328,6 +1589,24 @@ PENDING: tuple[PendingQuery, ...] = (
         ops_join_size_estimate_query,
         _JOIN_SIZE_ORACLE,
         tags=("ops", "cardinality", "skew", "selfjoin", "integer-exact"),
+    ),
+    PendingQuery(
+        "privacy_l_diversity",
+        privacy_l_diversity_query,
+        _L_DIVERSITY_ORACLE,
+        tags=("privacy", "l-diversity", "homogeneity", "integer-exact"),
+    ),
+    PendingQuery(
+        "ml_decision_stump",
+        ml_decision_stump_query,
+        _STUMP_ORACLE,
+        tags=("ml", "stump", "1r", "classification", "integer-exact"),
+    ),
+    PendingQuery(
+        "agg_crosscorrelation",
+        agg_crosscorrelation_query,
+        _CCF_ORACLE,
+        tags=("agg", "timeseries", "ccf", "leadlag", "integer-exact"),
     ),
     PendingQuery(
         "events_alert_suppression",

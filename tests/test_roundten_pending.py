@@ -525,6 +525,121 @@ def test_join_size_estimate_matches_executed_join(spark):
         assert r.pair_rows == r.n_rows * r.n_rows
 
 
+def test_l_diversity_vs_python_and_distribution_shape(spark):
+    """The l distribution equals an independent Python groupby over
+    the joined release table; the measured minimum l is pinned (2 on
+    this synthetic data — if testdata ever changes enough to produce
+    a homogeneous group, this surfaces it); l never exceeds the
+    5-value sensitive domain; shares sum to <= 1e6 ppm."""
+    import math
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        privacy_l_diversity_query,
+    )
+
+    rows = privacy_l_diversity_query(spark, SF_DIR).collect()
+    got = {r.l: (r.n_groups, r.n_rows, r.share_ppm) for r in rows}
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust["bal_band"] = (cust.c_acctbal / 1000).map(math.floor)
+    rel = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    g = rel.groupby(["c_nationkey", "c_mktsegment", "bal_band"]).agg(
+        n=("o_orderpriority", "size"), l=("o_orderpriority", "nunique")
+    )
+    dist: dict = {}
+    for _, r in g.iterrows():
+        ng, nr = dist.get(int(r.l), (0, 0))
+        dist[int(r.l)] = (ng + 1, nr + int(r.n))
+    total = sum(nr for _, nr in dist.values())
+    expect = {
+        l: (ng, nr, nr * 1_000_000 // total) for l, (ng, nr) in dist.items()
+    }
+    assert got == expect
+    assert min(got) >= 2, "testdata now has homogeneous groups — revisit"
+    assert max(got) <= 5
+    assert len(got) >= 2  # the distribution genuinely varies
+    assert sum(s for _, _, s in got.values()) <= 1_000_000
+
+
+def test_decision_stump_rank1_minimizes_error(spark):
+    """The rank-1 feature's error count really is the minimum of the
+    three (independent Python recount), every feature saw every
+    order, and error_ppm is the exact integer ratio."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        _STUMP_THRESHOLD,
+        ml_decision_stump_query,
+    )
+
+    rows = ml_decision_stump_query(spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    df = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    df["hi"] = (df.o_totalprice >= _STUMP_THRESHOLD).astype(int)
+    feats = {
+        "priority": df.o_orderpriority,
+        "status": df.o_orderstatus,
+        # pandas dayofweek is 0=Monday; Spark-minus-1 is 0=Sunday
+        "dow": ((df.o_orderdate.dt.dayofweek + 1) % 7).astype(str),
+    }
+    expect_err = {}
+    for name, col in feats.items():
+        g = df.groupby(col).hi.agg(["size", "sum"])
+        expect_err[name] = int((g["size"] - g["sum"]).combine(g["sum"], min).sum())
+    for r in rows:
+        assert r.n_errors == expect_err[r.feature]
+        assert r.error_ppm == r.n_errors * 1_000_000 // len(df)
+    best = min(expect_err.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    assert rows[0].feature == best
+
+
+def test_crosscorrelation_vs_python_model(spark):
+    """All seven lags' Pearson atoms equal an independent Python
+    model, and the mirror identity holds: the pair count at lag -k
+    equals the pair count at +k (the day-pair sets are mirrors)."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        agg_crosscorrelation_query,
+    )
+
+    rows = {r.lag: r for r in agg_crosscorrelation_query(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(-3, 4))
+    df = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    df["day"] = df.ts.dt.date
+    daily = df.groupby("day").event_type.agg(
+        x=lambda s: int((s == "purchase").sum()),
+        y=lambda s: int((s == "error").sum()),
+    )
+    series = {d: (int(r.x), int(r.y)) for d, r in daily.iterrows()}
+    import datetime
+
+    for lag in range(-3, 4):
+        n = sx = sy = sxy = sxx = syy = 0
+        for d, (x, _) in series.items():
+            m = d + datetime.timedelta(days=lag)
+            if m in series:
+                y = series[m][1]
+                n += 1
+                sx += x
+                sy += y
+                sxy += x * y
+                sxx += x * x
+                syy += y * y
+        r = rows[lag]
+        assert (r.n, r.sx, r.sy, r.sxy, r.sxx, r.syy) == (
+            n,
+            sx,
+            sy,
+            sxy,
+            sxx,
+            syy,
+        )
+        assert rows[lag].n == rows[-lag].n
+
+
 def test_ab_srm_covers_all_users_and_cells_exact(spark):
     """Both arms exist, user counts sum to the distinct-user total,
     and each chi-square cell equals its closed form."""
