@@ -1115,30 +1115,31 @@ def agg_bitmap_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OTHER production route: recompute-free exact rollup at the
     cost of |id-space|/63 words per group. At 100 TB the refinement
     is roaring-style containers + dictionary-encoded ids; the word
-    relation here IS that design's dense container."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.to_date("ts").alias("_day"),
-            (F.col("user_id") / 63).cast("long").alias("_word"),
-            (F.col("user_id") % 63).cast("int").alias("_bit"),
-        )
-        .groupBy("event_type", "_day", "_word")
-        .agg(
-            # SQL form: the Python shiftleft() binding takes only a
-            # literal shift amount, not a per-row column
-            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), _bit))").alias("_w")
-        )
+    relation here IS that design's dense container. (Library form:
+    operators/bitmap.py — build/merge/cardinality with their own
+    property suite.)"""
+    from spotify_data_pipeline_spark.operators.bitmap import (
+        bitmap_build,
+        bitmap_cardinality,
+        bitmap_merge,
     )
-    monthly = daily.groupBy(
-        "event_type", F.trunc("_day", "month").alias("_month"), "_word"
-    ).agg(F.bit_or("_w").alias("_w"))
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("_day"), "user_id"
+    )
+    daily = bitmap_build(ev, "user_id", ["event_type", "_day"])
+    monthly = bitmap_merge(
+        daily.select(
+            "event_type",
+            F.trunc("_day", "month").alias("_month"),
+            "_word",
+            "_w",
+        ),
+        ["event_type", "_month"],
+    )
     return (
-        monthly.groupBy("event_type", "_month")
-        .agg(
-            F.sum(F.bit_count("_w")).cast("long").alias("n_distinct_users"),
-            F.count("*").cast("long").alias("n_words"),
+        bitmap_cardinality(
+            monthly, ["event_type", "_month"], out_col="n_distinct_users"
         )
         .select(
             "event_type",
