@@ -24,7 +24,10 @@ numerators), exact join-size estimation from key histograms
 attack k-anonymity misses, reported as the exact l distribution),
 an exact 1R decision stump (integer majority-vote errors), and
 cross-correlation Pearson atoms at calendar lags (the ACF query's
-bivariate lead/lag sibling).
+bivariate lead/lag sibling), cross-table financial reconciliation
+(header vs line totals, full-outer categories), open-pipeline aging
+brackets (the AR-aging shape), and the purchase graph's log2 degree
+histogram (the skew diagnostic the hub-cap designs presuppose).
 """
 
 from __future__ import annotations
@@ -1554,6 +1557,257 @@ _CCF_ORACLE = """
 """
 
 
+def dq_order_reconciliation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation — the data-quality check
+    the single-table constraint suite (operators/constraints.py)
+    cannot express: does each order's header total agree with the sum
+    of its lines? Orders FULL OUTER JOIN the lineitem rollup on the
+    order key; every order lands in exactly one category: 'no_lines'
+    (header without lines — 27 orphans at sf0.001, a real finding),
+    'orphan_lines' (lines without a header — zero here, but the
+    branch is the other half of any real reconciliation and costs
+    nothing: absent categories produce no row, not a dead zero row),
+    'exact' (to-the-cent agreement), or a mismatch bucket keyed by
+    the DIGIT COUNT of |header − lines| in cents
+    (length(CAST ... AS STRING)) — a pure integer bucket both engines
+    compute identically, the length(bin()) precedent's decimal
+    sibling). Per category: order count, summed |diff| cents, and
+    exact ppm share. Plan: lineitem rolls up on its natural key, one
+    equi full-outer join, tiny category agg — at 100 TB everything
+    rides l_orderkey/o_orderkey."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            ).alias("_li_cents")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("_o_cents"),
+    )
+    joined = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "full_outer"
+    )
+    diff = F.col("_li_cents") - F.col("_o_cents")
+    cat = (
+        F.when(F.col("l_orderkey").isNull(), F.lit("no_lines"))
+        .when(F.col("o_orderkey").isNull(), F.lit("orphan_lines"))
+        .when(diff == 0, F.lit("exact"))
+        .otherwise(
+            F.concat(
+                F.lit("diff_digits_"),
+                F.lpad(
+                    F.length(F.abs(diff).cast("string")), 2, "0"
+                ),
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    agg = joined.select(
+        cat.alias("category"),
+        F.coalesce(F.abs(diff), F.lit(0)).alias("_abs_diff"),
+    ).groupBy("category").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("_abs_diff").cast("long").alias("abs_diff_cents"),
+    )
+    total = F.sum("n_orders").over(Window.partitionBy())
+    return agg.select(
+        "category",
+        "n_orders",
+        "abs_diff_cents",
+        total.cast("long").alias("_tot"),
+    ).select(
+        "category",
+        "n_orders",
+        "abs_diff_cents",
+        F.expr("CAST(n_orders * 1000000 AS BIGINT) div _tot").alias(
+            "share_ppm"
+        ),
+    ).orderBy("category")
+
+
+_RECONCILIATION_ORACLE = """
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS li_cents
+      FROM lineitem GROUP BY 1
+    ), o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+      FROM orders
+    ), joined AS (
+      SELECT o.o_orderkey, li.l_orderkey, li.li_cents - o.o_cents AS diff
+      FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+    ), cats AS (
+      SELECT CASE
+               WHEN l_orderkey IS NULL THEN 'no_lines'
+               WHEN o_orderkey IS NULL THEN 'orphan_lines'
+               WHEN diff = 0 THEN 'exact'
+               ELSE 'diff_digits_' ||
+                    lpad(CAST(length(CAST(abs(diff) AS VARCHAR)) AS VARCHAR),
+                         2, '0')
+             END AS category,
+             coalesce(abs(diff), 0) AS abs_diff
+      FROM joined
+    ), agg AS (
+      SELECT category, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(abs_diff) AS BIGINT) AS abs_diff_cents
+      FROM cats GROUP BY 1
+    )
+    SELECT category, n_orders, abs_diff_cents,
+           CAST(n_orders * 1000000 // sum(n_orders) OVER () AS BIGINT)
+             AS share_ppm
+    FROM agg
+    ORDER BY category
+"""
+
+
+def orders_aging_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-pipeline aging — the accounts-receivable-style report:
+    orders still open (status 'O') bucketed by age at the dataset's
+    anchor date (max order date, a 1-row broadcast aggregate — the
+    events_trending precedent, whitelisted) into the standard
+    0-30 / 31-90 / 91-365 / 365+ day brackets, with order count,
+    exact open cents, the oldest age per bracket, and ppm share of
+    open value. Every bracket is populated at every SF (statuses are
+    ~uniform over a 6.5-year span — measured, not assumed). One scan,
+    a 1-row max, a 4-row agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("_anchor"))
+    open_orders = orders.where(F.col("o_orderstatus") == "O").select(
+        F.to_date("o_orderdate").alias("_day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("_cents"),
+    )
+    aged = open_orders.crossJoin(F.broadcast(anchor)).select(
+        F.datediff(F.col("_anchor"), F.col("_day")).cast("long").alias(
+            "_age"
+        ),
+        "_cents",
+    )
+    bucket = (
+        F.when(F.col("_age") <= 30, F.lit("1:0-30d"))
+        .when(F.col("_age") <= 90, F.lit("2:31-90d"))
+        .when(F.col("_age") <= 365, F.lit("3:91-365d"))
+        .otherwise(F.lit("4:365d+"))
+    )
+    from pyspark.sql import Window
+
+    agg = aged.select(bucket.alias("age_bucket"), "_age", "_cents").groupBy(
+        "age_bucket"
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("_cents").cast("long").alias("open_cents"),
+        F.max("_age").cast("long").alias("oldest_days"),
+    )
+    total = F.sum("open_cents").over(Window.partitionBy())
+    return agg.select(
+        "age_bucket",
+        "n_orders",
+        "open_cents",
+        "oldest_days",
+        total.cast("long").alias("_tot"),
+    ).select(
+        "age_bucket",
+        "n_orders",
+        "open_cents",
+        "oldest_days",
+        F.expr("CAST(open_cents * 1000000 AS BIGINT) div _tot").alias(
+            "value_share_ppm"
+        ),
+    ).orderBy("age_bucket")
+
+
+_AGING_ORACLE = """
+    WITH anchor AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS a FROM orders
+    ), aged AS (
+      SELECT date_diff('day', CAST(o_orderdate AS DATE), anchor.a) AS age,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders, anchor
+      WHERE o_orderstatus = 'O'
+    ), bucketed AS (
+      SELECT CASE WHEN age <= 30 THEN '1:0-30d'
+                  WHEN age <= 90 THEN '2:31-90d'
+                  WHEN age <= 365 THEN '3:91-365d'
+                  ELSE '4:365d+' END AS age_bucket,
+             age, cents
+      FROM aged
+    ), agg AS (
+      SELECT age_bucket, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS open_cents,
+             CAST(max(age) AS BIGINT) AS oldest_days
+      FROM bucketed GROUP BY 1
+    )
+    SELECT age_bucket, n_orders, open_cents, oldest_days,
+           CAST(open_cents * 1000000 // sum(open_cents) OVER () AS BIGINT)
+             AS value_share_ppm
+    FROM agg
+    ORDER BY age_bucket
+"""
+
+
+def graph_degree_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer→supplier purchase graph on
+    log2 buckets — the first diagnostic every graph pipeline runs
+    before choosing algorithms (is this graph skewed enough to need
+    the hub caps link-prediction and the dedup buckets apply?).
+    Distinct edges from orders⋈lineitem, per-customer degree, bucket
+    = length(bin(degree)) ≡ 64−clz — the interarrival precedent's
+    pure INTEGER log2 (floor(log2(x)) on doubles disagrees at
+    power-of-two boundaries). Per bucket: customer count, min/max
+    degree, and total incident edges. Everything rides natural keys;
+    the histogram frame is <=64 rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    deg = edges.groupBy("o_custkey").agg(F.count("*").alias("_deg"))
+    return (
+        deg.select(
+            F.expr("CAST(length(bin(_deg)) AS BIGINT)").alias("log2_bucket"),
+            "_deg",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.min("_deg").cast("long").alias("min_degree"),
+            F.max("_deg").cast("long").alias("max_degree"),
+            F.sum("_deg").cast("long").alias("n_edges"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+_DEGREE_HIST_ORACLE = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey, l_suppkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), deg AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY 1
+    )
+    SELECT CAST(length(bin(d)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree,
+           CAST(sum(d) AS BIGINT) AS n_edges
+    FROM deg
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "orders_changepoint_day",
@@ -1608,6 +1862,24 @@ PENDING: tuple[PendingQuery, ...] = (
         agg_crosscorrelation_query,
         _CCF_ORACLE,
         tags=("agg", "timeseries", "ccf", "leadlag", "integer-exact"),
+    ),
+    PendingQuery(
+        "dq_order_reconciliation",
+        dq_order_reconciliation_query,
+        _RECONCILIATION_ORACLE,
+        tags=("dq", "reconciliation", "crosstable", "integer-exact"),
+    ),
+    PendingQuery(
+        "orders_aging_report",
+        orders_aging_report_query,
+        _AGING_ORACLE,
+        tags=("orders", "aging", "pipeline", "integer-exact"),
+    ),
+    PendingQuery(
+        "graph_degree_histogram",
+        graph_degree_histogram_query,
+        _DEGREE_HIST_ORACLE,
+        tags=("graph", "degree", "histogram", "log2"),
     ),
     PendingQuery(
         "events_alert_suppression",

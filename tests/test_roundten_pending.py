@@ -54,6 +54,8 @@ _BNLJ_OK = {
     # 1-row broadcast global-totals aggregate onto the top-10 rows
     # (the tfidf/sim_cosine documented pattern)
     "ops_join_size_estimate",
+    # 1-row broadcast max-date anchor (the events_trending precedent)
+    "orders_aging_report",
 }
 
 
@@ -638,6 +640,96 @@ def test_crosscorrelation_vs_python_model(spark):
             syy,
         )
         assert rows[lag].n == rows[-lag].n
+
+
+def test_reconciliation_accounts_for_every_order_and_line(spark):
+    """Categories partition the full outer join exactly: n_orders
+    sums to |orders| + |orphan line-groups|; the no_lines category is
+    genuinely populated (the orphan-order finding is real at this
+    SF); category names parse back to consistent digit counts."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        dq_order_reconciliation_query,
+    )
+
+    rows = dq_order_reconciliation_query(spark, SF_DIR).collect()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orphan_groups = len(
+        set(li.l_orderkey.unique()) - set(orders.o_orderkey.unique())
+    )
+    assert sum(r.n_orders for r in rows) == len(orders) + orphan_groups
+    cats = {r.category: r for r in rows}
+    assert "no_lines" in cats and cats["no_lines"].n_orders > 0
+    assert cats["no_lines"].abs_diff_cents == 0
+    for r in rows:
+        if r.category.startswith("diff_digits_"):
+            d = int(r.category.removeprefix("diff_digits_"))
+            assert r.abs_diff_cents > 0
+            # every member's |diff| has d digits, so the SUM has at
+            # least d digits and at most d + count-digits
+            assert len(str(r.abs_diff_cents)) >= d
+
+
+def test_aging_report_brackets_partition_open_orders(spark):
+    """All four brackets appear (measured non-vacuous), bracket
+    boundaries are respected via oldest_days, counts sum to the open
+    order count, and value shares sum to <= 1e6."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        orders_aging_report_query,
+    )
+
+    rows = orders_aging_report_query(spark, SF_DIR).collect()
+    assert [r.age_bucket for r in rows] == [
+        "1:0-30d",
+        "2:31-90d",
+        "3:91-365d",
+        "4:365d+",
+    ]
+    limits = {"1:0-30d": 30, "2:31-90d": 90, "3:91-365d": 365}
+    for r in rows:
+        if r.age_bucket in limits:
+            assert r.oldest_days <= limits[r.age_bucket]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    assert sum(r.n_orders for r in rows) == int(
+        (orders.o_orderstatus == "O").sum()
+    )
+    assert sum(r.value_share_ppm for r in rows) <= 1_000_000
+
+
+def test_degree_histogram_buckets_and_totals(spark):
+    """Bucket boundaries hold (2^(b-1) <= degree < 2^b), customer and
+    edge totals reconcile with the distinct-edge set, and the
+    histogram is non-trivial (>= 2 buckets)."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        graph_degree_histogram_query,
+    )
+
+    rows = graph_degree_histogram_query(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    edges = (
+        orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+    )
+    deg = edges.groupby("o_custkey").size()
+    assert sum(r.n_customers for r in rows) == len(deg)
+    assert sum(r.n_edges for r in rows) == len(edges)
+    for r in rows:
+        b = r.log2_bucket
+        assert 2 ** (b - 1) <= r.min_degree <= r.max_degree < 2**b
 
 
 def test_ab_srm_covers_all_users_and_cells_exact(spark):
