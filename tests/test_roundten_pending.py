@@ -56,6 +56,9 @@ _BNLJ_OK = {
     "ops_join_size_estimate",
     # 1-row broadcast max-date anchor (the events_trending precedent)
     "orders_aging_report",
+    # broadcast evaluation-batch crossJoin over the corpus scan (the
+    # sim_cosine_topk / sim_quantized_topk documented pattern)
+    "ml_knn_label",
 }
 
 
@@ -749,3 +752,92 @@ def test_ab_srm_covers_all_users_and_cells_exact(spark):
         assert r.chi2_cell_x1e6 == ((2 * r.n_users - total) ** 2 * 1_000_000) // (
             2 * total
         )
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """The md5-minhash match-count estimate tracks the EXACT shingle
+    Jaccard: per candidate pair |est - exact| behaves like a 16-trial
+    binomial (sigma <= 0.125), so the mean absolute error over all
+    pairs is small; and a full signature match (16/16) only happens at
+    high true Jaccard. Exact Jaccards recomputed independently in
+    pandas from raw shingle sets."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        dedup_minhash_estimate_query,
+    )
+
+    est = dedup_minhash_estimate_query(spark, SF_DIR).toPandas()
+    assert len(est) > 0
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+
+    def shingle_set(text):
+        toks = " ".join(text.strip().split()).lower().split(" ")
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)} if toks != [""] else set()
+
+    sets = {r.doc_id: shingle_set(r.text) for r in docs.itertuples()}
+    errs = []
+    for r in est.itertuples():
+        sa, sb = sets[r.id_a], sets[r.id_b]
+        exact = len(sa & sb) / len(sa | sb)
+        errs.append(abs(r.est_jaccard_ppm / 1e6 - exact))
+        if r.sig_matches == 16:
+            assert exact >= 0.5, (r.id_a, r.id_b, exact)
+    assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
+
+
+def test_simhash_md5_fingerprint_vs_python_model(spark):
+    """Engine fingerprints equal an independent pure-Python md5
+    bit-majority model for every doc appearing in the top-20 output."""
+    import hashlib
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        _SH_BITS,
+        dedup_simhash_md5_query,
+    )
+
+    out = dedup_simhash_md5_query(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.hamming.values[:-1] <= out.hamming.values[1:]).all()
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    want = {r.id_a: r.fp_a for r in out.itertuples()}
+    want.update({r.id_b: r.fp_b for r in out.itertuples()})
+
+    def model_fp(text):
+        toks = set(" ".join(text.strip().split()).lower().split(" ")) - {""}
+        sums = [0] * _SH_BITS
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(_SH_BITS):
+                v = int(h[j // 4], 16)
+                bit = (v >> (j % 4)) & 1
+                sums[j] += 2 * bit - 1
+        return sum(1 << j for j in range(_SH_BITS) if sums[j] > 0)
+
+    by_id = docs.set_index("doc_id").text
+    for doc_id, fp in want.items():
+        assert model_fp(by_id[doc_id]) == fp, doc_id
+
+
+def test_knn_label_votes_structural(spark):
+    """Every evaluation vector classified exactly once; votes in
+    [1, 5]; the predicted label is a label that exists in training."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        ml_knn_label_query,
+    )
+
+    out = ml_knn_label_query(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")[["vec_id", "label"]]
+    test_ids = set(emb.vec_id[emb.vec_id % 37 == 0])
+    train_labels = set(emb.label[emb.vec_id % 37 != 0])
+    assert set(out.vec_id) == test_ids
+    assert out.n_votes.between(1, 5).all()
+    assert set(out.pred_label) <= {int(x) for x in train_labels}
