@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.plans.parity import rnd_cents
 
 
 @dataclass(frozen=True)
@@ -2190,6 +2191,316 @@ _KNN_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 10: graph metrics closure + classic ops-analytics screens.
+
+
+def graph_clustering_coefficient_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the part
+    co-order graph — the graph family's density-of-closure metric,
+    joining triangles (numerator, the staged graph_triangle_count's
+    degree-ordered wedge operator) with the wedge count
+    W = Σ d(d−1)/2 over the same canonical edge set. Transitivity
+    = 3·T/W reported in exact integer ppm (DIV, never float). Both
+    aggregates are 1-row; assembly is the documented broadcast-1-row
+    cross join. Same graph window as graph_triangle_count (1997 H1)
+    so the oracle brute-force stays cheap; the operator itself is the
+    O(√m)-fan-out enumeration that survives power-law hubs."""
+    from spotify_data_pipeline_spark.operators.triangles import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = (
+        edges.select(F.col("src").alias("u"))
+        .unionAll(edges.select(F.col("dst").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        triangle_count(edges)
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            "n_wedges",
+            F.expr(
+                "CAST((3 * n_triangles * 1000000) DIV nullif(n_wedges, 0) AS BIGINT)"
+            ).alias("transitivity_ppm"),
+        )
+    )
+
+
+_CLUSTERING_ORACLE = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+    ), sized AS (
+      SELECT l_orderkey FROM li GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 2 AND 200
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY 1
+    ), atoms AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        (SELECT CAST(count(*) AS BIGINT)
+           FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3
+             ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles,
+        (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges
+    )
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CAST((3 * n_triangles * 1000000) // nullif(n_wedges, 0) AS BIGINT)
+             AS transitivity_ppm
+    FROM atoms
+"""
+
+
+def orders_abc_classification_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the 80/15/5 revenue-concentration
+    screen every supply-chain stack runs: parts ranked by revenue
+    (exact per-row cents, the rnd_cents precedent), class A while the
+    running share is ≤ 80% of total, B to 95%, C after — boundaries
+    evaluated CROSS-MULTIPLIED (cum·5 ≤ tot·4, cum·20 ≤ tot·19), never
+    via float shares. One part-keyed agg, one global-order cumsum
+    window (the dimension frame — parts, not lineitems; the two-phase
+    split in operators/batching is the documented 100 TB form), a
+    1-row broadcast total, and a 3-row class rollup with exact ppm
+    shares."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            rnd_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("rev_cents")
+    )
+    w = (
+        Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("rev_cents").over(w))
+    tot = rev.agg(F.sum("rev_cents").alias("tot_cents"))
+    classed = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(F.col("cum_cents") * 5 <= F.col("tot_cents") * 4, F.lit("A"))
+        .when(F.col("cum_cents") * 20 <= F.col("tot_cents") * 19, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+            F.expr("CAST(sum(rev_cents) * 1000000 DIV any_value(tot_cents) AS BIGINT)").alias(
+                "rev_share_ppm"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_ABC_ORACLE = """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT l_partkey, rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             (SELECT sum(rev_cents) FROM rev) AS tot_cents
+      FROM rev
+    ), classed AS (
+      SELECT *,
+             CASE WHEN cum_cents * 5 <= tot_cents * 4 THEN 'A'
+                  WHEN cum_cents * 20 <= tot_cents * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+           CAST(sum(rev_cents) * 1000000 // any_value(tot_cents) AS BIGINT)
+             AS rev_share_ppm
+    FROM classed
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+def events_outlier_tukey_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen on per-(user, event_type) volume —
+    the IQR rule (x outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]) evaluated
+    WITHOUT floats: quartiles are DISCRETE order statistics at ranks
+    (m+1) DIV 4 and 3(m+1) DIV 4 within each event_type (the
+    seasonal-decompose lower-median precedent — interpolating
+    quantiles average to engine-dependent floats), and the ×1.5 fence
+    is cross-multiplied (2·x vs 2·Q3 + 3·IQR). The output is the FULL
+    per-type fence table — q1/q3/fences plus high/low outlier-user
+    counts, zeros included — never a bare outlier list: at some SFs
+    the distribution is tight enough that no user breaches a fence,
+    and an empty-vs-empty driver match proves nothing (the
+    duplicate-invoice lesson). Rank windows are partitioned by
+    event_type; the fence check joins back on the same key."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").asc(), F.col("user_id").asc()
+    )
+    ranked = counts.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_m",
+        F.count("*").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    stats = ranked.groupBy("event_type").agg(
+        F.max("_m").cast("long").alias("n_users"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr("greatest(1, (_m + 1) DIV 4)"),
+                F.col("n_events"),
+            )
+        ).cast("long").alias("q1"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr("least(_m, (3 * (_m + 1)) DIV 4)"),
+                F.col("n_events"),
+            )
+        ).cast("long").alias("q3"),
+    )
+    flagged = counts.join(stats, "event_type").select(
+        "event_type",
+        "n_users",
+        "q1",
+        "q3",
+        (
+            2 * F.col("n_events") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+        ).cast("long").alias("_hi"),
+        (
+            2 * F.col("n_events") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+        ).cast("long").alias("_lo"),
+    )
+    return (
+        flagged.groupBy("event_type", "n_users", "q1", "q3")
+        .agg(
+            F.sum("_hi").cast("long").alias("n_outliers_high"),
+            F.sum("_lo").cast("long").alias("n_outliers_low"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TUKEY_ORACLE = """
+    WITH counts AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n_events ASC, user_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM counts
+    ), stats AS (
+      SELECT event_type,
+             CAST(max(m) AS BIGINT) AS n_users,
+             CAST(max(CASE WHEN rn = greatest(1, (m + 1) // 4)
+                           THEN n_events END) AS BIGINT) AS q1,
+             CAST(max(CASE WHEN rn = least(m, (3 * (m + 1)) // 4)
+                           THEN n_events END) AS BIGINT) AS q3
+      FROM ranked GROUP BY 1
+    )
+    SELECT c.event_type, s.n_users, s.q1, s.q3,
+           CAST(sum(CASE WHEN 2 * c.n_events > 2 * s.q3 + 3 * (s.q3 - s.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_high,
+           CAST(sum(CASE WHEN 2 * c.n_events < 2 * s.q1 - 3 * (s.q3 - s.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_low
+    FROM counts c JOIN stats s USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1
+"""
+
+
+def graph_assortativity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity Pearson atoms of the customer→supplier
+    purchase graph (do high-degree customers buy from high-degree
+    suppliers?) — the graph family's mixing-pattern metric, in the ACF
+    discipline: every atom of r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    is an exact BIGINT (x = customer degree, y = supplier degree, one
+    row per distinct edge); the √ stays downstream as the one
+    non-bit-reproducible step. cov_num's sign alone answers the
+    assortative/disassortative question exactly. Two degree aggs ride
+    the edge keys; no window, no nested loop."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    dc = edges.groupBy("o_custkey").agg(F.count("*").alias("dx"))
+    ds = edges.groupBy("l_suppkey").agg(F.count("*").alias("dy"))
+    xy = edges.join(dc, "o_custkey").join(ds, "l_suppkey")
+    return xy.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("dx").cast("long").alias("sum_x"),
+        F.sum("dy").cast("long").alias("sum_y"),
+        (F.count("*") * F.sum(F.col("dx") * F.col("dy")) - F.sum("dx") * F.sum("dy"))
+        .cast("long")
+        .alias("cov_num"),
+        (F.count("*") * F.sum(F.col("dx") * F.col("dx")) - F.sum("dx") * F.sum("dx"))
+        .cast("long")
+        .alias("var_x_num"),
+        (F.count("*") * F.sum(F.col("dy") * F.col("dy")) - F.sum("dy") * F.sum("dy"))
+        .cast("long")
+        .alias("var_y_num"),
+    )
+
+
+_ASSORTATIVITY_ORACLE = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey, l_suppkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), dc AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS dx FROM edges GROUP BY 1
+    ), ds AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS dy FROM edges GROUP BY 1
+    ), xy AS (
+      SELECT dx, dy
+      FROM edges JOIN dc USING (o_custkey) JOIN ds USING (l_suppkey)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(dx) AS BIGINT) AS sum_x,
+           CAST(sum(dy) AS BIGINT) AS sum_y,
+           CAST(count(*) * sum(dx * dy) - sum(dx) * sum(dy) AS BIGINT) AS cov_num,
+           CAST(count(*) * sum(dx * dx) - sum(dx) * sum(dx) AS BIGINT) AS var_x_num,
+           CAST(count(*) * sum(dy * dy) - sum(dy) * sum(dy) AS BIGINT) AS var_y_num
+    FROM xy
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "orders_changepoint_day",
@@ -2334,5 +2645,29 @@ PENDING: tuple[PendingQuery, ...] = (
         ml_knn_label_query,
         _KNN_ORACLE,
         tags=("ml", "knn", "classification", "quantized", "integer-exact"),
+    ),
+    PendingQuery(
+        "graph_clustering_coefficient",
+        graph_clustering_coefficient_query,
+        _CLUSTERING_ORACLE,
+        tags=("graph", "clustering", "transitivity", "integer-exact"),
+    ),
+    PendingQuery(
+        "orders_abc_classification",
+        orders_abc_classification_query,
+        _ABC_ORACLE,
+        tags=("orders", "abc", "concentration", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_outlier_tukey",
+        events_outlier_tukey_query,
+        _TUKEY_ORACLE,
+        tags=("events", "outlier", "tukey", "iqr", "integer-exact"),
+    ),
+    PendingQuery(
+        "graph_assortativity",
+        graph_assortativity_query,
+        _ASSORTATIVITY_ORACLE,
+        tags=("graph", "assortativity", "pearson-atoms", "integer-exact"),
     ),
 )

@@ -59,6 +59,12 @@ _BNLJ_OK = {
     # broadcast evaluation-batch crossJoin over the corpus scan (the
     # sim_cosine_topk / sim_quantized_topk documented pattern)
     "ml_knn_label",
+    # 1-row aggregates assembled by broadcast cross join (triangle
+    # count's documented pattern + the 1-row wedge total)
+    "graph_clustering_coefficient",
+    # 1-row broadcast revenue total onto the part frame (the
+    # ops_join_size_estimate documented pattern)
+    "orders_abc_classification",
 }
 
 
@@ -841,3 +847,116 @@ def test_knn_label_votes_structural(spark):
     assert set(out.vec_id) == test_ids
     assert out.n_votes.between(1, 5).all()
     assert set(out.pred_label) <= {int(x) for x in train_labels}
+
+
+def test_clustering_coefficient_identities(spark):
+    """3·T ≤ W (every triangle closes three wedges, each counted once
+    per center), the ppm is the exact integer quotient, and the wedge
+    count equals a pandas recount over the same canonical edges."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        graph_clustering_coefficient_query,
+    )
+
+    r = graph_clustering_coefficient_query(spark, SF_DIR).collect()[0]
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert r.transitivity_ppm == (3 * r.n_triangles * 1_000_000) // r.n_wedges
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey", "l_shipdate"]
+    ]
+    li = li[
+        (li.l_shipdate >= "1997-01-01") & (li.l_shipdate < "1997-07-01")
+    ][["l_orderkey", "l_partkey"]].drop_duplicates()
+    sizes = li.groupby("l_orderkey").size()
+    li = li[li.l_orderkey.isin(sizes[(sizes >= 2) & (sizes <= 200)].index)]
+    e = li.merge(li, on="l_orderkey")
+    e = e[e.l_partkey_x < e.l_partkey_y][
+        ["l_partkey_x", "l_partkey_y"]
+    ].drop_duplicates()
+    deg = pd.concat([e.l_partkey_x, e.l_partkey_y]).value_counts()
+    assert r.n_edges == len(e)
+    assert r.n_wedges == int((deg * (deg - 1) // 2).sum())
+
+
+def test_abc_classes_partition_and_conserve(spark):
+    """A/B/C partition the part frame, revenue conserves to the cent,
+    and class A's cumulative share is ≤ 80% by construction."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        orders_abc_classification_query,
+    )
+
+    rows = {r.abc_class: r for r in orders_abc_classification_query(spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_partkey", "l_extendedprice", "l_discount"]
+    ]
+    import math
+
+    cents = [
+        math.floor(p * (1 - d) * 100 + 0.5)
+        for p, d in zip(li.l_extendedprice, li.l_discount)
+    ]
+    li["c"] = cents
+    per = li.groupby("l_partkey").c.sum()
+    assert sum(r.n_parts for r in rows.values()) == len(per)
+    tot = int(per.sum())
+    assert sum(r.rev_cents for r in rows.values()) == tot
+    assert rows["A"].rev_cents * 5 <= tot * 4 + 4  # boundary slack: last A part
+    assert sum(r.rev_share_ppm for r in rows.values()) <= 1_000_000
+
+
+def test_tukey_fences_vs_pandas(spark):
+    """Quartiles and outlier counts equal an independent pandas
+    recount using the same discrete order statistics."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        events_outlier_tukey_query,
+    )
+
+    got = {r.event_type: r for r in events_outlier_tukey_query(spark, SF_DIR).collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")[["event_type", "user_id"]]
+    for et, grp in ev.groupby("event_type"):
+        n = grp.groupby("user_id").size().sort_values(kind="stable").tolist()
+        m = len(n)
+        q1 = n[max(1, (m + 1) // 4) - 1]
+        q3 = n[min(m, (3 * (m + 1)) // 4) - 1]
+        hi = sum(1 for x in n if 2 * x > 2 * q3 + 3 * (q3 - q1))
+        lo = sum(1 for x in n if 2 * x < 2 * q1 - 3 * (q3 - q1))
+        r = got[et]
+        assert (r.n_users, r.q1, r.q3, r.n_outliers_high, r.n_outliers_low) == (
+            m, q1, q3, hi, lo,
+        ), et
+
+
+def test_assortativity_atoms_vs_pandas(spark):
+    """All six Pearson atoms equal an exact pandas/Python-int recount."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        graph_assortativity_query,
+    )
+
+    r = graph_assortativity_query(spark, SF_DIR).collect()[0]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    e = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+        ["o_custkey", "l_suppkey"]
+    ].drop_duplicates()
+    dc = e.groupby("o_custkey").size()
+    ds = e.groupby("l_suppkey").size()
+    xs = [int(dc[c]) for c in e.o_custkey]
+    ys = [int(ds[s]) for s in e.l_suppkey]
+    n = len(e)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    assert (r.n_edges, r.sum_x, r.sum_y) == (n, sx, sy)
+    assert r.cov_num == n * sxy - sx * sy
+    assert r.var_x_num == n * sxx - sx * sx
+    assert r.var_y_num == n * syy - sy * sy
