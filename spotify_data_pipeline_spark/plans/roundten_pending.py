@@ -2501,6 +2501,209 @@ _ASSORTATIVITY_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 11: itemset mining, community quality, weighted order statistics.
+
+
+def orders_basket_triples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Apriori frequent-itemset frontier of order baskets, levels
+    2 and 3 together (operators/itemsets.py): candidate pairs/triples
+    generate IN-ARRAY per L1-filtered basket (bounded by the basket
+    cap, not the catalog), and candidate triples are pruned by three
+    left-semi joins against the frequent-pair set BEFORE the counting
+    shuffle. The pruning is result-invariant (the Apriori property),
+    so the naive count-all-HAVING oracle pins the optimized plan
+    exactly — the bloom-semireduction proof pattern. Emitting BOTH
+    levels keeps the surface honest and never vacuous: at sf0.1 the
+    catalog outgrows repeat triples (L3 is genuinely empty — measured)
+    while L2 carries 3.5k rows; at sf0.001/0.01 L3 holds 92/12
+    itemsets. min_support=2."""
+    from spotify_data_pipeline_spark.operators.itemsets import (
+        frequent_pairs,
+        frequent_triples,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l2 = frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, max_items_per_group=200
+    ).select(
+        F.lit(2).cast("long").alias("level"),
+        "p1",
+        "p2",
+        F.lit(None).cast("long").alias("p3"),
+        F.col("support").cast("long").alias("support"),
+    )
+    l3 = frequent_triples(
+        li, "l_orderkey", "l_partkey", min_support=2, max_items_per_group=200
+    ).select(
+        F.lit(3).cast("long").alias("level"),
+        "p1",
+        "p2",
+        F.col("p3").cast("long").alias("p3"),
+        F.col("support").cast("long").alias("support"),
+    )
+    return l2.unionAll(l3).orderBy("level", "p1", "p2", "p3")
+
+
+_BASKET_TRIPLES_ORACLE = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), sized AS (
+      SELECT l_orderkey FROM li GROUP BY 1 HAVING count(*) <= 200
+    ), p AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS support
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+             CAST(count(*) AS BIGINT) AS support
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(2 AS BIGINT) AS level, p1, p2, CAST(NULL AS BIGINT) AS p3, support
+    FROM p WHERE support >= 2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT) AS level, p1, p2, p3, support
+    FROM t WHERE support >= 2
+    ORDER BY level, p1, p2, p3
+"""
+
+
+def graph_brand_modularity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the part co-order graph cluster by brand? Modularity atoms
+    of the p_brand labeling (operators/community.py — Newman-Girvan Q
+    as EXACT integers: per brand e_c, d_c, and the cross-multiplied
+    contribution q_num = 4·m·e_c − d_c²; Σ q_num / 4m² = Q, the one
+    division left downstream like the ACF/assortativity sqrt). The
+    honest answer on this synthetic data is "no" (Q near/below zero) —
+    the value is that the atoms are exact and the sign is the claim.
+    Full-lineitem co-order graph (no date window — the oracle here is
+    linear, unlike the triangle brute force)."""
+    from spotify_data_pipeline_spark.operators.community import modularity_atoms
+    from spotify_data_pipeline_spark.operators.triangles import cooccurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    labels = part.select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    return modularity_atoms(edges, labels).orderBy("label")
+
+
+_BRAND_MODULARITY_ORACLE = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), sized AS (
+      SELECT l_orderkey FROM li GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND 200
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+    ), lab AS (
+      SELECT p_partkey AS n, p_brand AS lb FROM part
+    ), el AS (
+      SELECT e.src, e.dst, ls.lb AS lsrc, ld.lb AS ldst
+      FROM e LEFT JOIN lab ls ON e.src = ls.n LEFT JOIN lab ld ON e.dst = ld.n
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM el
+    ), intra AS (
+      SELECT lsrc AS label, CAST(count(*) AS BIGINT) AS intra_edges
+      FROM el WHERE lsrc IS NOT NULL AND lsrc = ldst GROUP BY 1
+    ), deg AS (
+      SELECT lb AS label,
+             CAST(count(DISTINCT n) AS BIGINT) AS n_nodes,
+             CAST(count(*) AS BIGINT) AS degree_sum
+      FROM (
+        SELECT src AS n, lsrc AS lb FROM el
+        UNION ALL
+        SELECT dst AS n, ldst AS lb FROM el
+      ) WHERE lb IS NOT NULL GROUP BY 1
+    )
+    SELECT d.label, d.n_nodes, d.degree_sum,
+           coalesce(i.intra_edges, 0) AS intra_edges,
+           m.m AS n_edges,
+           CAST(4 * m.m * coalesce(i.intra_edges, 0)
+                - d.degree_sum * d.degree_sum AS BIGINT) AS q_num
+    FROM deg d LEFT JOIN intra i USING (label), m
+    ORDER BY d.label
+"""
+
+
+def lineitem_weighted_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median unit price per return flag — the weighted order
+    statistic production latency/price reporting needs (each price
+    weighted by shipped quantity, so a 50-unit line moves the median
+    50× more than a 1-unit line). DISCRETE definition, float-free: the
+    first price (in (cents, orderkey, linenumber) order) whose running
+    weight crosses half the total, evaluated cross-multiplied
+    (2·cumw ≥ W). Because prices ascend, the qualifying set is a
+    suffix and min() picks its first row — no second window. Weights
+    are integral quantities cast to BIGINT; one partitioned cumsum
+    window over each mode's frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    rows = li.select(
+        "l_returnflag",
+        rnd_cents(F.col("l_extendedprice")).alias("_cents"),
+        F.col("l_quantity").cast("long").alias("_w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "_cents", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = rows.withColumn("_cumw", F.sum("_w").over(w)).withColumn(
+        "_W", F.sum("_w").over(wfull)
+    )
+    return (
+        cum.where(2 * F.col("_cumw") >= F.col("_W"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("_cents").cast("long").alias("w_median_cents"),
+            F.max("_W").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+    WITH rows_ AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, cents,
+             sum(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS totw
+      FROM rows_
+    )
+    SELECT l_returnflag,
+           CAST(min(cents) AS BIGINT) AS w_median_cents,
+           CAST(max(totw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE 2 * cumw >= totw
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "orders_changepoint_day",
@@ -2669,5 +2872,23 @@ PENDING: tuple[PendingQuery, ...] = (
         graph_assortativity_query,
         _ASSORTATIVITY_ORACLE,
         tags=("graph", "assortativity", "pearson-atoms", "integer-exact"),
+    ),
+    PendingQuery(
+        "orders_basket_triples",
+        orders_basket_triples_query,
+        _BASKET_TRIPLES_ORACLE,
+        tags=("orders", "itemsets", "apriori", "market-basket", "integer-exact"),
+    ),
+    PendingQuery(
+        "graph_brand_modularity",
+        graph_brand_modularity_query,
+        _BRAND_MODULARITY_ORACLE,
+        tags=("graph", "modularity", "community", "integer-exact"),
+    ),
+    PendingQuery(
+        "lineitem_weighted_median",
+        lineitem_weighted_median_query,
+        _WEIGHTED_MEDIAN_ORACLE,
+        tags=("agg", "weighted-median", "order-statistic", "integer-exact"),
     ),
 )

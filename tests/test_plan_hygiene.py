@@ -94,6 +94,39 @@ _BNLJ_WHITELIST = {
     "text_collocation_lift",
     # 1-row broadcast max(day) censoring the churn right edge (<= theta)
     "events_growth_accounting",
+    # --- round-9 staged (pre-whitelisted for activation) ---
+    # 1-row broadcast totals (sum, n_keys) under the skew-ratio DIV
+    "ops_skew_report",
+    # 1-row broadcast max(day) anchor under the two window filters
+    "events_trending",
+    # bounded broadcasts: the 1-row vocab aggregate and the 5-row
+    # class-prior table (|segments| is a domain constant)
+    "ml_nb_segment",
+    # inherits both proven anchors: BM25's 1-row corpus-totals
+    # broadcast and the quantized brute-force 1-row probe broadcast
+    "sim_rrf_fusion",
+    # 1-row broadcast of the collected (cdf, value) lookup array
+    # (distinct-value frame, domain-bounded)
+    "llm_quantile_normalize",
+    # --- round-10 staged (pre-whitelisted for activation) ---
+    # 1-row broadcast of the collected KM (t, n, d) array under the
+    # per-row prefix folds (timepoint domain horizon-bounded <= 73)
+    "events_survival_km",
+    # 1-row broadcast global-totals aggregate onto the top-10 rows
+    "ops_join_size_estimate",
+    # 1-row broadcast max-date anchor (the events_trending precedent)
+    "orders_aging_report",
+    # broadcast evaluation-batch crossJoin over the corpus scan (the
+    # sim_cosine_topk / sim_quantized_topk documented pattern)
+    "ml_knn_label",
+    # 1-row aggregates assembled by broadcast cross join (triangle
+    # count's documented pattern + the 1-row wedge total)
+    "graph_clustering_coefficient",
+    # 1-row broadcast revenue total onto the part frame
+    "orders_abc_classification",
+    # 1-row broadcast edge-count aggregate m under the q_num atoms
+    # (operators/community.modularity_atoms)
+    "graph_brand_modularity",
 }
 
 

@@ -65,6 +65,9 @@ _BNLJ_OK = {
     # 1-row broadcast revenue total onto the part frame (the
     # ops_join_size_estimate documented pattern)
     "orders_abc_classification",
+    # 1-row broadcast edge-count aggregate m under the q_num atoms
+    # (operators/community.modularity_atoms)
+    "graph_brand_modularity",
 }
 
 
@@ -960,3 +963,67 @@ def test_assortativity_atoms_vs_pandas(spark):
     assert r.cov_num == n * sxy - sx * sy
     assert r.var_x_num == n * sxx - sx * sx
     assert r.var_y_num == n * syy - sy * sy
+
+
+def test_basket_frontier_downward_closed(spark):
+    """Both levels present in the declared surface, L3 supports never
+    exceed their sub-pair supports, and levels are canonical."""
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        orders_basket_triples_query,
+    )
+
+    rows = orders_basket_triples_query(spark, SF_DIR).collect()
+    pairs = {(r.p1, r.p2): r.support for r in rows if r.level == 2}
+    triples = [r for r in rows if r.level == 3]
+    assert pairs and triples  # both levels populated at sf0.001
+    for r in triples:
+        assert r.p1 < r.p2 < r.p3
+        for sub in ((r.p1, r.p2), (r.p1, r.p3), (r.p2, r.p3)):
+            assert pairs.get(sub, 0) >= r.support
+
+
+def test_brand_modularity_identities(spark):
+    """Σ degree_sum = 2m (every part has a brand), Σ intra <= m, and
+    q_num matches its own atoms row by row."""
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        graph_brand_modularity_query,
+    )
+
+    rows = graph_brand_modularity_query(spark, SF_DIR).collect()
+    m = rows[0].n_edges
+    assert sum(r.degree_sum for r in rows) == 2 * m
+    assert sum(r.intra_edges for r in rows) <= m
+    for r in rows:
+        assert r.q_num == 4 * m * r.intra_edges - r.degree_sum**2
+
+
+def test_weighted_median_defining_property(spark):
+    """For each flag: weight strictly below the median < half the
+    total, and weight at-or-below >= half (the discrete weighted
+    median's defining inequalities), recounted in pandas."""
+    import math
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundten_pending import (
+        lineitem_weighted_median_query,
+    )
+
+    got = {
+        r.l_returnflag: r
+        for r in lineitem_weighted_median_query(spark, SF_DIR).collect()
+    }
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_returnflag", "l_extendedprice", "l_quantity"]
+    ]
+    li["cents"] = [
+        math.floor(p * 100 + 0.5) for p in li.l_extendedprice
+    ]
+    li["w"] = li.l_quantity.astype(int)
+    for flag, grp in li.groupby("l_returnflag"):
+        r = got[flag]
+        W = int(grp.w.sum())
+        assert r.total_weight == W
+        below = int(grp.w[grp.cents < r.w_median_cents].sum())
+        at_or_below = int(grp.w[grp.cents <= r.w_median_cents].sum())
+        assert 2 * below < W <= 2 * at_or_below
