@@ -1,0 +1,153 @@
+"""Round-11 staged queries (plans/roundeleven_pending.py) get the SAME
+driver-shaped oracle check as declared queries — activation later is
+registration-only (after the evidence-hash refresh)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING
+from tests.oracle_check import compare, run_oracle
+
+SF_DIR = os.environ.get("ORACLE_SF", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("pq", PENDING, ids=lambda pq: pq.name)
+def test_pending_oracle_match(spark, pq):
+    result = pq.fn(spark, SF_DIR)
+    oracle = run_oracle(pq.oracle, SF_DIR)
+    errs = compare(result, oracle)
+    assert not errs, f"{pq.name}: " + "; ".join(errs)
+    assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
+
+
+def test_pending_not_registered(spark):
+    from spotify_data_pipeline_spark.plans import all_queries
+
+    names = set(all_queries())
+    assert not names & {pq.name for pq in PENDING}
+
+
+def test_pending_names_unique_and_oracle_bearing():
+    names = [pq.name for pq in PENDING]
+    assert len(names) == len(set(names))
+    assert all(pq.oracle for pq in PENDING)
+    from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING as P8
+    from spotify_data_pipeline_spark.plans.roundnine_pending import PENDING as P9
+    from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
+    from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
+    from spotify_data_pipeline_spark.plans.roundten_pending import PENDING as P10
+
+    for earlier in (P6, P7, P8, P9, P10):
+        assert not set(names) & {pq.name for pq in earlier}
+
+
+def test_plans_no_nested_loop(spark):
+    for pq in PENDING:
+        plan = pq.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, pq.name
+        assert "CartesianProduct" not in plan, pq.name
+
+
+def test_item_cf_score_vs_python(spark):
+    """Each reported pair's cosine² ppm equals the exact Python-int
+    formula over a pandas co-occurrence recount, and the ranking obeys
+    the declared total order."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        sim_item_item_cf_query,
+    )
+
+    rows = sim_item_item_cf_query(spark, SF_DIR).collect()
+    assert rows
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    sizes = li.groupby("l_orderkey").size()
+    li = li[li.l_orderkey.isin(sizes[sizes <= 200].index)]
+    sup = li.groupby("l_partkey").size()
+    baskets = li.groupby("l_orderkey").l_partkey.apply(set)
+    from itertools import combinations
+
+    co = {}
+    for items in baskets:
+        for a, b in combinations(sorted(items), 2):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    keys = []
+    for r in rows:
+        n_both = co[(r.src, r.dst)]
+        assert r.n_both == n_both
+        assert r.n_src == int(sup[r.src]) and r.n_dst == int(sup[r.dst])
+        assert r.cos2_ppm == (n_both * n_both * 1_000_000) // (
+            int(sup[r.src]) * int(sup[r.dst])
+        )
+        keys.append((-r.cos2_ppm, -r.n_both, r.src, r.dst))
+    assert keys == sorted(keys)
+    # and the top-20 really is the global top-20 under that order
+    all_keys = sorted(
+        (
+            -((n * n * 1_000_000) // (int(sup[a]) * int(sup[b]))),
+            -n,
+            a,
+            b,
+        )
+        for (a, b), n in co.items()
+    )
+    assert keys == all_keys[: len(keys)]
+
+
+def test_inverted_phrase_equals_scan_python(spark):
+    """Index-backed matches equal a direct Python scan of the
+    normalized token stream (the third, engine-free route)."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        _PHRASE,
+        text_inverted_phrase_query,
+    )
+
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in text_inverted_phrase_query(spark, SF_DIR).collect()
+    }
+    assert got  # phrase chosen to exist at every SF
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    expect = {}
+    for r in docs.itertuples():
+        toks = " ".join(r.text.strip().split()).lower().split(" ")
+        ps = [
+            i + 1
+            for i in range(len(toks) - 1)
+            if toks[i] == _PHRASE[0] and toks[i + 1] == _PHRASE[1]
+        ]
+        if ps:
+            expect[r.doc_id] = (len(ps), ps[0])
+    assert got == expect
+
+
+def test_mode_deterministic_tiebreak(spark):
+    """The mode row per year is the (count DESC, value ASC) argmax of
+    a pandas recount — including any tied years."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        agg_mode_stat_query,
+    )
+
+    got = {
+        r.order_year: (r.mode_priority, r.n_orders)
+        for r in agg_mode_stat_query(spark, SF_DIR).collect()
+    }
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+        ["o_orderdate", "o_orderpriority"]
+    ]
+    orders["y"] = pd.to_datetime(orders.o_orderdate).dt.year
+    expect = {}
+    for y, grp in orders.groupby("y"):
+        counts = grp.groupby("o_orderpriority").size()
+        best = sorted(((-n, v) for v, n in counts.items()))[0]
+        expect[int(y)] = (best[1], int(-best[0]))
+    assert got == expect
