@@ -226,6 +226,251 @@ _MODE_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 2: FP&A bridge, DP prep, error-handling parity.
+
+
+def orders_revenue_bridge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue BRIDGE (the FP&A waterfall): ΔR from
+    1996-05 to 1996-06 decomposed by part-cohort transition — parts
+    sold only in June (new), only in May (discontinued), and in both
+    (continuing) — in EXACT cents. Month windows, not years: this
+    testdata ships every part in every year (measured — a yearly
+    bridge degenerates to continuing+total), while adjacent months
+    populate all three segments at every SF (41/34/22 at sf0.001). This is the decomposition that
+    stays integer: the textbook price/volume split needs per-part
+    average prices (rationals with per-part denominators that cannot
+    sum exactly), so the bridge is cut on the cohort axis instead and
+    the conservation identity ΔR_total = R_new − R_disc + ΔR_cont
+    holds to the cent (pytest-pinned). One part-keyed agg per year,
+    one full-outer join on the part key, a 4-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from spotify_data_pipeline_spark.plans.parity import rnd_cents
+
+    def month_rev(y: int, m: int):
+        return (
+            li.where((F.year("l_shipdate") == y) & (F.month("l_shipdate") == m))
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(
+                    rnd_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).alias("rev")
+            )
+        )
+
+    y1 = month_rev(1996, 5).select(
+        F.col("l_partkey"), F.col("rev").alias("_r1")
+    )
+    y2 = month_rev(1996, 6).select(
+        F.col("l_partkey"), F.col("rev").alias("_r2")
+    )
+    both = y1.join(y2, "l_partkey", "full_outer").select(
+        F.when(F.col("_r1").isNull(), F.lit("new"))
+        .when(F.col("_r2").isNull(), F.lit("discontinued"))
+        .otherwise(F.lit("continuing"))
+        .alias("segment"),
+        F.coalesce(F.col("_r1"), F.lit(0)).alias("_r1"),
+        F.coalesce(F.col("_r2"), F.lit(0)).alias("_r2"),
+    )
+    seg = both.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("_r1").cast("long").alias("rev_may_cents"),
+        F.sum("_r2").cast("long").alias("rev_jun_cents"),
+        (F.sum("_r2") - F.sum("_r1")).cast("long").alias("delta_cents"),
+    )
+    total = both.agg(
+        F.lit("total").alias("segment"),
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("_r1").cast("long").alias("rev_may_cents"),
+        F.sum("_r2").cast("long").alias("rev_jun_cents"),
+        (F.sum("_r2") - F.sum("_r1")).cast("long").alias("delta_cents"),
+    )
+    return seg.unionAll(total).orderBy("segment")
+
+
+_REVENUE_BRIDGE_ORACLE = """
+    WITH rev AS (
+      SELECT l_partkey, CAST(month(l_shipdate) AS BIGINT) AS m,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem
+      WHERE year(l_shipdate) = 1996 AND month(l_shipdate) IN (5, 6)
+      GROUP BY 1, 2
+    ), y1 AS (SELECT l_partkey, r FROM rev WHERE m = 5),
+    y2 AS (SELECT l_partkey, r FROM rev WHERE m = 6),
+    both_ AS (
+      SELECT CASE WHEN y1.r IS NULL THEN 'new'
+                  WHEN y2.r IS NULL THEN 'discontinued'
+                  ELSE 'continuing' END AS segment,
+             coalesce(y1.r, 0) AS r1, coalesce(y2.r, 0) AS r2
+      FROM y1 FULL OUTER JOIN y2 USING (l_partkey)
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(r1) AS BIGINT) AS rev_may_cents,
+           CAST(sum(r2) AS BIGINT) AS rev_jun_cents,
+           CAST(sum(r2) - sum(r1) AS BIGINT) AS delta_cents
+    FROM both_ GROUP BY 1
+    UNION ALL
+    SELECT 'total', CAST(count(*) AS BIGINT),
+           CAST(sum(r1) AS BIGINT), CAST(sum(r2) AS BIGINT),
+           CAST(sum(r2) - sum(r1) AS BIGINT)
+    FROM both_
+    ORDER BY segment
+"""
+
+
+def privacy_dp_sensitivity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level sensitivity bounds — what differential privacy (and
+    any per-user clipping scheme) needs BEFORE noise is even
+    discussed: the max and discrete-p99 per-customer contribution to
+    the two aggregates a release would publish (order count, revenue
+    cents). Completes the privacy family's third axis (k-anonymity =
+    group sizes, l-diversity = sensitive-value spread, this =
+    per-individual contribution). p99 is the DISCRETE order statistic
+    at rank (99·(m+1)) DIV 100 (the Tukey device) — interpolating
+    percentiles float. One customer agg, two rank windows over the
+    customer frame (the dimension), a single always-present output
+    row."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    from spotify_data_pipeline_spark.plans.parity import rnd_cents
+
+    per = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(rnd_cents(F.col("o_totalprice"))).alias("cents"),
+    )
+    wn = Window.orderBy(F.col("n_orders").asc(), F.col("o_custkey").asc())
+    wc = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        per.withColumn("_rn", F.row_number().over(wn))
+        .withColumn("_rc", F.row_number().over(wc))
+        .withColumn("_m", F.count("*").over(full))
+    )
+    return ranked.agg(
+        F.max("_m").cast("long").alias("n_users"),
+        F.max("n_orders").cast("long").alias("max_orders_per_user"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr("least(_m, (99 * (_m + 1)) DIV 100)"),
+                F.col("n_orders"),
+            )
+        ).cast("long").alias("p99_orders"),
+        F.max("cents").cast("long").alias("max_cents_per_user"),
+        F.max(
+            F.when(
+                F.col("_rc") == F.expr("least(_m, (99 * (_m + 1)) DIV 100)"),
+                F.col("cents"),
+            )
+        ).cast("long").alias("p99_cents"),
+    )
+
+
+_DP_SENSITIVITY_ORACLE = """
+    WITH per AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY n_orders ASC, o_custkey ASC) AS rn,
+             row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS rc,
+             count(*) OVER () AS m
+      FROM per
+    )
+    SELECT CAST(max(m) AS BIGINT) AS n_users,
+           CAST(max(n_orders) AS BIGINT) AS max_orders_per_user,
+           CAST(max(CASE WHEN rn = least(m, (99 * (m + 1)) // 100)
+                         THEN n_orders END) AS BIGINT) AS p99_orders,
+           CAST(max(cents) AS BIGINT) AS max_cents_per_user,
+           CAST(max(CASE WHEN rc = least(m, (99 * (m + 1)) // 100)
+                         THEN cents END) AS BIGINT) AS p99_cents
+    FROM ranked
+"""
+
+
+def fn_try_error_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-handling parity — the TRY-function family that makes bad
+    records DATA instead of job failures (the difference between a
+    100 TB run surviving one malformed row or dying at hour 9):
+    try_cast on deliberately corrupted integers, invalid calendar
+    dates (Feb 30), try_divide with zero denominators (Spark 4 is
+    ANSI — plain / raises; DuckDB's / is already NULL-on-zero, the
+    engines' different spellings of the same semantics, pinned equal),
+    and format-mismatched timestamp parses (try_to_timestamp ≡
+    try_strptime). Corruption is keyed off o_orderkey residues so
+    every branch bites at every SF; output is the one-row NULL
+    census + the sum of surviving values."""
+    orders = load_table(spark, sf_dir, "orders")
+    probed = orders.select(
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 3 = 0"
+            " THEN concat('x', CAST(o_orderkey AS STRING))"
+            " ELSE CAST(o_orderkey AS STRING) END AS BIGINT)"
+        ).alias("_i"),
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 4 = 0 THEN '2024-02-30'"
+            " ELSE '2024-02-29' END AS DATE)"
+        ).alias("_d"),
+        F.expr(
+            "try_divide(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),"
+            " o_orderkey % 5)"
+        ).alias("_q"),
+        F.expr(
+            "try_to_timestamp(CASE WHEN o_orderkey % 7 = 0"
+            " THEN '2024/01/02' ELSE '2024-01-02 03:04:05' END,"
+            " 'yyyy-MM-dd HH:mm:ss')"
+        ).alias("_t"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000"
+            " DIV nullif(o_orderkey % 5, 0)"
+        ).alias("_qi"),
+    )
+    return probed.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("_i").isNull().cast("long")).cast("long").alias("n_bad_int"),
+        F.sum("_i").cast("long").alias("sum_good_ints"),
+        F.sum(F.col("_d").isNull().cast("long")).cast("long").alias("n_bad_date"),
+        F.sum(F.col("_q").isNull().cast("long")).cast("long").alias("n_div_zero"),
+        # the SUMMABLE quotient is the exact integer DIV twin (a float
+        # quotient sum is accumulation-order-dependent — not hashable)
+        F.sum("_qi").cast("long").alias("sum_quot_x1e4"),
+        F.sum(F.col("_t").isNull().cast("long")).cast("long").alias("n_bad_ts"),
+    )
+
+
+_TRY_SUITE_ORACLE = """
+    WITH probed AS (
+      SELECT
+        try_cast(CASE WHEN o_orderkey % 3 = 0
+                      THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                      ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS i,
+        try_cast(CASE WHEN o_orderkey % 4 = 0 THEN '2024-02-30'
+                      ELSE '2024-02-29' END AS DATE) AS d,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          / nullif(o_orderkey % 5, 0) AS q,
+        try_strptime(CASE WHEN o_orderkey % 7 = 0
+                          THEN '2024/01/02' ELSE '2024-01-02 03:04:05' END,
+                     '%Y-%m-%d %H:%M:%S') AS t,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000
+          // nullif(o_orderkey % 5, 0) AS qi
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN i IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_int,
+           CAST(sum(i) AS BIGINT) AS sum_good_ints,
+           CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_date,
+           CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+           CAST(sum(qi) AS BIGINT) AS sum_quot_x1e4,
+           CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_ts
+    FROM probed
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "sim_item_item_cf",
@@ -244,5 +489,23 @@ PENDING: tuple[PendingQuery, ...] = (
         agg_mode_stat_query,
         _MODE_ORACLE,
         tags=("agg", "mode", "deterministic-ties", "integer-exact"),
+    ),
+    PendingQuery(
+        "orders_revenue_bridge",
+        orders_revenue_bridge_query,
+        _REVENUE_BRIDGE_ORACLE,
+        tags=("orders", "bridge", "fpa", "cohort", "integer-exact"),
+    ),
+    PendingQuery(
+        "privacy_dp_sensitivity",
+        privacy_dp_sensitivity_query,
+        _DP_SENSITIVITY_ORACLE,
+        tags=("privacy", "dp", "sensitivity", "clipping", "integer-exact"),
+    ),
+    PendingQuery(
+        "fn_try_error_suite",
+        fn_try_error_suite_query,
+        _TRY_SUITE_ORACLE,
+        tags=("functions", "try", "error-handling", "parity"),
     ),
 )

@@ -151,3 +151,65 @@ def test_mode_deterministic_tiebreak(spark):
         best = sorted(((-n, v) for v, n in counts.items()))[0]
         expect[int(y)] = (best[1], int(-best[0]))
     assert got == expect
+
+
+def test_revenue_bridge_conservation(spark):
+    """ΔR_total = R_new − R_disc + ΔR_cont to the cent, all four
+    segments populated, and part counts partition the union frame."""
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        orders_revenue_bridge_query,
+    )
+
+    rows = {r.segment: r for r in orders_revenue_bridge_query(spark, SF_DIR).collect()}
+    assert set(rows) == {"new", "discontinued", "continuing", "total"}
+    t, n, d, c = (rows[k] for k in ("total", "new", "discontinued", "continuing"))
+    assert t.delta_cents == n.rev_jun_cents - d.rev_may_cents + c.delta_cents
+    assert t.n_parts == n.n_parts + d.n_parts + c.n_parts
+    assert n.rev_may_cents == 0 and d.rev_jun_cents == 0
+
+
+def test_dp_sensitivity_vs_pandas(spark):
+    """Max and discrete p99 equal a pandas recount with the same rank
+    arithmetic."""
+    import math
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        privacy_dp_sensitivity_query,
+    )
+
+    r = privacy_dp_sensitivity_query(spark, SF_DIR).collect()[0]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+        ["o_custkey", "o_totalprice"]
+    ]
+    orders["cents"] = [math.floor(p * 100 + 0.5) for p in orders.o_totalprice]
+    per = orders.groupby("o_custkey").agg(n=("cents", "size"), c=("cents", "sum"))
+    m = len(per)
+    rank = min(m, (99 * (m + 1)) // 100)
+    assert r.n_users == m
+    assert r.max_orders_per_user == int(per.n.max())
+    assert r.p99_orders == sorted(per.n)[rank - 1]
+    assert r.max_cents_per_user == int(per.c.max())
+    assert r.p99_cents == sorted(per.c)[rank - 1]
+
+
+def test_try_suite_closed_form_null_counts(spark):
+    """Every NULL census column equals its residue-class closed form
+    over the orderkey universe."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        fn_try_error_suite_query,
+    )
+
+    r = fn_try_error_suite_query(spark, SF_DIR).collect()[0]
+    keys = pd.read_parquet(f"{SF_DIR}/orders.parquet").o_orderkey
+    assert r.n_rows == len(keys)
+    assert r.n_bad_int == int((keys % 3 == 0).sum())
+    assert r.n_bad_date == int((keys % 4 == 0).sum())
+    assert r.n_div_zero == int((keys % 5 == 0).sum())
+    assert r.n_bad_ts == int((keys % 7 == 0).sum())
+    assert r.sum_good_ints == int(keys[keys % 3 != 0].sum())
+    # every branch genuinely bites at this SF
+    assert min(r.n_bad_int, r.n_bad_date, r.n_div_zero, r.n_bad_ts) > 0
