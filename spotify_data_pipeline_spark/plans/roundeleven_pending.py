@@ -471,6 +471,168 @@ _TRY_SUITE_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 3: self-tuning partition planning + tokenizer economics.
+
+# in-memory row-width model: fixed widths by type + exact string bytes.
+# (numbers are the uncompressed columnar widths Spark budgets against —
+# what spark.sql.files.maxPartitionBytes / shuffle sizing reason about,
+# not parquet's encoded size.)
+_WIDTHS = {
+    "bigint": 8,
+    "double": 8,
+    "timestamp": 8,
+    "int": 4,
+    "date": 4,
+}
+_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+# static column model per audited table (from the fixture schemas —
+# regenerating testdata with new columns shows up as a hash mismatch
+# here, which is exactly what we want a planning query to notice)
+_TABLE_COLS = {
+    "lineitem": (
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],  # bigint
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],  # double
+        ["l_shipdate"],  # timestamp
+        ["l_returnflag", "l_linestatus"],  # string
+    ),
+    "orders": (
+        ["o_orderkey", "o_custkey"],
+        ["o_totalprice"],
+        ["o_orderdate"],
+        ["o_orderstatus", "o_orderpriority"],
+    ),
+    "events": (
+        ["event_id", "user_id"],
+        ["value"],
+        ["ts"],
+        ["event_type", "props"],
+    ),
+}
+
+
+def ops_partition_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine sizing its own reads — the third self-diagnosis
+    query (skew shares, self-join cardinality, now partition
+    planning): per table, the EXACT in-memory byte estimate (fixed
+    type widths + actual string bytes, all integer sums) and the
+    partition count a 128 MiB budget implies (ceil via
+    (b + t − 1) DIV t). This is the arithmetic behind
+    spark.sql.files.maxPartitionBytes / shuffle.partitions tuning,
+    done as data instead of folklore; at 100 TB the same one-pass sums
+    produce the plan the job config needs BEFORE the big job runs.
+    One scan per table, no joins, no windows."""
+    frames = []
+    for table, (bigints, doubles, tss, strings) in sorted(_TABLE_COLS.items()):
+        df = load_table(spark, sf_dir, table)
+        fixed = (
+            len(bigints) * _WIDTHS["bigint"]
+            + len(doubles) * _WIDTHS["double"]
+            + len(tss) * _WIDTHS["timestamp"]
+        )
+        str_bytes = sum(
+            (F.sum(F.length(F.col(c)).cast("long")) for c in strings),
+            F.lit(0).cast("long"),
+        )
+        frames.append(
+            df.agg(
+                F.lit(table).alias("table_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                (F.count("*") * fixed + str_bytes).cast("long").alias("est_bytes"),
+            ).select(
+                "table_name",
+                "n_rows",
+                "est_bytes",
+                F.expr(
+                    f"CAST((est_bytes + {_TARGET_PARTITION_BYTES - 1})"
+                    f" DIV {_TARGET_PARTITION_BYTES} AS BIGINT)"
+                ).alias("n_partitions_128mb"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("table_name")
+
+
+def _partition_plan_oracle() -> str:
+    parts = []
+    for table, (bigints, doubles, tss, strings) in sorted(_TABLE_COLS.items()):
+        fixed = (
+            len(bigints) * _WIDTHS["bigint"]
+            + len(doubles) * _WIDTHS["double"]
+            + len(tss) * _WIDTHS["timestamp"]
+        )
+        slen = " + ".join(f"coalesce(sum(length({c})), 0)" for c in strings) or "0"
+        parts.append(
+            f"""SELECT '{table}' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) * {fixed} + {slen} AS BIGINT) AS est_bytes,
+             CAST((count(*) * {fixed} + {slen} + {_TARGET_PARTITION_BYTES - 1})
+                  // {_TARGET_PARTITION_BYTES} AS BIGINT) AS n_partitions_128mb
+      FROM {table}"""
+        )
+    body = "\n      UNION ALL\n      ".join(parts)
+    return f"""
+    SELECT * FROM (
+      {body}
+    ) ORDER BY table_name
+"""
+
+
+def llm_tokenizer_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer economics per source — the chars-per-token
+    compression ratio every pretraining-cost model starts from (and
+    the metric that catches a tokenizer mismatched to a corpus): per
+    source, documents, total chars, total BPE-ish tokens
+    (functions/text.BPE_ISH_PATTERN — word runs count one, every
+    other symbol alone; RE2-compatible so DuckDB runs the IDENTICAL
+    pattern), and the exact ratio in milli-chars-per-token
+    (chars·1000 DIV tokens). Map-only scan + one small agg."""
+    from spotify_data_pipeline_spark.functions.text import BPE_ISH_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.length("text").cast("long").alias("_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("_toks"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_chars").cast("long").alias("total_chars"),
+            F.sum("_toks").cast("long").alias("total_tokens"),
+            F.expr("CAST(sum(_chars) * 1000 DIV sum(_toks) AS BIGINT)").alias(
+                "milli_chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKENIZER_RATIO_ORACLE = r"""
+    WITH per AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]', 0))
+                  AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(chars) * 1000 // sum(toks) AS BIGINT) AS milli_chars_per_token
+    FROM per
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "sim_item_item_cf",
@@ -507,5 +669,17 @@ PENDING: tuple[PendingQuery, ...] = (
         fn_try_error_suite_query,
         _TRY_SUITE_ORACLE,
         tags=("functions", "try", "error-handling", "parity"),
+    ),
+    PendingQuery(
+        "ops_partition_plan",
+        ops_partition_plan_query,
+        _partition_plan_oracle(),
+        tags=("ops", "planning", "partitioning", "self-tuning", "integer-exact"),
+    ),
+    PendingQuery(
+        "llm_tokenizer_ratio",
+        llm_tokenizer_ratio_query,
+        _TOKENIZER_RATIO_ORACLE,
+        tags=("llmops", "tokenizer", "compression", "integer-exact"),
     ),
 )

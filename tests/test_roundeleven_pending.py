@@ -213,3 +213,55 @@ def test_try_suite_closed_form_null_counts(spark):
     assert r.sum_good_ints == int(keys[keys % 3 != 0].sum())
     # every branch genuinely bites at this SF
     assert min(r.n_bad_int, r.n_bad_date, r.n_div_zero, r.n_bad_ts) > 0
+
+
+def test_partition_plan_vs_pandas_bytes(spark):
+    """est_bytes equals an exact pandas recount of the width model,
+    and ceil division is right at the boundary."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        _TABLE_COLS,
+        _TARGET_PARTITION_BYTES,
+        _WIDTHS,
+        ops_partition_plan_query,
+    )
+
+    got = {r.table_name: r for r in ops_partition_plan_query(spark, SF_DIR).collect()}
+    for table, (bigints, doubles, tss, strings) in _TABLE_COLS.items():
+        df = pd.read_parquet(f"{SF_DIR}/{table}.parquet")
+        fixed = (
+            len(bigints) * _WIDTHS["bigint"]
+            + len(doubles) * _WIDTHS["double"]
+            + len(tss) * _WIDTHS["timestamp"]
+        )
+        sbytes = sum(int(df[c].str.len().sum()) for c in strings)
+        expect = len(df) * fixed + sbytes
+        r = got[table]
+        assert (r.n_rows, r.est_bytes) == (len(df), expect), table
+        assert r.n_partitions_128mb == (
+            expect + _TARGET_PARTITION_BYTES - 1
+        ) // _TARGET_PARTITION_BYTES
+
+
+def test_tokenizer_ratio_vs_python_regex(spark):
+    """Token totals equal Python re.findall with the same pattern, and
+    the ratio is the exact integer quotient."""
+    import re
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.functions.text import BPE_ISH_PATTERN
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        llm_tokenizer_ratio_query,
+    )
+
+    got = {r.source: r for r in llm_tokenizer_ratio_query(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["source", "text"]]
+    pat = re.compile(BPE_ISH_PATTERN)
+    for src, grp in docs.groupby("source"):
+        chars = int(grp.text.str.len().sum())
+        toks = sum(len(pat.findall(t)) for t in grp.text)
+        r = got[src]
+        assert (r.n_docs, r.total_chars, r.total_tokens) == (len(grp), chars, toks)
+        assert r.milli_chars_per_token == chars * 1000 // toks
