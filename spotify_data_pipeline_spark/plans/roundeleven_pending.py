@@ -633,6 +633,180 @@ _TOKENIZER_RATIO_ORACLE = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 4: window algebra + dedup observability.
+
+
+def window_leave_one_out_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out statistics per row — the influence question
+    ("how does the group look WITHOUT me?") that naive frames can't
+    ask because SQL windows have no EXCLUDE CURRENT ROW in either
+    engine: LOO mean from the group sum ((S − x)·1000 DIV (n−1),
+    exact milli-cents, NULL for singleton groups via nullif), LOO max
+    as greatest(prefix-max, suffix-max) over two ROWS frames that
+    together cover exactly the partition minus the current row — the
+    union is order-insensitive even under acctbal ties, so the result
+    is deterministic although the frame contents aren't. One window
+    partition pass per nation over the customer dimension."""
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    from spotify_data_pipeline_spark.plans.parity import rnd_cents
+
+    base = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        rnd_cents(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    order = [F.col("bal_cents").asc(), F.col("c_custkey").asc()]
+    w = Window.partitionBy("c_nationkey").orderBy(*order)
+    full = Window.partitionBy("c_nationkey")
+    pre = w.rowsBetween(Window.unboundedPreceding, -1)
+    post = w.rowsBetween(1, Window.unboundedFollowing)
+    return (
+        base.withColumn("_s", F.sum("bal_cents").over(full))
+        .withColumn("_n", F.count("*").over(full))
+        .withColumn(
+            "loo_mean_millicents",
+            F.expr("(_s - bal_cents) * 1000 DIV nullif(_n - 1, 0)"),
+        )
+        .withColumn(
+            "loo_max_cents",
+            F.greatest(
+                F.max("bal_cents").over(pre), F.max("bal_cents").over(post)
+            ),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("bal_cents").cast("long").alias("bal_cents"),
+            F.col("loo_mean_millicents").cast("long").alias("loo_mean_millicents"),
+            F.col("loo_max_cents").cast("long").alias("loo_max_cents"),
+        )
+        .orderBy("nationkey", "custkey")
+    )
+
+
+_LOO_ORACLE = """
+    WITH base AS (
+      SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+    ), win AS (
+      SELECT *,
+             sum(bal_cents) OVER (PARTITION BY nationkey) AS s,
+             count(*) OVER (PARTITION BY nationkey) AS n,
+             max(bal_cents) OVER (PARTITION BY nationkey
+                                  ORDER BY bal_cents ASC, custkey ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS premax,
+             max(bal_cents) OVER (PARTITION BY nationkey
+                                  ORDER BY bal_cents ASC, custkey ASC
+                                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS postmax
+      FROM base
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey,
+           CAST(custkey AS BIGINT) AS custkey,
+           bal_cents,
+           CAST((s - bal_cents) * 1000 // nullif(n - 1, 0) AS BIGINT)
+             AS loo_mean_millicents,
+           CAST(greatest(premax, postmax) AS BIGINT) AS loo_max_cents
+    FROM win
+    ORDER BY nationkey, custkey
+"""
+
+
+def dedup_cluster_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability — "how much boilerplate does this corpus
+    carry?": the cluster-SIZE distribution of the near-dup component
+    labeling (the hash-matched ``dedup_components`` composition:
+    exact 3-gram-Jaccard pairs ≥ 0.5 → large-star/small-star
+    components), on log2 buckets (length(bin(size)) — the pure
+    integer log2), PLUS the singleton row (docs in no near-dup pair:
+    total − clustered — the healthy majority a dedup report must show,
+    or the histogram silently describes only the pathological tail).
+    The oracle replicates components by recursive-CTE reachability,
+    so the TRANSITIVE cluster sizes are what the hash pins."""
+    from spotify_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from spotify_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.5
+    ).select("id_a", "id_b")
+    sizes = (
+        connected_components(pairs)
+        .groupBy("component")
+        .agg(F.count("*").alias("_sz"))
+    )
+    hist = (
+        sizes.select(
+            F.expr("CAST(length(bin(_sz)) AS BIGINT)").alias("log2_bucket"), "_sz"
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("_sz").cast("long").alias("n_docs"),
+        )
+    )
+    clustered = sizes.agg(F.coalesce(F.sum("_sz"), F.lit(0)).alias("_c"))
+    singles = (
+        docs.agg(F.count("*").alias("_t"))
+        .crossJoin(F.broadcast(clustered))
+        .select(
+            F.lit(0).cast("long").alias("log2_bucket"),
+            (F.col("_t") - F.col("_c")).cast("long").alias("n_clusters"),
+            (F.col("_t") - F.col("_c")).cast("long").alias("n_docs"),
+        )
+    )
+    return hist.unionAll(singles).orderBy("log2_bucket")
+
+
+def _cluster_hist_oracle() -> str:
+    # the proven pair-graph + reachability SQL (roundfour's components
+    # oracle), extended with the size histogram + singleton row
+    from spotify_data_pipeline_spark.plans.roundfour import _PAIRS_SQL
+
+    return (
+        _PAIRS_SQL
+        + """
+    , e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, v) AS (
+      SELECT DISTINCT u, u FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ), labels AS (
+      SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+    ), sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS sz FROM labels GROUP BY 1
+    ), hist AS (
+      SELECT CAST(length(bin(sz)) AS BIGINT) AS log2_bucket,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(sz) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY 1
+    ), singles AS (
+      SELECT CAST(0 AS BIGINT) AS log2_bucket,
+             CAST((SELECT count(*) FROM documents)
+                  - coalesce((SELECT sum(sz) FROM sizes), 0) AS BIGINT)
+               AS n_clusters,
+             CAST((SELECT count(*) FROM documents)
+                  - coalesce((SELECT sum(sz) FROM sizes), 0) AS BIGINT)
+               AS n_docs
+    )
+    SELECT * FROM hist
+    UNION ALL
+    SELECT * FROM singles
+    ORDER BY log2_bucket
+    """
+    ).replace("WITH t AS", "WITH RECURSIVE t AS")
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "sim_item_item_cf",
@@ -681,5 +855,17 @@ PENDING: tuple[PendingQuery, ...] = (
         llm_tokenizer_ratio_query,
         _TOKENIZER_RATIO_ORACLE,
         tags=("llmops", "tokenizer", "compression", "integer-exact"),
+    ),
+    PendingQuery(
+        "window_leave_one_out",
+        window_leave_one_out_query,
+        _LOO_ORACLE,
+        tags=("window", "leave-one-out", "exclude-current-row", "integer-exact"),
+    ),
+    PendingQuery(
+        "dedup_cluster_histogram",
+        dedup_cluster_histogram_query,
+        _cluster_hist_oracle(),
+        tags=("dedup", "observability", "components", "histogram", "integer-exact"),
     ),
 )

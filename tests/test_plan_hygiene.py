@@ -127,6 +127,10 @@ _BNLJ_WHITELIST = {
     # 1-row broadcast edge-count aggregate m under the q_num atoms
     # (operators/community.modularity_atoms)
     "graph_brand_modularity",
+    # --- round-11 staged (pre-whitelisted for activation) ---
+    # inherits ngram_jaccard's 1-row DF-cap broadcast + the 1-row
+    # clustered-total broadcast under the singleton row
+    "dedup_cluster_histogram",
 }
 
 

