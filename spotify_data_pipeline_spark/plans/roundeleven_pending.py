@@ -807,6 +807,188 @@ def _cluster_hist_oracle() -> str:
     ).replace("WITH t AS", "WITH RECURSIVE t AS")
 
 
+# ---------------------------------------------------------------------------
+# Wave 5: diversified retrieval (MMR).
+
+_MMR_QUERY_ID = 0  # the query vector
+_MMR_CANDIDATES = 10  # relevance-ranked candidate pool
+_MMR_K = 5  # diversified selections
+
+
+def _qcos_x1e4(qa, qb):
+    """Quantized cosine scaled to an EXACT integer (×10⁴ half-up) —
+    the sim_quantized_topk arithmetic kept in integers end-to-end so
+    greedy score comparisons never touch a float."""
+    from spotify_data_pipeline_spark.operators.quantization import quantized_cosine
+
+    return F.floor(quantized_cosine(qa, qb) * 10000 + F.lit(0.5)).cast("long")
+
+
+def sim_mmr_diversified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein SIGIR'98) —
+    the diversified top-k every production retrieval stack bolts onto
+    plain similarity ranking so five near-duplicate hits don't fill
+    the page: greedily pick argmax(rel(c) − max_{s∈S} sim(c, s)),
+    λ=½ scaled out. Everything is EXACT integers: relevance and
+    pairwise similarity are int8-quantized cosines ×10⁴ half-up (the
+    sim_quantized_topk arithmetic), so each greedy comparison is an
+    integer compare with a (score DESC, id ASC) total tiebreak and
+    the whole selection is a pure function of the data. The candidate
+    pool (top-10 by relevance) and its 45 pairwise sims are bounded
+    frames, so the K−1 unrolled selection steps stay cheap no matter
+    the corpus size — the scan cost lives in the ONE relevance pass
+    (broadcast query, corpus never shuffles). The DuckDB oracle
+    replicates the greedy unrolled (the PageRank unrolled-CTE
+    precedent), making diversified retrieval itself hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from spotify_data_pipeline_spark.operators.quantization import quantize_vectors
+
+    q = quantize_vectors(
+        emb.where(F.col("vec_id") == _MMR_QUERY_ID).select(
+            F.col("embedding").alias("_v")
+        ),
+        "_v",
+        "_qq",
+    ).select("_qq")
+    corpus = quantize_vectors(
+        emb.where(F.col("vec_id") != _MMR_QUERY_ID).select(
+            "vec_id", F.col("embedding").alias("_v")
+        ),
+        "_v",
+        "_qc",
+    ).select("vec_id", "_qc")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select("vec_id", "_qc", _qcos_x1e4(F.col("_qq"), F.col("_qc")).alias("rel"))
+    )
+    cand = scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(
+        _MMR_CANDIDATES
+    )
+    sims = (
+        cand.alias("a")
+        .join(cand.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            _qcos_x1e4(F.col("a._qc"), F.col("b._qc")).alias("sim"),
+        )
+    )
+    sym = sims.unionAll(
+        sims.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim"
+        )
+    )
+    cand = cand.select("vec_id", "rel")
+    # greedy unroll: step 1 = pure relevance argmax; steps 2..K score
+    # remaining candidates by rel − max sim to the selected set
+    sel = cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(1).select(
+        F.lit(1).cast("long").alias("rank"),
+        "vec_id",
+        "rel",
+        F.lit(None).cast("long").alias("maxsim"),
+        F.col("rel").cast("long").alias("score"),
+    )
+    for step in range(2, _MMR_K + 1):
+        chosen = sel.select("vec_id")
+        remaining = cand.join(chosen, "vec_id", "left_anti")
+        ms = (
+            sym.join(chosen.select(F.col("vec_id").alias("ib")), "ib")
+            .groupBy("ia")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            remaining.join(ms, remaining.vec_id == ms.ia)
+            .select(
+                F.lit(step).cast("long").alias("rank"),
+                "vec_id",
+                "rel",
+                F.col("maxsim").cast("long").alias("maxsim"),
+                (F.col("rel") - F.col("maxsim")).cast("long").alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        sel = sel.unionAll(pick)
+    return sel.orderBy("rank")
+
+
+def _mmr_oracle() -> str:
+    qcos = (
+        "(list_dot_product({a}.q, {b}.q)"
+        " / (sqrt(list_dot_product({a}.q, {a}.q))"
+        " * sqrt(list_dot_product({b}.q, {b}.q))))"
+    )
+    steps = []
+    for step in range(2, _MMR_K + 1):
+        prev = ", ".join(f"s{i}" for i in range(1, step))
+        prev_union = " UNION ALL ".join(
+            f"SELECT * FROM s{i}" for i in range(1, step)
+        )
+        steps.append(
+            f"""s{step} AS (
+      SELECT CAST({step} AS BIGINT) AS rank, c.vec_id, c.rel,
+             ms.maxsim, c.rel - ms.maxsim AS score
+      FROM cand c
+      JOIN (
+        SELECT y.ia, max(y.sim) AS maxsim
+        FROM sym y
+        WHERE y.ib IN (SELECT vec_id FROM ({prev_union}))
+        GROUP BY 1
+      ) ms ON c.vec_id = ms.ia
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM ({prev_union}))
+      ORDER BY score DESC, c.vec_id ASC LIMIT 1
+    )"""
+        )
+        _ = prev
+    steps_sql = ",\n    ".join(steps)
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM s{i}" for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH z AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             CASE WHEN m = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(least(greatest(
+                         floor(CAST(x AS DOUBLE) * 127 / m + 0.5),
+                         -127.0), 127.0) AS DOUBLE))
+             END AS q
+      FROM z
+    ), scored AS (
+      SELECT b.vec_id,
+             CAST(floor({qcos.format(a="a", b="b")} * 10000 + 0.5) AS BIGINT) AS rel
+      FROM qz a JOIN qz b ON b.vec_id <> {_MMR_QUERY_ID}
+      WHERE a.vec_id = {_MMR_QUERY_ID}
+    ), cand AS (
+      SELECT vec_id, rel FROM scored
+      ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_CANDIDATES}
+    ), pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(floor({qcos.format(a="za", b="zb")} * 10000 + 0.5) AS BIGINT) AS sim
+      FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+      JOIN qz za ON za.vec_id = a.vec_id
+      JOIN qz zb ON zb.vec_id = b.vec_id
+    ), sym AS (
+      SELECT ia, ib, sim FROM pair
+      UNION ALL
+      SELECT ib, ia, sim FROM pair
+    ), s1 AS (
+      SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+             CAST(NULL AS BIGINT) AS maxsim, rel AS score
+      FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ),
+    {steps_sql}
+    SELECT * FROM (
+    {finals}
+    ) ORDER BY rank
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "sim_item_item_cf",
@@ -867,5 +1049,11 @@ PENDING: tuple[PendingQuery, ...] = (
         dedup_cluster_histogram_query,
         _cluster_hist_oracle(),
         tags=("dedup", "observability", "components", "histogram", "integer-exact"),
+    ),
+    PendingQuery(
+        "sim_mmr_diversified",
+        sim_mmr_diversified_query,
+        _mmr_oracle(),
+        tags=("similarity", "mmr", "diversified-retrieval", "integer-exact"),
     ),
 )

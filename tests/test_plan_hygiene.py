@@ -131,6 +131,9 @@ _BNLJ_WHITELIST = {
     # inherits ngram_jaccard's 1-row DF-cap broadcast + the 1-row
     # clustered-total broadcast under the singleton row
     "dedup_cluster_histogram",
+    # broadcast 1-row query vector + LIMIT-10-bounded candidate theta
+    # pairing (sim_mmr_diversified's bounded frames)
+    "sim_mmr_diversified",
 }
 
 

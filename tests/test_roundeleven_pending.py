@@ -49,6 +49,10 @@ _BNLJ_OK = {
     # inherits ngram_jaccard's 1-row DF-cap broadcast + the 1-row
     # clustered-total broadcast under the singleton row
     "dedup_cluster_histogram",
+    # broadcast 1-row query vector over the corpus scan (the
+    # sim_cosine_topk pattern) + theta pairing of the BOUNDED top-10
+    # candidate frame with itself (LIMIT-bounded literal pattern)
+    "sim_mmr_diversified",
 }
 
 
@@ -336,3 +340,59 @@ def test_cluster_histogram_accounts_for_every_doc(spark):
         if r.log2_bucket > 0:  # clustered buckets: sizes in [2^(b-1), 2^b)
             assert r.n_clusters >= 1
             assert r.n_docs >= 2 * r.n_clusters  # every cluster has >= 2 docs
+
+
+def test_mmr_greedy_vs_python_model(spark):
+    """The selection equals an independent Python greedy MMR over the
+    same integer-scaled quantized cosines, and genuinely diverges from
+    pure relevance ranking (diversity is load-bearing)."""
+    import math
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        _MMR_CANDIDATES,
+        _MMR_K,
+        _MMR_QUERY_ID,
+        sim_mmr_diversified_query,
+    )
+
+    rows = sim_mmr_diversified_query(spark, SF_DIR).collect()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")[["vec_id", "embedding"]]
+
+    def quant(v):
+        m = max(abs(float(x)) for x in v)
+        if m == 0:
+            return [0.0] * len(v)
+        return [
+            min(max(math.floor(float(x) * 127 / m + 0.5), -127.0), 127.0)
+            for x in v
+        ]
+
+    qv = {int(r.vec_id): quant(r.embedding) for r in emb.itertuples()}
+
+    def cos_x1e4(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(dot / (na * nb) * 10000 + 0.5)
+
+    q = qv[_MMR_QUERY_ID]
+    rel = {
+        i: cos_x1e4(q, v) for i, v in qv.items() if i != _MMR_QUERY_ID
+    }
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_CANDIDATES]
+    sel = [min(cand, key=lambda i: (-rel[i], i))]
+    while len(sel) < _MMR_K:
+        rest = [c for c in cand if c not in sel]
+        best = min(
+            rest,
+            key=lambda c: (
+                -(rel[c] - max(cos_x1e4(qv[c], qv[s]) for s in sel)),
+                c,
+            ),
+        )
+        sel.append(best)
+    assert [r.vec_id for r in rows] == sel
+    # diversity changed the ordering vs pure relevance
+    assert [r.vec_id for r in rows] != cand[:_MMR_K]
