@@ -989,6 +989,106 @@ def _mmr_oracle() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 6: driver-provable k-means.
+
+_KM_K = 4
+_KM_ITER = 2
+_KM_DIMS = 64
+
+
+def ml_kmeans_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means made driver-provable (operators/kmeans_exact.py) — the
+    rows-only trained-clustering family (NS-9) gets its exact-oracle
+    twin, the md5-MinHash move applied to Lloyd: seeded-order init,
+    integer squared distances over int8-quantized vectors, floor-mean
+    centroid updates, a FIXED unrolled iteration count, and total
+    tiebreaks everywhere — so the DuckDB oracle replicates the ENTIRE
+    algorithm (init, 2 assignment rounds, 2 updates, final labeling)
+    and the k-row cluster report hash-matches. Per iteration: one
+    broadcast of the k-row centroid frame over the corpus scan + one
+    (cluster, dim) aggregate — k·dims state rows, never the corpus."""
+    from spotify_data_pipeline_spark.operators.kmeans_exact import (
+        kmeans_cluster_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_report(emb, k=_KM_K, iterations=_KM_ITER)
+
+
+def _kmeans_oracle() -> str:
+    d = _KM_DIMS
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {d + 1}),"
+        " i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH z AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             CASE WHEN m = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(least(greatest(
+                         floor(CAST(x AS DOUBLE) * 127 / m + 0.5),
+                         -127.0), 127.0) AS DOUBLE))
+             END AS q
+      FROM z
+    ), seeds AS (
+      SELECT q, row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+      FROM qz
+    ), c0 AS (
+      SELECT CAST(rn - 1 AS BIGINT) AS cluster, q AS c
+      FROM seeds WHERE rn <= {_KM_K}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, _KM_ITER + 1):
+        parts.append(
+            f""", a{it} AS (
+      SELECT vec_id, q, cluster, dist FROM (
+        SELECT v.vec_id, v.q, c.cluster, {dist} AS dist,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.cluster ASC) AS rn
+        FROM qz v CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ), u{it} AS (
+      SELECT cluster, dim,
+             floor(sum(val) / count(*)) AS cval
+      FROM (
+        SELECT cluster, unnest(q) AS val, generate_subscripts(q, 1) AS dim
+        FROM a{it}
+      ) GROUP BY 1, 2
+    ), c{it} AS (
+      SELECT p.cluster, coalesce(nu.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cluster, list(cval ORDER BY dim) AS c FROM u{it} GROUP BY 1
+      ) nu USING (cluster)
+    )"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f""", fin AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT v.vec_id, c.cluster, {dist} AS dist,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.cluster ASC) AS rn
+        FROM qz v CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(dist) AS BIGINT) AS inertia,
+           CAST(min(dist) AS BIGINT) AS min_dist,
+           CAST(max(dist) AS BIGINT) AS max_dist
+    FROM fin GROUP BY 1 ORDER BY 1"""
+    )
+    return "\n    ".join(parts)
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "sim_item_item_cf",
@@ -1055,5 +1155,11 @@ PENDING: tuple[PendingQuery, ...] = (
         sim_mmr_diversified_query,
         _mmr_oracle(),
         tags=("similarity", "mmr", "diversified-retrieval", "integer-exact"),
+    ),
+    PendingQuery(
+        "ml_kmeans_exact",
+        ml_kmeans_exact_query,
+        _kmeans_oracle(),
+        tags=("ml", "kmeans", "clustering", "driver-provable", "integer-exact"),
     ),
 )

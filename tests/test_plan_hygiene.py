@@ -134,6 +134,9 @@ _BNLJ_WHITELIST = {
     # broadcast 1-row query vector + LIMIT-10-bounded candidate theta
     # pairing (sim_mmr_diversified's bounded frames)
     "sim_mmr_diversified",
+    # broadcast k-row centroid frame per Lloyd iteration (the
+    # sim_ann_ivf bounded-centroid pattern)
+    "ml_kmeans_exact",
 }
 
 

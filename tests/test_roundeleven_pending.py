@@ -53,6 +53,9 @@ _BNLJ_OK = {
     # sim_cosine_topk pattern) + theta pairing of the BOUNDED top-10
     # candidate frame with itself (LIMIT-bounded literal pattern)
     "sim_mmr_diversified",
+    # broadcast k-row centroid frame per Lloyd iteration (the
+    # sim_ann_ivf bounded-centroid pattern)
+    "ml_kmeans_exact",
 }
 
 
