@@ -990,6 +990,119 @@ def _mmr_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Wave 7: DBSCAN composition.
+
+_DB_EPS_BUDGET = 10_000_000  # eps2 = budget DIV m — constant expected
+# neighbor count as the customer frame grows (density in the fixed
+# [0,1e4)² feature square is ∝ m, so an ε² ∝ 1/m ball sees O(1)
+# points at every SF — measured: core/border/noise = 23/16/111 at
+# sf0.001, 429/211/860 at sf0.01, ~5.6k/?/~9.4k at sf0.1)
+_DB_MINPTS = 5
+
+
+def ml_dbscan_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) of
+    customers in the (total spend, largest order) feature plane — the
+    composition proof: grid-cell ε-neighbor join (geo radius-join
+    device) → core classification → connected components (the proven
+    operator) → deterministic border assignment, all exact integers
+    (coords scaled to a fixed 10⁴ square, ε-ball by squared compare,
+    ε² calibrated ∝ 1/m IN-PLAN so the expected neighborhood is
+    scale-free — the alert-cooldown lesson: parameters chosen so
+    every branch bites at every SF, and here they are FORMULAS, not
+    constants). Output is the one-row census (core/border/noise,
+    cluster count, largest cluster). The oracle replicates everything
+    with a naive range join + recursive-CTE reachability; at sf0.1
+    that closure is infeasible in DuckDB, so the third-SF proof is
+    the independent Python union-find in pytest instead (slow-marked),
+    the strongest check each scale affords."""
+    from spotify_data_pipeline_spark.operators.dbscan import dbscan_summary
+    from spotify_data_pipeline_spark.plans.parity import rnd_cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(rnd_cents(F.col("o_totalprice"))).alias("_c"),
+        F.max(rnd_cents(F.col("o_totalprice"))).alias("_cm"),
+    )
+    meta = per.agg(
+        F.count("*").alias("_m"),
+        F.max("_c").alias("_maxc"),
+        F.max("_cm").alias("_maxcm"),
+    )
+    pts = per.crossJoin(F.broadcast(meta)).select(
+        F.col("o_custkey").alias("id"),
+        F.expr("_c * 10000 DIV (_maxc + 1)").alias("x"),
+        F.expr("_cm * 10000 DIV (_maxcm + 1)").alias("y"),
+        F.expr(f"{_DB_EPS_BUDGET} DIV _m").alias("eps2"),
+        F.expr(
+            f"CAST(floor(sqrt(CAST({_DB_EPS_BUDGET} DIV _m AS DOUBLE)))"
+            " AS BIGINT) + 1"
+        ).alias("w"),
+    )
+    return dbscan_summary(pts, minpts=_DB_MINPTS)
+
+
+_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE per AS (
+      SELECT o_custkey AS id,
+             CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS c,
+             CAST(max(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS cmax
+      FROM orders GROUP BY 1
+    ), meta AS (
+      SELECT CAST(count(*) AS BIGINT) AS m, max(c) AS maxc, max(cmax) AS maxcm
+      FROM per
+    ), pts AS (
+      SELECT id, c * 10000 // (maxc + 1) AS x, cmax * 10000 // (maxcm + 1) AS y,
+             {_DB_EPS_BUDGET} // m AS eps2,
+             CAST(floor(sqrt(CAST({_DB_EPS_BUDGET} // m AS DOUBLE))) AS BIGINT) + 1 AS w
+      FROM per, meta
+    ), nbr AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM pts a JOIN pts b
+        ON b.y BETWEEN a.y - a.w AND a.y + a.w
+       AND b.x BETWEEN a.x - a.w AND a.x + a.w
+       AND a.id <> b.id
+      WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= a.eps2
+    ), deg AS (
+      SELECT ia AS id, count(*) AS d FROM nbr GROUP BY 1
+    ), core AS (
+      SELECT id FROM deg WHERE d >= {_DB_MINPTS}
+    ), ce AS (
+      SELECT n.ia AS u, n.ib AS v FROM nbr n
+      JOIN core c1 ON n.ia = c1.id JOIN core c2 ON n.ib = c2.id
+    ), reach(u, v) AS (
+      SELECT u, u FROM ce
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u
+    ), core_lab AS (
+      SELECT c.id, coalesce(l.comp, c.id) AS cluster
+      FROM core c LEFT JOIN (
+        SELECT u AS id, min(v) AS comp FROM reach GROUP BY 1
+      ) l ON c.id = l.id
+    ), border AS (
+      SELECT n.ia AS id, min(cl.cluster) AS cluster
+      FROM nbr n JOIN core_lab cl ON n.ib = cl.id
+      WHERE n.ia NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    ), sizes AS (
+      SELECT cluster, count(*) AS sz FROM (
+        SELECT cluster FROM core_lab
+        UNION ALL
+        SELECT cluster FROM border
+      ) GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+           (SELECT CAST(count(*) AS BIGINT) FROM core) AS n_core,
+           (SELECT CAST(count(*) AS BIGINT) FROM border) AS n_border,
+           (SELECT CAST(count(*) AS BIGINT) FROM pts)
+             - (SELECT count(*) FROM core)
+             - (SELECT count(*) FROM border) AS n_noise,
+           (SELECT CAST(count(*) AS BIGINT) FROM sizes) AS n_clusters,
+           (SELECT CAST(max(sz) AS BIGINT) FROM sizes) AS largest_cluster
+"""
+
+
+# ---------------------------------------------------------------------------
 # Wave 6: driver-provable k-means.
 
 _KM_K = 4
@@ -1161,5 +1274,11 @@ PENDING: tuple[PendingQuery, ...] = (
         ml_kmeans_exact_query,
         _kmeans_oracle(),
         tags=("ml", "kmeans", "clustering", "driver-provable", "integer-exact"),
+    ),
+    PendingQuery(
+        "ml_dbscan_customers",
+        ml_dbscan_customers_query,
+        _DBSCAN_ORACLE,
+        tags=("ml", "dbscan", "density", "composition", "integer-exact"),
     ),
 )

@@ -56,6 +56,9 @@ _BNLJ_OK = {
     # broadcast k-row centroid frame per Lloyd iteration (the
     # sim_ann_ivf bounded-centroid pattern)
     "ml_kmeans_exact",
+    # 1-row calibration aggregate (m, max) broadcast onto the point
+    # frame + 1-row cluster-stats assembly (dbscan_summary)
+    "ml_dbscan_customers",
 }
 
 
