@@ -990,6 +990,275 @@ def _mmr_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Wave 8: depth-2 decision tree + LSH theory-vs-data calibration.
+
+_TREE_THRESHOLD = 200_000  # the stump's high-value label, shared
+
+
+def ml_decision_tree_d2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact depth-2 decision tree — the 1R stump grown one level:
+    the root is the stump winner (min summed majority error, name
+    tiebreak, selected IN-PLAN from a broadcast 1-row argmin — the
+    tree structure is data-dependent, and the query still states it
+    declaratively); each root-value branch then picks its own best
+    second feature among the remaining two by within-branch majority
+    error. Everything is counts and integer compares — the ID3 family
+    with training error in place of entropy (log is not
+    bit-reproducible; the argmin structure is what a depth-2 tree IS,
+    the impurity choice is orthogonal and documented). One melted
+    scan, one orderkey equi self-join pairing root and second
+    features, two grouped argmins."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    melted = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice") >= _TREE_THRESHOLD).cast("long").alias("_hi"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("priority").alias("feature"),
+                    F.col("o_orderpriority").alias("value"),
+                ),
+                F.struct(
+                    F.lit("status").alias("feature"),
+                    F.col("o_orderstatus").alias("value"),
+                ),
+                F.struct(
+                    F.lit("dow").alias("feature"),
+                    (F.dayofweek("o_orderdate") - 1).cast("string").alias("value"),
+                ),
+            )
+        ).alias("_f"),
+    ).select("o_orderkey", "_f.feature", "_f.value", "_hi")
+    per_feature = (
+        melted.groupBy("feature", "value")
+        .agg(F.count("*").alias("n"), F.sum("_hi").alias("nh"))
+        .groupBy("feature")
+        .agg(
+            F.sum(F.least(F.col("nh"), F.col("n") - F.col("nh"))).alias("err")
+        )
+    )
+    root = per_feature.orderBy("err", "feature").limit(1).select(
+        F.col("feature").alias("_root")
+    )
+    m1 = melted.join(
+        F.broadcast(root), melted.feature == F.col("_root")
+    ).select("o_orderkey", F.col("feature").alias("root_feature"), F.col("value").alias("root_value"))
+    m2 = melted.select(
+        "o_orderkey",
+        F.col("feature").alias("second_feature"),
+        F.col("value").alias("_v2"),
+        "_hi",
+    )
+    paired = m1.join(m2, "o_orderkey").where(
+        F.col("second_feature") != F.col("root_feature")
+    )
+    leaf = paired.groupBy(
+        "root_feature", "root_value", "second_feature", "_v2"
+    ).agg(F.count("*").alias("n"), F.sum("_hi").alias("nh"))
+    branch = leaf.groupBy("root_feature", "root_value", "second_feature").agg(
+        F.sum("n").cast("long").alias("n_branch"),
+        F.sum(F.least(F.col("nh"), F.col("n") - F.col("nh")))
+        .cast("long")
+        .alias("branch_errors"),
+    )
+    w = Window.partitionBy("root_value").orderBy(
+        "branch_errors", "second_feature"
+    )
+    return (
+        branch.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "root_feature",
+            "root_value",
+            "second_feature",
+            "n_branch",
+            "branch_errors",
+            F.expr("branch_errors * 1000000 DIV n_branch").alias("error_ppm"),
+        )
+        .orderBy("root_value")
+    )
+
+
+_TREE_D2_ORACLE = f"""
+    WITH melted AS (
+      SELECT o_orderkey, CAST(o_totalprice >= {_TREE_THRESHOLD} AS BIGINT) AS hi,
+             'priority' AS feature, o_orderpriority AS value FROM orders
+      UNION ALL
+      SELECT o_orderkey, CAST(o_totalprice >= {_TREE_THRESHOLD} AS BIGINT),
+             'status', o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderkey, CAST(o_totalprice >= {_TREE_THRESHOLD} AS BIGINT),
+             'dow', CAST(dayofweek(o_orderdate) AS VARCHAR) FROM orders
+    ), per_feature AS (
+      SELECT feature, sum(least(nh, n - nh)) AS err FROM (
+        SELECT feature, value, count(*) AS n, sum(hi) AS nh
+        FROM melted GROUP BY 1, 2
+      ) GROUP BY 1
+    ), root AS (
+      SELECT feature AS root_feature FROM per_feature
+      ORDER BY err, feature LIMIT 1
+    ), paired AS (
+      SELECT m1.value AS root_value, m2.feature AS second_feature,
+             m2.value AS v2, m2.hi
+      FROM melted m1
+      JOIN root r ON m1.feature = r.root_feature
+      JOIN melted m2 ON m1.o_orderkey = m2.o_orderkey
+                    AND m2.feature <> m1.feature
+    ), leaf AS (
+      SELECT root_value, second_feature, v2,
+             count(*) AS n, sum(hi) AS nh
+      FROM paired GROUP BY 1, 2, 3
+    ), branch AS (
+      SELECT root_value, second_feature,
+             CAST(sum(n) AS BIGINT) AS n_branch,
+             CAST(sum(least(nh, n - nh)) AS BIGINT) AS branch_errors
+      FROM leaf GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY root_value
+                                   ORDER BY branch_errors, second_feature) AS rk
+      FROM branch
+    )
+    SELECT r.root_feature, b.root_value, b.second_feature,
+           b.n_branch, b.branch_errors,
+           CAST(b.branch_errors * 1000000 // b.n_branch AS BIGINT) AS error_ppm
+    FROM ranked b, root r
+    WHERE b.rk = 1
+    ORDER BY b.root_value
+"""
+
+
+def dedup_lsh_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH theory validated ON the corpus — for every exact-Jaccard
+    pair (3-gram, J ≥ 0.01 — the proven pair machinery opened wide:
+    this corpus's pair graph is BIMODAL, ~12k background pairs at
+    J < 0.1 and ~27 planted near-dups at J ≥ 0.9, measured — so the
+    calibration exercises both ends of the S-curve and the absence of
+    the middle is a stated data fact, not a hidden one), the banding S-curve's predicted
+    collision probability for an (r=2, b=8) md5-MinHash banding —
+    S(J) = 1 − (1 − J²)⁸, evaluated by a SQUARING CHAIN (t², t⁴, t⁸:
+    multiplications are IEEE-exact per step, unlike pow(), whose libm
+    differs across engines) — next to the OBSERVED 0/1 collision of
+    the pair under the actual md5 signatures (the
+    dedup_minhash_estimate arithmetic, banded 2-by-2). The driver
+    hash pins theory and observation side by side; pytest checks the
+    curve actually calibrates (high-J pairs collide)."""
+    from spotify_data_pipeline_spark.functions.text import shingles, tokens
+    from spotify_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.01
+    ).select("id_a", "id_b", "jaccard")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 3))).alias("sh"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"m{k}:"), F.col("sh")))).alias(f"h{k}")
+        for k in range(_MH_K_CAL)
+    ]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"h{k}" for k in range(_MH_K_CAL)]).alias("sig"))
+    )
+    collide = F.greatest(
+        *[
+            (
+                (F.col("sa")[2 * b] == F.col("sb")[2 * b])
+                & (F.col("sa")[2 * b + 1] == F.col("sb")[2 * b + 1])
+            ).cast("long")
+            for b in range(_MH_K_CAL // 2)
+        ]
+    )
+    t = 1 - F.col("jaccard") * F.col("jaccard")
+    out = (
+        pairs.join(sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa")), "id_a")
+        .join(sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb")), "id_b")
+        .withColumn("_t2", t * t)
+        .withColumn("_t4", F.col("_t2") * F.col("_t2"))
+        .withColumn("_t8", F.col("_t4") * F.col("_t4"))
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.floor((1 - F.col("_t8")) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("predicted_x1e4"),
+            collide.alias("collided"),
+        )
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+_MH_K_CAL = 16  # same 16-permutation signature; banded 2x8 here
+
+
+def _lsh_calibration_oracle() -> str:
+    min_cols = ",\n             ".join(
+        f"min(md5('m{k}:' || sh)) AS h{k}" for k in range(_MH_K_CAL)
+    )
+    sig_list = ", ".join(f"h{k}" for k in range(_MH_K_CAL))
+    band_hits = " OR ".join(
+        f"(za.sg[{2 * b + 1}] = zb.sg[{2 * b + 1}]"
+        f" AND za.sg[{2 * b + 2}] = zb.sg[{2 * b + 2}])"
+        for b in range(_MH_K_CAL // 2)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), keep AS (
+      SELECT sh FROM (SELECT sh, count(*) AS df FROM s GROUP BY 1)
+      WHERE df <= greatest(100, CAST(floor(0.10 * (SELECT count(*) FROM documents)) AS BIGINT))
+    ), sz AS (
+      SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN keep k ON a.sh = k.sh
+               JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b,
+             floor(n_common / (za.n_sh + zb.n_sh - n_common) * 10000 + 0.5) / 10000
+               AS jaccard
+      FROM inter JOIN sz za ON inter.id_a = za.doc_id
+                 JOIN sz zb ON inter.id_b = zb.doc_id
+      WHERE floor(n_common / (za.n_sh + zb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.01
+    ), m AS (
+      SELECT doc_id,
+             {min_cols}
+      FROM s GROUP BY 1
+    ), sig AS (
+      SELECT doc_id, [{sig_list}] AS sg FROM m
+    )
+    SELECT p.id_a, p.id_b, p.jaccard,
+           CAST(floor((1 - (((1 - p.jaccard * p.jaccard) * (1 - p.jaccard * p.jaccard))
+                            * ((1 - p.jaccard * p.jaccard) * (1 - p.jaccard * p.jaccard)))
+                          * (((1 - p.jaccard * p.jaccard) * (1 - p.jaccard * p.jaccard))
+                            * ((1 - p.jaccard * p.jaccard) * (1 - p.jaccard * p.jaccard))))
+                      * 10000 + 0.5) AS BIGINT) AS predicted_x1e4,
+           CAST(({band_hits}) AS BIGINT) AS collided
+    FROM pairs p
+    JOIN sig za ON p.id_a = za.doc_id
+    JOIN sig zb ON p.id_b = zb.doc_id
+    ORDER BY p.id_a, p.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Wave 7: DBSCAN composition.
 
 _DB_EPS_BUDGET = 10_000_000  # eps2 = budget DIV m — constant expected
@@ -1280,5 +1549,17 @@ PENDING: tuple[PendingQuery, ...] = (
         ml_dbscan_customers_query,
         _DBSCAN_ORACLE,
         tags=("ml", "dbscan", "density", "composition", "integer-exact"),
+    ),
+    PendingQuery(
+        "ml_decision_tree_d2",
+        ml_decision_tree_d2_query,
+        _TREE_D2_ORACLE,
+        tags=("ml", "decision-tree", "depth-2", "integer-exact"),
+    ),
+    PendingQuery(
+        "dedup_lsh_calibration",
+        dedup_lsh_calibration_query,
+        _lsh_calibration_oracle(),
+        tags=("dedup", "lsh", "calibration", "s-curve", "theory-vs-data"),
     ),
 )

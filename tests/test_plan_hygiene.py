@@ -140,6 +140,11 @@ _BNLJ_WHITELIST = {
     # 1-row calibration aggregate (m, max) broadcast onto the point
     # frame + 1-row cluster-stats assembly (dbscan_summary)
     "ml_dbscan_customers",
+    # 1-row root-feature argmin broadcast (the tree structure is
+    # data-dependent; the broadcast carries one row)
+    "ml_decision_tree_d2",
+    # inherits ngram_jaccard's 1-row DF-cap broadcast
+    "dedup_lsh_calibration",
 }
 
 

@@ -59,6 +59,11 @@ _BNLJ_OK = {
     # 1-row calibration aggregate (m, max) broadcast onto the point
     # frame + 1-row cluster-stats assembly (dbscan_summary)
     "ml_dbscan_customers",
+    # 1-row root-feature argmin broadcast (the tree structure is
+    # data-dependent; the broadcast carries one row)
+    "ml_decision_tree_d2",
+    # inherits ngram_jaccard's 1-row DF-cap broadcast
+    "dedup_lsh_calibration",
 }
 
 
@@ -402,3 +407,77 @@ def test_mmr_greedy_vs_python_model(spark):
     assert [r.vec_id for r in rows] == sel
     # diversity changed the ordering vs pure relevance
     assert [r.vec_id for r in rows] != cand[:_MMR_K]
+
+
+def test_decision_tree_d2_vs_python(spark):
+    """Root choice and each branch's second feature equal a pandas
+    recount of the exact majority-error argmins."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        _TREE_THRESHOLD,
+        ml_decision_tree_d2_query,
+    )
+
+    rows = ml_decision_tree_d2_query(spark, SF_DIR).collect()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    orders["hi"] = (orders.o_totalprice >= _TREE_THRESHOLD).astype(int)
+    orders["dow"] = pd.to_datetime(orders.o_orderdate).dt.dayofweek
+    # pandas dayofweek: 0=Monday; Spark/DuckDB emit 0=Sunday
+    orders["dow"] = ((orders.dow + 1) % 7).astype(str)
+    feats = {
+        "priority": orders.o_orderpriority,
+        "status": orders.o_orderstatus,
+        "dow": orders.dow,
+    }
+
+    def err_of(series, mask=None):
+        df = pd.DataFrame({"v": series, "hi": orders.hi})
+        if mask is not None:
+            df = df[mask]
+        g = df.groupby("v").hi.agg(["sum", "size"])
+        return int(sum(min(r["sum"], r["size"] - r["sum"]) for _, r in g.iterrows()))
+
+    root = min(feats, key=lambda f: (err_of(feats[f]), f))
+    assert all(r.root_feature == root for r in rows)
+    got = {r.root_value: (r.second_feature, r.branch_errors, r.n_branch) for r in rows}
+    for v in feats[root].unique():
+        mask = (feats[root] == v).values
+        best = min(
+            (g for g in feats if g != root),
+            key=lambda g: (err_of(feats[g], mask), g),
+        )
+        assert got[str(v)] == (
+            best,
+            err_of(feats[best], mask),
+            int(mask.sum()),
+        ), v
+
+
+def test_lsh_calibration_theory_tracks_data(spark):
+    """Predicted values equal the Python squaring-chain recompute,
+    every J >= 0.9 pair collides, and the total observed collision
+    count sits within 4 sigma of the predicted binomial sum."""
+    import math
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        dedup_lsh_calibration_query,
+    )
+
+    rows = dedup_lsh_calibration_query(spark, SF_DIR).collect()
+    assert rows
+    pred_sum = 0.0
+    var_sum = 0.0
+    for r in rows:
+        t = 1 - r.jaccard * r.jaccard
+        t2 = t * t
+        t4 = t2 * t2
+        s = 1 - t4 * t4
+        assert r.predicted_x1e4 == math.floor(s * 10000 + 0.5), r
+        if r.jaccard >= 0.9:
+            assert r.collided == 1, r
+        pred_sum += s
+        var_sum += s * (1 - s)
+    observed = sum(r.collided for r in rows)
+    sigma = math.sqrt(var_sum)
+    assert abs(observed - pred_sum) <= 4 * sigma + 3, (observed, pred_sum, sigma)
