@@ -182,6 +182,7 @@ def main() -> None:
     out["rangejoin_probe"] = _rangejoin_probe(spark, sf_dir)
     out["dpp_probe"] = _dpp_probe(spark, sf_dir)
     out["pq_probe"] = _pq_probe(spark, sf_dir)
+    out["itemsets_probe"] = _itemsets_probe(spark, sf_dir)
     out["env"] = {
         **env_start,
         "loadavg_end": _env_snapshot()["loadavg"],
@@ -250,6 +251,103 @@ def _dpp_probe(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _itemsets_probe(spark, sf_dir: str) -> dict:
+    """Apriori pruning (operators/itemsets.py): the L1 basket filter +
+    L2 semi-join prune must shrink the candidate-triple space the
+    counting shuffle keys on, at identical results (the pruning is
+    result-invariant by the Apriori property — asserted here, not
+    assumed). Reports candidate rows before counting for both paths,
+    the equal frequent-triple output, and wall times."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.itemsets import (
+        _baskets,
+        frequent_triples,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def naive_triples():
+        b = _baskets(li, "l_orderkey", "l_partkey", 200)
+        cand = b.where(F.size("_items") >= 3).select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_items, (x, i) ->"
+                    " flatten(transform(slice(_items, i + 2, size(_items) - i - 1),"
+                    " (y, j) -> transform(slice(_items, i + j + 3,"
+                    " size(_items) - i - j - 2),"
+                    " z -> struct(x AS p1, y AS p2, z AS p3))))))"
+                )
+            ).alias("_t")
+        ).select("_t.p1", "_t.p2", "_t.p3")
+        return cand
+
+    def pruned_triples_cand():
+        # the operator's candidate stage, before the counting agg
+        from spotify_data_pipeline_spark.operators.itemsets import (
+            _filtered_baskets,
+            frequent_pairs,
+        )
+
+        b = _filtered_baskets(li, "l_orderkey", "l_partkey", 2, 200)
+        l2 = frequent_pairs(li, "l_orderkey", "l_partkey", 2, 200).select("p1", "p2")
+        t = b.where(F.size("_items") >= 3).select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_items, (x, i) ->"
+                    " flatten(transform(slice(_items, i + 2, size(_items) - i - 1),"
+                    " (y, j) -> transform(slice(_items, i + j + 3,"
+                    " size(_items) - i - j - 2),"
+                    " z -> struct(x AS p1, y AS p2, z AS p3))))))"
+                )
+            ).alias("_t")
+        ).select("_t.p1", "_t.p2", "_t.p3")
+        for a, c in (("p1", "p2"), ("p1", "p3"), ("p2", "p3")):
+            t = t.join(
+                l2.select(F.col("p1").alias(a), F.col("p2").alias(c)), [a, c], "left_semi"
+            )
+        return t
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        n = fn()
+        return round(time.perf_counter() - t0, 3), n
+
+    naive_sec, naive_cand = timed(lambda: naive_triples().count())
+    pruned_sec, pruned_cand = timed(lambda: pruned_triples_cand().count())
+    # result invariance: frequent triples from the pruned operator
+    # equal the naive count-all-then-filter route
+    pruned_out = {
+        (r.p1, r.p2, r.p3, r.support)
+        for r in frequent_triples(li, "l_orderkey", "l_partkey", 2, 200).collect()
+    }
+    naive_out = {
+        (r.p1, r.p2, r.p3, r["count"])
+        for r in naive_triples()
+        .groupBy("p1", "p2", "p3")
+        .count()
+        .where(F.col("count") >= 2)
+        .collect()
+    }
+    return {
+        "naive_candidates": naive_cand,
+        "pruned_candidates": pruned_cand,
+        "candidate_reduction_pct": round(
+            100.0 * (1 - pruned_cand / max(naive_cand, 1)), 1
+        ),
+        "naive_scan_sec": naive_sec,
+        "pruned_scan_sec": pruned_sec,
+        "results_equal": pruned_out == naive_out,
+        # at bench SF the baskets are tiny, so the prune's extra semi
+        # joins cost more than the candidate shuffle they avoid — the
+        # claim that scales is the candidate-space reduction (the
+        # counting shuffle keys on 10^0 rows instead of 10^6) and
+        # results_equal; the dpp_probe precedent
+        "note": "structural check; timing delta meaningful only at scale",
+    }
 
 
 def _pq_probe(spark, sf_dir: str) -> dict:
