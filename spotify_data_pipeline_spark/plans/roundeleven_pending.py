@@ -990,6 +990,112 @@ def _mmr_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Wave 9: CUPED variance reduction (experimentation family closure).
+
+
+def events_ab_cuped_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. WSDM'13) — the pre-experiment-covariate
+    variance reduction every mature experimentation platform applies
+    before reading a test: Y' = Y − θ(X − E[X]), θ = cov(X,Y)/var(X),
+    with X = the user's PRE-period activity (Jan 1–15) and Y the
+    experiment-period activity (Jan 16–31; the events table spans
+    exactly January, measured at every SF). Everything the analyst
+    divides is emitted as EXACT integer atoms (the ACF/assortativity
+    discipline): per md5-bucketed arm (the SRM device) the user count
+    and ΣX/ΣY, and globally the pooled θ numerator n·ΣXY − ΣX·ΣY and
+    denominator n·ΣX² − (ΣX)², so θ, the adjusted means, and the
+    variance-reduction ratio are each ONE downstream division of
+    pinned integers. One per-user conditional agg (both windows in a
+    single scan), one arm agg, one 1-row pooled agg, assembled
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+                .cast("long")
+            ).alias("x"),
+            F.sum(
+                (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+                .cast("long")
+            ).alias("y"),
+        )
+        .select(arm.alias("arm"), "x", "y")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    pooled = per_user.agg(
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("long")
+        .alias("theta_num"),
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+        .cast("long")
+        .alias("theta_den"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select("arm", "n_users", "sum_x", "sum_y", "theta_num", "theta_den")
+        .orderBy("arm")
+    )
+
+
+_CUPED_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), armed AS (
+      SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 2 AS arm,
+             x, y
+      FROM (SELECT substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 4) AS h,
+                   x, y
+            FROM per_user)
+    ), arms AS (
+      SELECT CAST(arm AS BIGINT) AS arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y
+      FROM armed GROUP BY 1
+    ), pooled AS (
+      SELECT CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS theta_num,
+             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS theta_den
+      FROM armed
+    )
+    SELECT arm, n_users, sum_x, sum_y, theta_num, theta_den
+    FROM arms, pooled
+    ORDER BY arm
+"""
+
+
+# ---------------------------------------------------------------------------
 # Wave 8: depth-2 decision tree + LSH theory-vs-data calibration.
 
 _TREE_THRESHOLD = 200_000  # the stump's high-value label, shared
@@ -1561,5 +1667,12 @@ PENDING: tuple[PendingQuery, ...] = (
         dedup_lsh_calibration_query,
         _lsh_calibration_oracle(),
         tags=("dedup", "lsh", "calibration", "s-curve", "theory-vs-data"),
+    ),
+    PendingQuery(
+        "events_ab_cuped",
+        events_ab_cuped_query,
+        _CUPED_ORACLE,
+        tags=("events", "experimentation", "cuped", "variance-reduction",
+              "integer-exact"),
     ),
 )

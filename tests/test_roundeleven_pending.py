@@ -64,6 +64,8 @@ _BNLJ_OK = {
     "ml_decision_tree_d2",
     # inherits ngram_jaccard's 1-row DF-cap broadcast
     "dedup_lsh_calibration",
+    # 1-row pooled theta-atoms aggregate broadcast onto the 2-arm frame
+    "events_ab_cuped",
 }
 
 
@@ -481,3 +483,41 @@ def test_lsh_calibration_theory_tracks_data(spark):
     observed = sum(r.collided for r in rows)
     sigma = math.sqrt(var_sum)
     assert abs(observed - pred_sum) <= 4 * sigma + 3, (observed, pred_sum, sigma)
+
+
+def test_cuped_atoms_vs_pandas(spark):
+    """All six atoms equal an exact pandas/Python-int recount, the
+    arms partition the user set, and theta_den > 0 (the covariate
+    genuinely varies, so the adjustment is well-defined)."""
+    import hashlib
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        events_ab_cuped_query,
+    )
+
+    rows = {r.arm: r for r in events_ab_cuped_query(spark, SF_DIR).collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")[["user_id", "ts"]]
+    cut = pd.Timestamp("2024-01-16 00:00:00")
+    per = ev.groupby("user_id").ts.agg(
+        x=lambda s: int((s < cut).sum()), y=lambda s: int((s >= cut).sum())
+    )
+    atoms = {0: [0, 0, 0], 1: [0, 0, 0]}
+    xs, ys = [], []
+    for uid, r in per.iterrows():
+        arm = int(hashlib.md5(f"ab1:{uid}".encode()).hexdigest()[:4], 16) % 2
+        atoms[arm][0] += 1
+        atoms[arm][1] += int(r.x)
+        atoms[arm][2] += int(r.y)
+        xs.append(int(r.x))
+        ys.append(int(r.y))
+    n = len(per)
+    theta_num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    theta_den = n * sum(a * a for a in xs) - sum(xs) ** 2
+    assert theta_den > 0
+    for arm in (0, 1):
+        r = rows[arm]
+        assert (r.n_users, r.sum_x, r.sum_y) == tuple(atoms[arm])
+        assert (r.theta_num, r.theta_den) == (theta_num, theta_den)
+    assert rows[0].n_users + rows[1].n_users == n
