@@ -990,6 +990,133 @@ def _mmr_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Wave 10: SimHash null-model baseline (theory-vs-data, the LSH
+# calibration's sibling for the Hamming family).
+
+
+def _binom60_ppm() -> list:
+    """(h, ppm) literals for Binomial(60, 1/2): C(60,h)·10⁶ DIV 2⁶⁰,
+    computed ONCE in Python ints and shared by both engines (the
+    Benford shared-literals device — C(60,30)·10⁶ ≈ 1.2e23 overflows
+    BIGINT, so neither engine computes it in-plan)."""
+    import math
+
+    return [(h, math.comb(60, h) * 1_000_000 // (1 << 60)) for h in range(61)]
+
+
+def text_simhash_baseline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash null model, measured: pair each document with its
+    md5-rank neighbor (a deterministic RANDOM pairing — the seeded-
+    order device) and histogram the 60-bit fingerprint Hamming
+    distances against the Binomial(60, ½) expectation that
+    INDEPENDENT fingerprints would follow. On this corpus the
+    observed mass sits well below 30 bits — the ~31-token vocabulary
+    correlates every fingerprint, and THAT measured deviation is the
+    whole reason simhash works as a near-dup signal here. All 61
+    distance rows are emitted (zeros included) with the expected ppm
+    as shared literals, so both the theory column and the observation
+    column are exact."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    from pyspark.sql import Window
+
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).withColumn("_h", F.md5(F.col("tok")))
+    sign_cols = [
+        F.expr(
+            f"2 * (((instr('0123456789abcdef', substr(_h, {j // 4 + 1}, 1)) - 1)"
+            f" DIV {1 << (j % 4)}) % 2) - 1"
+        ).alias(f"s{j}")
+        for j in range(60)
+    ]
+    sums = tok.select("doc_id", *sign_cols).groupBy("doc_id").agg(
+        *[F.sum(f"s{j}").alias(f"s{j}") for j in range(60)]
+    )
+    fp_expr = " + ".join(f"IF(s{j} > 0, {1 << j}L, 0L)" for j in range(60))
+    fps = sums.select("doc_id", F.expr(fp_expr).alias("fp"))
+    w = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ranked = fps.withColumn("_rn", F.row_number().over(w))
+    a = ranked.where(F.col("_rn") % 2 == 1).select(
+        ((F.col("_rn") + 1) / 2).cast("long").alias("_p"), F.col("fp").alias("fp_a")
+    )
+    b = ranked.where(F.col("_rn") % 2 == 0).select(
+        (F.col("_rn") / 2).cast("long").alias("_p"), F.col("fp").alias("fp_b")
+    )
+    dists = a.join(b, "_p").select(
+        F.expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)").alias("hamming")
+    )
+    obs = dists.groupBy("hamming").agg(F.count("*").cast("long").alias("n_observed"))
+    expected = spark.createDataFrame(
+        _binom60_ppm(), "hamming BIGINT, expected_ppm BIGINT"
+    )
+    return (
+        expected.join(obs, "hamming", "left")
+        .select(
+            "hamming",
+            "expected_ppm",
+            F.coalesce(F.col("n_observed"), F.lit(0)).cast("long").alias("n_observed"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def _simhash_baseline_oracle() -> str:
+    sign_cols = ",\n             ".join(
+        f"2 * (((instr('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        f" // {1 << (j % 4)}) % 2) - 1 AS s{j}"
+        for j in range(60)
+    )
+    sum_cols = ",\n             ".join(f"sum(s{j}) AS s{j}" for j in range(60))
+    fp_expr = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(60)
+    )
+    lits = ", ".join(f"({h}, {ppm})" for h, ppm in _binom60_ppm())
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), tk AS (
+      SELECT doc_id, md5(tok) AS h
+      FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t)
+    ), bits AS (
+      SELECT doc_id,
+             {sign_cols}
+      FROM tk
+    ), sums AS (
+      SELECT doc_id,
+             {sum_cols}
+      FROM bits GROUP BY 1
+    ), fps AS (
+      SELECT doc_id, {fp_expr} AS fp FROM sums
+    ), ranked AS (
+      SELECT fp, row_number() OVER (
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      FROM fps
+    ), dists AS (
+      SELECT CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      FROM (SELECT (rn + 1) // 2 AS p, fp FROM ranked WHERE rn % 2 = 1) a
+      JOIN (SELECT rn // 2 AS p, fp FROM ranked WHERE rn % 2 = 0) b USING (p)
+    ), obs AS (
+      SELECT hamming, CAST(count(*) AS BIGINT) AS n_observed
+      FROM dists GROUP BY 1
+    ), expected(hamming, expected_ppm) AS (VALUES {lits})
+    SELECT CAST(e.hamming AS BIGINT) AS hamming,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           coalesce(o.n_observed, 0) AS n_observed
+    FROM expected e LEFT JOIN obs o ON e.hamming = o.hamming
+    ORDER BY e.hamming
+"""
+
+
+# ---------------------------------------------------------------------------
 # Wave 9: CUPED variance reduction (experimentation family closure).
 
 
@@ -1667,6 +1794,12 @@ PENDING: tuple[PendingQuery, ...] = (
         dedup_lsh_calibration_query,
         _lsh_calibration_oracle(),
         tags=("dedup", "lsh", "calibration", "s-curve", "theory-vs-data"),
+    ),
+    PendingQuery(
+        "text_simhash_baseline",
+        text_simhash_baseline_query,
+        _simhash_baseline_oracle(),
+        tags=("text", "simhash", "null-model", "theory-vs-data", "integer-exact"),
     ),
     PendingQuery(
         "events_ab_cuped",

@@ -521,3 +521,30 @@ def test_cuped_atoms_vs_pandas(spark):
         assert (r.n_users, r.sum_x, r.sum_y) == tuple(atoms[arm])
         assert (r.theta_num, r.theta_den) == (theta_num, theta_den)
     assert rows[0].n_users + rows[1].n_users == n
+
+
+def test_simhash_baseline_theory_columns_and_deviation(spark):
+    """Expected ppm equals the math.comb recompute (and sums to ~1e6);
+    observed pairs cover floor(n_docs/2); and the corpus's measured
+    mean distance sits BELOW the 30-bit null-model mean — the
+    correlation deviation the query exists to show."""
+    import math
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        text_simhash_baseline_query,
+    )
+
+    rows = text_simhash_baseline_query(spark, SF_DIR).collect()
+    assert [r.hamming for r in rows] == list(range(61))
+    for r in rows:
+        assert r.expected_ppm == math.comb(60, r.hamming) * 1_000_000 // (1 << 60)
+    assert 990_000 <= sum(r.expected_ppm for r in rows) <= 1_000_000
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n_nonblank = int((docs.text.str.strip().str.len() > 0).sum())
+    total = sum(r.n_observed for r in rows)
+    assert total == n_nonblank // 2
+    mean_num = sum(r.hamming * r.n_observed for r in rows)
+    assert mean_num < 30 * total  # correlated corpus: below the null mean
