@@ -990,6 +990,213 @@ def _mmr_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Wave 11: corpus-linguistics + graph-topology breadth.
+
+
+def text_burstiness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995) — the adaptation
+    statistic frequency hides: P(term recurs IN a document | it
+    appeared at all) = docs_with_2plus / docs_with_1plus, in exact
+    ppm. A term can be frequent because many documents mention it
+    once (function-word behavior) or because few documents repeat it
+    heavily (content/topic behavior); df alone cannot tell them
+    apart, burstiness can. One tokenize scan → (doc, term) counts →
+    per-term document tallies; full vocabulary emitted (it is ~31
+    terms on this corpus — stated, not hidden)."""
+    from spotify_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    per_doc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum((F.col("tf") >= 2).cast("long")).cast("long").alias("df_2plus"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .select(
+            "term",
+            "df",
+            "df_2plus",
+            "cf",
+            F.expr("df_2plus * 1000000 DIV df").alias("burstiness_ppm"),
+        )
+        .orderBy("term")
+    )
+
+
+_BURSTINESS_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), per_doc AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+      GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df_2plus,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS burstiness_ppm
+    FROM per_doc
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+_RICH_CLUB_PCTS = (50, 75, 90, 95, 99)
+
+
+def graph_rich_club_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the part co-order graph (Zhou &
+    Mondragón 2004): among nodes of degree > k, the realized fraction
+    of possible edges — do the hubs preferentially interconnect? The
+    threshold ladder is DATA-ADAPTIVE: k at the p50/p75/p90/p95/p99
+    DISCRETE degree order statistics (the Tukey rank device), because
+    any fixed ladder is degenerate on some SF (measured: every node
+    of the sf0.001 graph has degree > 32 — a constant ladder produced
+    five identical rows). Per rung: the percentile, its k, n_rich,
+    realized rich-rich edges, and φ in exact ppm (NULL via nullif
+    when fewer than two rich nodes). Degrees once, thresholds as a
+    5-row frame joined back — no per-rung scans."""
+    from pyspark.sql import Window
+
+    from spotify_data_pipeline_spark.operators.triangles import cooccurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = (
+        edges.select(F.col("src").alias("u"))
+        .unionAll(edges.select(F.col("dst").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+    )
+    w = Window.orderBy(F.col("d").asc(), F.col("u").asc())
+    full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = deg.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_m", F.count("*").over(full)
+    )
+    ks = ranked.groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("_rn")
+                    == F.expr(f"least(_m, ({p} * (_m + 1)) DIV 100)"),
+                    F.col("d"),
+                )
+            ).alias(f"_k{p}")
+            for p in _RICH_CLUB_PCTS
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("pct"),
+                        F.col(f"_k{p}").cast("long").alias("k"),
+                    )
+                    for p in _RICH_CLUB_PCTS
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.pct", "_s.k")
+    rich = F.broadcast(ks).crossJoin(deg).where(F.col("d") > F.col("k"))
+    nrich = rich.groupBy("pct", "k").agg(F.count("*").alias("n_rich"))
+    e_with_deg = edges.join(
+        deg.select(F.col("u").alias("src"), F.col("d").alias("_ds")), "src"
+    ).join(deg.select(F.col("u").alias("dst"), F.col("d").alias("_dd")), "dst")
+    realized = (
+        F.broadcast(ks)
+        .crossJoin(e_with_deg)
+        .where((F.col("_ds") > F.col("k")) & (F.col("_dd") > F.col("k")))
+        .groupBy("pct", "k")
+        .agg(F.count("*").alias("n_realized"))
+    )
+    return (
+        ks.join(nrich, ["pct", "k"], "left")
+        .join(realized, ["pct", "k"], "left")
+        .select(
+            "pct",
+            "k",
+            F.coalesce(F.col("n_rich"), F.lit(0)).cast("long").alias("n_rich"),
+            F.coalesce(F.col("n_realized"), F.lit(0)).cast("long").alias("n_realized"),
+            F.expr(
+                "CAST(coalesce(n_realized, 0) * 1000000"
+                " DIV nullif(coalesce(n_rich, 0) * (coalesce(n_rich, 0) - 1)"
+                " DIV 2, 0) AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+        .orderBy("pct")
+    )
+
+
+def _rich_club_oracle() -> str:
+    kcols = ",\n        ".join(
+        f"max(CASE WHEN rn = least(m, ({p} * (m + 1)) // 100) THEN d END) AS k{p}"
+        for p in _RICH_CLUB_PCTS
+    )
+    lits = "\n      UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS pct, k{p} AS k FROM kq"
+        for p in _RICH_CLUB_PCTS
+    )
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), sized AS (
+      SELECT l_orderkey FROM li GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND 200
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY d ASC, u ASC) AS rn,
+             count(*) OVER () AS m
+      FROM deg
+    ), kq AS (
+      SELECT
+        {kcols}
+      FROM ranked
+    ), ks AS (
+      {lits}
+    ), nrich AS (
+      SELECT pct, ks.k, CAST(count(*) AS BIGINT) AS n_rich
+      FROM ks JOIN deg ON d > ks.k GROUP BY 1, 2
+    ), realized AS (
+      SELECT pct, ks.k, CAST(count(*) AS BIGINT) AS n_realized
+      FROM ks, e
+      JOIN deg ds ON e.src = ds.u
+      JOIN deg dd ON e.dst = dd.u
+      WHERE ds.d > ks.k AND dd.d > ks.k
+      GROUP BY 1, 2
+    )
+    SELECT ks.pct, CAST(ks.k AS BIGINT) AS k,
+           coalesce(n.n_rich, 0) AS n_rich,
+           coalesce(r.n_realized, 0) AS n_realized,
+           CAST(coalesce(r.n_realized, 0) * 1000000
+                // nullif(coalesce(n.n_rich, 0) * (coalesce(n.n_rich, 0) - 1) // 2, 0)
+                AS BIGINT) AS phi_ppm
+    FROM ks LEFT JOIN nrich n ON ks.pct = n.pct
+            LEFT JOIN realized r ON ks.pct = r.pct
+    ORDER BY ks.pct
+"""
+
+
+# ---------------------------------------------------------------------------
 # Wave 10: SimHash null-model baseline (theory-vs-data, the LSH
 # calibration's sibling for the Hamming family).
 
@@ -1794,6 +2001,18 @@ PENDING: tuple[PendingQuery, ...] = (
         dedup_lsh_calibration_query,
         _lsh_calibration_oracle(),
         tags=("dedup", "lsh", "calibration", "s-curve", "theory-vs-data"),
+    ),
+    PendingQuery(
+        "text_burstiness",
+        text_burstiness_query,
+        _BURSTINESS_ORACLE,
+        tags=("text", "burstiness", "linguistics", "integer-exact"),
+    ),
+    PendingQuery(
+        "graph_rich_club",
+        graph_rich_club_query,
+        _rich_club_oracle(),
+        tags=("graph", "rich-club", "topology", "integer-exact"),
     ),
     PendingQuery(
         "text_simhash_baseline",

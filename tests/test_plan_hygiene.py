@@ -147,6 +147,9 @@ _BNLJ_WHITELIST = {
     "dedup_lsh_calibration",
     # 1-row pooled theta-atoms aggregate broadcast onto the 2-arm frame
     "events_ab_cuped",
+    # broadcast 5-row percentile-ladder frame crossed with the degree
+    # and edge tables (bounded-literal pattern, join_range_bands kin)
+    "graph_rich_club",
 }
 
 

@@ -66,6 +66,9 @@ _BNLJ_OK = {
     "dedup_lsh_calibration",
     # 1-row pooled theta-atoms aggregate broadcast onto the 2-arm frame
     "events_ab_cuped",
+    # broadcast 5-row percentile-ladder frame crossed with the degree
+    # and edge tables (bounded-literal pattern, join_range_bands kin)
+    "graph_rich_club",
 }
 
 
@@ -548,3 +551,72 @@ def test_simhash_baseline_theory_columns_and_deviation(spark):
     assert total == n_nonblank // 2
     mean_num = sum(r.hamming * r.n_observed for r in rows)
     assert mean_num < 30 * total  # correlated corpus: below the null mean
+
+
+def test_burstiness_vs_python(spark):
+    """df / df2+ / cf / ppm equal a Python recount, and burstiness
+    genuinely differs from raw frequency ranking somewhere (the
+    statistic carries information df alone does not)."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        text_burstiness_query,
+    )
+
+    rows = {r.term: r for r in text_burstiness_query(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    stats: dict = {}
+    for txt in docs.text:
+        toks = " ".join(txt.strip().split()).lower().split(" ")
+        if toks == [""]:
+            continue
+        tf: dict = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        for t, n in tf.items():
+            df_, d2, cf = stats.get(t, (0, 0, 0))
+            stats[t] = (df_ + 1, d2 + (1 if n >= 2 else 0), cf + n)
+    assert set(rows) == set(stats)
+    for t, (df_, d2, cf) in stats.items():
+        r = rows[t]
+        assert (r.df, r.df_2plus, r.cf) == (df_, d2, cf), t
+        assert r.burstiness_ppm == d2 * 1_000_000 // df_
+    ranks_by_cf = sorted(rows, key=lambda t: (-rows[t].cf, t))
+    ranks_by_b = sorted(rows, key=lambda t: (-rows[t].burstiness_ppm, t))
+    assert ranks_by_cf != ranks_by_b
+
+
+def test_rich_club_monotone_structure(spark):
+    """Rungs are the discrete degree percentiles (pandas recount),
+    n_rich is non-increasing up the ladder, and realized <= possible."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        _RICH_CLUB_PCTS,
+        graph_rich_club_query,
+    )
+
+    rows = {r.pct: r for r in graph_rich_club_query(spark, SF_DIR).collect()}
+    assert set(rows) == set(_RICH_CLUB_PCTS)
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    sizes = li.groupby("l_orderkey").size()
+    li = li[li.l_orderkey.isin(sizes[(sizes >= 2) & (sizes <= 200)].index)]
+    e = li.merge(li, on="l_orderkey")
+    e = e[e.l_partkey_x < e.l_partkey_y][
+        ["l_partkey_x", "l_partkey_y"]
+    ].drop_duplicates()
+    deg = pd.concat([e.l_partkey_x, e.l_partkey_y]).value_counts()
+    ds = sorted(deg)
+    mm = len(ds)
+    prev_rich = None
+    for p in _RICH_CLUB_PCTS:
+        k = ds[min(mm, (p * (mm + 1)) // 100) - 1]
+        r = rows[p]
+        assert r.k == k, p
+        assert r.n_rich == int((deg > k).sum())
+        assert r.n_realized <= r.n_rich * (r.n_rich - 1) // 2
+        if prev_rich is not None:
+            assert r.n_rich <= prev_rich
+        prev_rich = r.n_rich
