@@ -990,6 +990,148 @@ def _mmr_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Wave 12: the curation funnel (capstone LLM-ops observability).
+
+
+def llm_curation_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL — stage-by-stage survivor counts through
+    the pretraining-data pipeline, the one observability table every
+    data-curation run publishes (what did each gate cost?): raw →
+    non-blank → quality+language → exact-dedup (first per canonical
+    fingerprint) → near-dedup (minus connected-component losers of
+    the exact 3-gram-Jaccard ≥ 0.5 graph — the ORACLE-able twin of
+    the MinHash path, same transitive-survivor semantics). Every
+    stage reuses an already-hash-matched piece
+    (llm_curation_pipeline's gates, dedup_components' labeling), so
+    the funnel's oracle is the composition of the proofs; counts are
+    monotonically non-increasing by construction (pytest-pinned).
+    Stage counts are 1-row aggregates unioned — the funnel frame is
+    O(stages), never the corpus."""
+    from pyspark.sql import Window
+
+    from spotify_data_pipeline_spark.functions.text import is_nonblank
+    from spotify_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from spotify_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from spotify_data_pipeline_spark.operators.textops import (
+        fingerprint_md5,
+        language_id,
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    nonblank = docs.where(is_nonblank(F.col("text")))
+    feat = fingerprint_md5(language_id(quality_features(nonblank)))
+    w = Window.partitionBy("fingerprint")
+    feat = feat.withColumn("_first", F.min("doc_id").over(w))
+    quality = feat.where(
+        F.col("n_tokens").between(5, 5000)
+        & (F.col("uniq_ratio") >= 0.3)
+        & (F.col("punct_ratio") <= 0.3)
+        & (F.col("pred_lang") != "und")
+    )
+    exact = quality.where(F.col("doc_id") == F.col("_first"))
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.5
+    ).select("id_a", "id_b")
+    losers = (
+        connected_components(pairs)
+        .where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    neardup = exact.join(losers, "doc_id", "left_anti")
+
+    def stage(ord_: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+
+    out = (
+        stage(1, "raw", docs)
+        .unionAll(stage(2, "nonblank", nonblank))
+        .unionAll(stage(3, "quality_lang", quality))
+        .unionAll(stage(4, "exact_dedup", exact))
+        .unionAll(stage(5, "near_dedup", neardup))
+    )
+    return out.orderBy("stage_ord")
+
+
+def _curation_funnel_oracle() -> str:
+    from spotify_data_pipeline_spark.operators.textops import language_id_sql
+    from spotify_data_pipeline_spark.plans.roundfour import _PAIRS_SQL
+
+    pairs_sql = _PAIRS_SQL.replace("WITH t AS", ", pt AS").replace(
+        ", s AS", ", ps AS"
+    )
+    # rename the pair CTEs to avoid colliding with the funnel's own
+    pairs_sql = (
+        pairs_sql.replace("FROM t\n", "FROM pt\n")
+        .replace("unnest(", "unnest(")
+        .replace(" s a ", " ps a ")
+        .replace(" s b ", " ps b ")
+        .replace("FROM s GROUP BY 1", "FROM ps GROUP BY 1")
+    )
+    return (
+        rf"""
+    WITH RECURSIVE tt AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      FROM documents WHERE length(trim(text)) > 0
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             floor((len(list_distinct(toks)) / greatest(len(toks), 1)) * 10000 + 0.5) / 10000 AS uniq_ratio,
+             floor((length(regexp_replace(norm, '[\w\s]', '', 'g')) / greatest(length(norm), 1)) * 10000 + 0.5) / 10000 AS punct_ratio,
+             {language_id_sql("toks")} AS pred_lang,
+             md5(lower(norm)) AS fingerprint
+      FROM tt
+    ), g AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS first_doc FROM f
+    ), quality AS (
+      SELECT doc_id, first_doc FROM g
+      WHERE n_tokens BETWEEN 5 AND 5000
+        AND uniq_ratio >= 0.3
+        AND punct_ratio <= 0.3
+        AND pred_lang <> 'und'
+    ), exact_d AS (
+      SELECT doc_id FROM quality WHERE doc_id = first_doc
+    )"""
+        + pairs_sql
+        + """
+    , e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, v) AS (
+      SELECT DISTINCT u, u FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ), losers AS (
+      SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)
+    ), neardup AS (
+      SELECT doc_id FROM exact_d WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+             CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL
+      SELECT 2, 'nonblank', CAST((SELECT count(*) FROM tt) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'quality_lang', CAST((SELECT count(*) FROM quality) AS BIGINT)
+      UNION ALL
+      SELECT 4, 'exact_dedup', CAST((SELECT count(*) FROM exact_d) AS BIGINT)
+      UNION ALL
+      SELECT 5, 'near_dedup', CAST((SELECT count(*) FROM neardup) AS BIGINT)
+    ) ORDER BY stage_ord
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wave 11: corpus-linguistics + graph-topology breadth.
 
 
@@ -2001,6 +2143,12 @@ PENDING: tuple[PendingQuery, ...] = (
         dedup_lsh_calibration_query,
         _lsh_calibration_oracle(),
         tags=("dedup", "lsh", "calibration", "s-curve", "theory-vs-data"),
+    ),
+    PendingQuery(
+        "llm_curation_funnel",
+        llm_curation_funnel_query,
+        _curation_funnel_oracle(),
+        tags=("llmops", "curation", "funnel", "observability", "integer-exact"),
     ),
     PendingQuery(
         "text_burstiness",

@@ -145,6 +145,8 @@ _BNLJ_WHITELIST = {
     "ml_decision_tree_d2",
     # inherits ngram_jaccard's 1-row DF-cap broadcast
     "dedup_lsh_calibration",
+    # inherits ngram_jaccard's 1-row DF-cap broadcast (near-dedup stage)
+    "llm_curation_funnel",
     # 1-row pooled theta-atoms aggregate broadcast onto the 2-arm frame
     "events_ab_cuped",
     # broadcast 5-row percentile-ladder frame crossed with the degree

@@ -64,6 +64,8 @@ _BNLJ_OK = {
     "ml_decision_tree_d2",
     # inherits ngram_jaccard's 1-row DF-cap broadcast
     "dedup_lsh_calibration",
+    # inherits ngram_jaccard's 1-row DF-cap broadcast (near-dedup stage)
+    "llm_curation_funnel",
     # 1-row pooled theta-atoms aggregate broadcast onto the 2-arm frame
     "events_ab_cuped",
     # broadcast 5-row percentile-ladder frame crossed with the degree
@@ -620,3 +622,21 @@ def test_rich_club_monotone_structure(spark):
         if prev_rich is not None:
             assert r.n_rich <= prev_rich
         prev_rich = r.n_rich
+
+
+def test_curation_funnel_composes_proven_stages(spark):
+    """Counts are monotonically non-increasing; stage 4 equals the
+    declared llm_curation_pipeline's row count; stage 5 equals stage 4
+    minus the component losers present in it."""
+    from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import (
+        llm_curation_funnel_query,
+    )
+
+    rows = llm_curation_funnel_query(spark, SF_DIR).collect()
+    assert [r.stage_ord for r in rows] == [1, 2, 3, 4, 5]
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    declared = all_queries()["llm_curation_pipeline"]
+    assert counts[3] == declared.fn(spark, SF_DIR).count()
+    assert counts[4] < counts[3]  # near-dedup genuinely bites at sf0.001
