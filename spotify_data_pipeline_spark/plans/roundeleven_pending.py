@@ -2053,6 +2053,55 @@ def _kmeans_oracle() -> str:
     return "\n    ".join(parts)
 
 
+def join_salted_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew mitigation, driver-proven harmless: lineitem joins
+    supplier through ``operators/saltjoin.salted_equi_join`` (fact rows
+    spread 8 ways by xxhash64(l_orderkey, l_linenumber); supplier
+    replicated 8x in-plan; sort-merge join on (suppkey, _salt)), then
+    per-nation line counts and exact revenue cents. The oracle is the
+    PLAIN join+agg — the hash match is the proof that salting is pure
+    partition engineering with zero result surface, the same
+    optimized-vs-naive pattern as ``join_bloom_semireduction`` (bloom
+    prefilter) and ``text_inverted_phrase`` (index vs scan). At 100 TB
+    this is the join you run when ``ops_skew_report`` flags a power-law
+    key and the dim side is too big to broadcast: S comes from the
+    report's ceil-salt column, the dim ships S times (bounded, known),
+    and the hot key's single straggler task becomes S even tasks. The
+    salt is deterministic (re-runs/retries place rows identically) and
+    non-null by construction (xxhash64 maps NULLs to its seed — a NULL
+    salt would drop matched rows)."""
+    from spotify_data_pipeline_spark.operators.saltjoin import salted_equi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    joined = salted_equi_join(
+        li, su, "l_suppkey", "s_suppkey", 8, ("l_orderkey", "l_linenumber")
+    )
+    return (
+        joined.groupBy(F.col("s_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_SALTED_SKEW_ORACLE = """
+    SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "sim_item_item_cf",
@@ -2173,6 +2222,13 @@ PENDING: tuple[PendingQuery, ...] = (
         events_ab_cuped_query,
         _CUPED_ORACLE,
         tags=("events", "experimentation", "cuped", "variance-reduction",
+              "integer-exact"),
+    ),
+    PendingQuery(
+        "join_salted_skew",
+        join_salted_skew_query,
+        _SALTED_SKEW_ORACLE,
+        tags=("join", "skew", "salting", "optimized-vs-naive",
               "integer-exact"),
     ),
 )
