@@ -152,6 +152,14 @@ _BNLJ_WHITELIST = {
     # broadcast 5-row percentile-ladder frame crossed with the degree
     # and edge tables (bounded-literal pattern, join_range_bands kin)
     "graph_rich_club",
+    # --- round-12 staged (pre-whitelisted for activation) ---
+    # three 1-row aggregates (fact stats x dim stats x key-hist max)
+    # cross-joined per candidate join
+    "ops_join_strategy_advice",
+    # bounded-literal broadcasts: 8-row centroid frame + 10-row query
+    # set (sim_ann_ivf_fixed / sim_cosine_topk anchors) + 1-row
+    # hit/total aggregates per recall row
+    "sim_ivf_recall",
 }
 
 

@@ -1,0 +1,146 @@
+"""Prefix-filtered set-similarity join (operators/ppjoin.py): exact
+equality with a pure-Python brute force over raw shingle strings (the
+engine-free third route, also covering hashed≡raw shingle counts),
+candidate-space reduction vs the full posting join (the claim that
+scales), zero recall loss on randomized corpora, repartition
+invariance, and arg validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.operators.ppjoin import prefix_filter_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = " ".join(text.strip().split()).lower().split(" ")
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}
+
+
+def _py_pairs(texts: dict, tau_num: int, tau_den: int) -> list[tuple]:
+    sets = {i: _py_shingles(t) for i, t in texts.items() if t.strip()}
+    ids = sorted(sets)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            sa, sb = len(sets[a]), len(sets[b])
+            if inter * (tau_den + tau_num) >= tau_num * (sa + sb):
+                out.append(
+                    (a, b, inter, sa, sb, inter * 1_000_000 // (sa + sb - inter))
+                )
+    return sorted(out)
+
+
+def test_fixture_equals_python_brute_force(spark):
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        (r.id_a, r.id_b, r.n_common, r.n_a, r.n_b, r.jaccard_ppm)
+        for r in prefix_filter_pairs(docs).collect()
+    )
+    d = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    expect = _py_pairs(dict(zip(d.doc_id, d.text)), 3, 5)
+    assert got == expect
+    assert len(got) > 0  # planted near-dups exist at every SF
+
+
+def test_random_corpus_zero_recall_loss(spark):
+    """Randomized small-vocab corpus (the adversarial regime for prefix
+    filters: heavy shingle collisions) — optimized equals brute force
+    at two different taus."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        for i in range(80)
+    }
+    # plant a few near-identical pairs
+    for i in (70, 71):
+        texts[i] = texts[0] + " extra"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    for tn, td in ((3, 5), (7, 10)):
+        got = sorted(
+            (r.id_a, r.id_b, r.n_common, r.n_a, r.n_b, r.jaccard_ppm)
+            for r in prefix_filter_pairs(df, tau_num=tn, tau_den=td).collect()
+        )
+        assert got == _py_pairs(texts, tn, td), (tn, td)
+
+
+def test_candidate_space_reduction(spark):
+    """The prefix filter's reason to exist: its candidate pair count is
+    strictly below the full posting join's (measured on the fixture) —
+    while the verified RESULT is identical (previous tests)."""
+    from spotify_data_pipeline_spark.operators.dedup import shingle_hash_sets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hs = shingle_hash_sets(docs, "doc_id", "text", 3)
+    sh = hs.select("doc_id", F.explode("hset").alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    naive = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    # reproduce the operator's candidate step (pre-verification)
+    from pyspark.sql import Window
+
+    sizes = hs.select(F.col("doc_id").alias("_id"), F.size("hset").alias("n_sh"))
+    shp = hs.select(F.col("doc_id").alias("_id"), F.explode("hset").alias("sh"))
+    dfc = shp.groupBy("sh").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "sh")
+    pre = (
+        shp.join(dfc, "sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "_id")
+        .where(F.col("_rk") <= F.col("n_sh") - F.expr("CAST((n_sh*3+4) DIV 5 AS BIGINT)") + 1)
+        .select("_id", "sh", "n_sh")
+    )
+    pa = pre.select(F.col("_id").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
+    pb = pre.select(F.col("_id").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+    pruned = (
+        pa.join(pb, "sh")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") * 3 <= F.col("n_b") * 5)
+            & (F.col("n_b") * 3 <= F.col("n_a") * 5)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert pruned < naive
+    assert pruned > 0
+
+
+def test_repartition_invariance(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(
+        tuple(r) for r in prefix_filter_pairs(docs).collect()
+    )
+    b = sorted(
+        tuple(r) for r in prefix_filter_pairs(docs.repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_bad_tau_rejected(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        prefix_filter_pairs(docs, tau_num=5, tau_den=3)
+    with pytest.raises(ValueError):
+        prefix_filter_pairs(docs, tau_num=0, tau_den=3)
