@@ -113,13 +113,18 @@ def write_version(
     root: str,
     mode: str = "append",
     expected_version: int | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Publish ``df`` as the next snapshot. ``mode='append'`` stacks it
     on the previous snapshot's rows; ``'overwrite'`` replaces the
     logical content (old files stay on disk, still referenced by old
     manifests — time travel keeps working). Returns the new version.
     ``expected_version`` (optimistic check): raise ``VersionConflict``
-    if the committed latest is no longer this value."""
+    if the committed latest is no longer this value. ``extra``:
+    caller metadata recorded INSIDE the manifest — atomic with the
+    commit itself, which is what lets a streaming sink make
+    epoch-idempotence transactional (streaming/versioned_stream.py);
+    reserved manifest keys cannot be overridden."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     prev = latest_version(root)
@@ -151,17 +156,17 @@ def write_version(
     # racing writers commits this version number), then 3. flip the
     # pointer — the loser's data files stay as invisible orphans, the
     # torn-write case readers already ignore
-    _atomic_write_json(
-        _manifest_path(root, version),
+    manifest = dict(extra or {})
+    manifest.update(
         {
             "version": version,
             "mode": mode,
             "prev": prev,
             "files": files,
             "committed_at": time.time(),
-        },
-        exclusive=True,
+        }
     )
+    _atomic_write_json(_manifest_path(root, version), manifest, exclusive=True)
     _atomic_write_json(os.path.join(root, _LATEST), {"version": version})
     return version
 
@@ -197,14 +202,18 @@ def history(root: str) -> list:
             continue  # rollback targets can skip nothing today; guard anyway
         with open(mp) as f:
             m = json.load(f)
-        out.append(
-            {
-                "version": m["version"],
-                "mode": m["mode"],
-                "prev": m["prev"],
-                "n_files": len(m["files"]),
-            }
-        )
+        row = {
+            "version": m["version"],
+            "mode": m["mode"],
+            "prev": m["prev"],
+            "n_files": len(m["files"]),
+        }
+        # surface caller metadata (write_version extra=...) so the
+        # audit view shows WHO committed — e.g. a streaming epoch
+        for k in ("stream_id", "epoch"):
+            if k in m:
+                row[k] = m[k]
+        out.append(row)
     return out
 
 

@@ -662,6 +662,537 @@ def _ivf_recall_oracle() -> str:
     """
 
 
+def ml_ols_cramer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT multiple linear regression — OLS with two features plus
+    intercept, solved by Cramer's rule over the normal equations, all
+    in integer arithmetic: the exact-relational-ML family (naive
+    Bayes, 1R stump, depth-2 tree, kNN, exact k-means) gains its
+    REGRESSION member. Features are integral by data construction
+    (quantity 1..50; discount·100 ∈ 0..10 — integrality measured, and
+    the shared floor(x·100+0.5) makes the cast exact); the target is
+    revenue cents. The six normal-equation sums are one hash agg
+    (BIGINT — max ~3e14 at sf0.1); the four 3×3 determinants (system +
+    one numerator per coefficient) expand by cofactors in
+    DECIMAL(38,0)/HUGEINT (triple products reach ~5e28 here; at
+    1e12-row scale they exceed DECIMAL38 — center/rescale features
+    first, documented) and compare as digit STRINGS (agg_decimal_exact
+    precedent). β_j = num_j / det as an exact rational; sqrt/variance
+    stay out (the ACF discipline) and any engine can divide
+    downstream. One scan, one 1-row aggregate, zero joins — the
+    100 TB shape of closed-form linear models: sufficient statistics
+    shrink to O(features²) no matter the row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        rnd_cents("l_discount").alias("x2"),  # 0..10, exact
+        rnd_cents("l_extendedprice").alias("y"),
+    )
+    sums = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+
+    # cofactor expansion; every term a product of three DECIMAL38
+    # casts so both engines carry the same exact-integer tree
+    def det3_sql(m):
+        (a, b, c), (d, e, f_), (g, h, i) = m
+        D = lambda x: f"CAST({x} AS DECIMAL(38,0))"
+        return (
+            f"{D(a)}*{D(e)}*{D(i)} - {D(a)}*{D(f_)}*{D(h)}"
+            f" - {D(b)}*{D(d)}*{D(i)} + {D(b)}*{D(f_)}*{D(g)}"
+            f" + {D(c)}*{D(d)}*{D(h)} - {D(c)}*{D(e)}*{D(g)}"
+        )
+
+    S = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    b = ["sy", "s1y", "s2y"]
+    exprs = {"det_s": det3_sql(S)}
+    for j, name in enumerate(["num_b0", "num_b1", "num_b2"]):
+        M = [row.copy() for row in S]
+        for r in range(3):
+            M[r][j] = b[r]
+        exprs[name] = det3_sql(M)
+    return sums.select(
+        "n",
+        *[
+            F.expr(e).cast("decimal(38,0)").cast("string").alias(k)
+            for k, e in exprs.items()
+        ],
+    )
+
+
+def _ols_cramer_oracle() -> str:
+    cents_d = rnd_cents_sql("l_discount")
+    cents_y = rnd_cents_sql("l_extendedprice")
+
+    def det3_sql(m):
+        (a, b, c), (d, e, f_), (g, h, i) = m
+        D = lambda x: f"CAST({x} AS HUGEINT)"
+        return (
+            f"{D(a)}*{D(e)}*{D(i)} - {D(a)}*{D(f_)}*{D(h)}"
+            f" - {D(b)}*{D(d)}*{D(i)} + {D(b)}*{D(f_)}*{D(g)}"
+            f" + {D(c)}*{D(d)}*{D(h)} - {D(c)}*{D(e)}*{D(g)}"
+        )
+
+    S = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    b = ["sy", "s1y", "s2y"]
+    cols = [f"CAST({det3_sql(S)} AS VARCHAR) AS det_s"]
+    for j, name in enumerate(["num_b0", "num_b1", "num_b2"]):
+        M = [row.copy() for row in S]
+        for r in range(3):
+            M[r][j] = b[r]
+        cols.append(f"CAST({det3_sql(M)} AS VARCHAR) AS {name}")
+    col_sql = ",\n           ".join(cols)
+    return f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             {cents_d} AS x2,
+             {cents_y} AS y
+      FROM lineitem
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM base
+    )
+    SELECT n,
+           {col_sql}
+    FROM sums
+    """
+
+
+def events_simpson_diversity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-mix diversity WITHOUT logarithms: Shannon entropy
+    is the textbook diversity metric but ln() is not bit-reproducible
+    across engines — the Gini–Simpson family is, because it is pure
+    rational arithmetic. Per day: the unbiased Simpson concentration
+    λ = Σ n_t(n_t−1) / (N(N−1)) in exact ppm (probability two random
+    events drawn without replacement share a type — 1−λ is the
+    diversity), and Berger–Parker dominance max(n_t)/N in exact ppm.
+    The observability shape for event-mix drift: a day whose λ jumps
+    is a day one event type flooded the stream. One scan, two hash
+    aggs, a calendar-bounded output (≤31 rows at every SF — events
+    span January, measured). Cross-multiplied integer DIV only; the
+    one-event-day edge (N=1, λ undefined) emits NULL via the explicit
+    N>1 guard in both engines rather than a division fault."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_type.groupBy("day")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("_pairs"),
+            F.max("c").cast("long").alias("_maxc"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_events",
+            "n_types",
+            F.expr(
+                "CAST(CASE WHEN n_events > 1 THEN _pairs * 1000000"
+                " DIV (n_events * (n_events - 1)) END AS BIGINT)"
+            ).alias("simpson_ppm"),
+            F.expr(
+                "CAST(_maxc * 1000000 DIV n_events AS BIGINT)"
+            ).alias("dominance_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+_SIMPSON_ORACLE = """
+    WITH per_type AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT day,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS pairs,
+             CAST(max(c) AS BIGINT) AS maxc
+      FROM per_type GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_events, n_types,
+           CAST(CASE WHEN n_events > 1
+                THEN pairs * 1000000 // (n_events * (n_events - 1))
+                END AS BIGINT) AS simpson_ppm,
+           CAST(maxc * 1000000 // n_events AS BIGINT) AS dominance_ppm
+    FROM agg ORDER BY day
+"""
+
+
+def events_bootstrap_user_mean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER bootstrap — the methodological completion of
+    ``agg_bootstrap_ci``: events within a user are correlated, so
+    resampling EVENTS underestimates the variance of any per-user
+    metric (the classic block/cluster correction — resample USERS,
+    and every event inherits its user's multiplicity). Deterministic
+    Poisson multiplicities keyed by md5(user_id ':' b) with the same
+    shared literal inverse-CDF chain; per replicate the exact-integer
+    sufficient statistics of mean purchase value under user
+    resampling: Σ m_u (effective users), Σ m_u·k_u (effective
+    purchases) and Σ m_u·cents_u — the ratio estimator's numerator
+    and denominator, division left downstream (ACF discipline). The
+    per-user rollup happens BEFORE the ×B fan-out, so the explode
+    multiplies a |users|-sized frame, not the event log — the shape
+    that matters at 100 TB where events ≫ users."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(rnd_cents("value")).cast("long").alias("cents"),
+        )
+    )
+    u = (
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':', "
+        "CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        per_user.select(
+            "user_id", "k", "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .withColumn("m", F.expr(_pois_case(u)))
+        .groupBy(F.col("b").cast("long").alias("replicate"))
+        .agg(
+            F.sum("m").cast("long").alias("n_users_eff"),
+            F.sum(F.col("m") * F.col("k")).cast("long").alias("n_purchases_eff"),
+            F.sum(F.col("m") * F.col("cents")).cast("long").alias("sum_cents"),
+        )
+        .orderBy("replicate")
+    )
+
+
+def _bootstrap_user_oracle() -> str:
+    fold = _hex15_fold_sql("h")
+    cents = rnd_cents_sql("value")
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum({cents}) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), fan AS (
+      SELECT user_id, k, cents, t.b AS b
+      FROM per_user CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) t
+    ), hashed AS (
+      SELECT k, cents, b, md5(concat(user_id, ':', b))[1:15] AS h FROM fan
+    ), mult AS (
+      SELECT k, cents, b, {_pois_case(fold)} AS m FROM hashed
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(sum(m) AS BIGINT) AS n_users_eff,
+           CAST(sum(m * k) AS BIGINT) AS n_purchases_eff,
+           CAST(sum(m * cents) AS BIGINT) AS sum_cents
+    FROM mult GROUP BY 1 ORDER BY 1
+    """
+
+
+# z_{alpha/2} + z_beta for alpha=5%, power=80%, in exact ppm — a shared
+# literal (1.959964 + 0.841621), so both engines square the same integer
+_POWER_Z_PPM = 2801585
+_POWER_MDE_DIV = 20  # minimum detectable effect = mean / 20 (5%)
+
+
+def events_ab_power_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test POWER PLANNING — the experimentation family's missing
+    front end (SRM admission → Welch t → CUPED → now: how many users
+    does the next test need?): required per-arm sample size
+    n_req = ceil(2·(z_α/2+z_β)²·σ² / δ²) for the per-user purchase
+    value metric, δ = 5% of the observed mean. Every quantity is an
+    exact integer: z enters as the shared ppm literal 2801585 (both
+    engines square the same integer — no normal-quantile libm), σ²
+    and δ² stay UNDIVIDED rationals, and the whole formula
+    cross-multiplies into one DECIMAL(38,0)/HUGEINT ceil-division:
+    n_req = ceil(800·Z²·n·(n·Σx² − S²) / ((n−1)·S²·10¹²)) — numerator
+    ~1e35 at sf0.1, inside both engines' 38-digit range (the
+    magnitude audit is in the staging notes). Output: the sufficient
+    statistics, n_req, and the decision bit n ≥ n_req. One scan, one
+    1-row aggregate, zero joins — power analysis over 100 TB of
+    events is O(1) state."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(rnd_cents("value")).cast("long").alias("x"))
+    )
+    sums = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    z2 = _POWER_Z_PPM * _POWER_Z_PPM
+    mde2 = _POWER_MDE_DIV * _POWER_MDE_DIV
+    num = (
+        f"CAST(2 * {mde2} AS DECIMAL(38,0)) * CAST({z2} AS DECIMAL(38,0))"
+        " * CAST(n AS DECIMAL(38,0))"
+        " * (CAST(n AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0))"
+        "    - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+    )
+    den = (
+        "(CAST(n AS DECIMAL(38,0)) - 1)"
+        " * CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+        " * CAST(1000000000000 AS DECIMAL(38,0))"
+    )
+    return sums.select(
+        "n",
+        "s",
+        "ss",
+        F.expr(f"CAST((({num}) + ({den}) - 1) DIV ({den}) AS BIGINT)").alias(
+            "n_req"
+        ),
+    ).select(
+        "n", "s", "ss", "n_req",
+        F.expr("CAST(CASE WHEN n >= n_req THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "sufficient"
+        ),
+    )
+
+
+def _ab_power_oracle() -> str:
+    cents = rnd_cents_sql("value")
+    z2 = _POWER_Z_PPM * _POWER_Z_PPM
+    mde2 = _POWER_MDE_DIV * _POWER_MDE_DIV
+    num = (
+        f"CAST(2 * {mde2} AS HUGEINT) * CAST({z2} AS HUGEINT)"
+        " * CAST(n AS HUGEINT)"
+        " * (CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)"
+        "    - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))"
+    )
+    den = (
+        "(CAST(n AS HUGEINT) - 1)"
+        " * CAST(s AS HUGEINT) * CAST(s AS HUGEINT)"
+        " * CAST(1000000000000 AS HUGEINT)"
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(sum({cents}) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS ss
+      FROM per_user
+    )
+    SELECT n, s, ss,
+           CAST((({num}) + ({den}) - 1) // ({den}) AS BIGINT) AS n_req,
+           CAST(CASE WHEN CAST(n AS HUGEINT)
+                  >= (({num}) + ({den}) - 1) // ({den})
+                THEN 1 ELSE 0 END AS BIGINT) AS sufficient
+    FROM sums
+    """
+
+
+def text_lexical_richness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics profile per source, all integer-exact: token
+    count, type (distinct-term) count, type-token ratio in ppm, hapax
+    legomena (terms occurring ONCE in the source) and their share of
+    the vocabulary — the classic lexical-richness axes (TTR, hapax
+    share) that complement the staged Heaps-law and burstiness
+    queries: TTR says how repetitive a source is, hapax share says how
+    heavy its one-off tail is (the signal that drives vocabulary
+    truncation choices in tokenizer training). One tokenize scan →
+    (source, term) counts → per-source rollup; the vocabulary never
+    broadcasts and the output is |sources|-bounded. Tokenization is
+    the engine's established normalize-lower-split; conditional SUM
+    over term counts (no second scan for hapaxes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.where(F.length(F.trim("text")) > 0).select(
+        "source",
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+            )
+        ).alias("term"),
+    )
+    per_term = terms.groupBy("source", "term").agg(F.count("*").alias("c"))
+    return (
+        per_term.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("CAST(n_types * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "ttr_ppm"
+            ),
+            F.expr("CAST(n_hapax * 1000000 DIV n_types AS BIGINT)").alias(
+                "hapax_share_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_LEXICAL_ORACLE = """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), per_term AS (
+      SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_share_ppm
+    FROM per_term GROUP BY 1 ORDER BY 1
+"""
+
+
+_LSH_RECALL_TABLES = (2, 4, 8)
+
+
+def sim_lsh_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH sibling of ``sim_ivf_recall`` — recall@5 of the
+    sign-random-projection LSH path vs brute force as the TABLE COUNT
+    grows (2 → 4 → 8 tables at 3 planes): the other ANN family's
+    recall-vs-cost curve, driver-proven. Table subsets nest (seeds
+    1000..1000+t−1), so recall is monotone in t BY CONSTRUCTION —
+    more tables only ever add candidates — and the t=8 row equals the
+    declared sim_ann_lsh's candidates (pinned in pytest). Everything
+    reuses already-driver-proven arithmetic (the seeded hyperplanes +
+    any-table candidate rule of `_ann_lsh_oracle`, the brute anchor of
+    sim_cosine_topk); exact-ppm recall."""
+    from spotify_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+    from spotify_data_pipeline_spark.plans.similarity_queries import (
+        _N_QUERY_VECS,
+        _TOP_K,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERY_VECS)
+    brute = cosine_topk_bruteforce(queries, emb, k=_TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    total = brute.agg(F.count("*").cast("long").alias("n_brute"))
+    frames = []
+    for t in _LSH_RECALL_TABLES:
+        lsh = cosine_topk_lsh(
+            queries, emb, k=_TOP_K, dim=64, n_planes=3, n_tables=t
+        ).select("query_id", "neighbor_id")
+        hits = lsh.join(brute, ["query_id", "neighbor_id"]).agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        frames.append(
+            hits.crossJoin(F.broadcast(total)).select(
+                F.lit(t).cast("long").alias("n_tables"),
+                "n_hits",
+                "n_brute",
+                F.expr(
+                    "CAST(n_hits * 1000000 DIV n_brute AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("n_tables")
+
+
+def _lsh_recall_oracle() -> str:
+    from spotify_data_pipeline_spark.operators.similarity import (
+        _projection_planes,
+    )
+    from spotify_data_pipeline_spark.plans.similarity_queries import (
+        _N_QUERY_VECS,
+        _TOP_K,
+    )
+
+    max_t = max(_LSH_RECALL_TABLES)
+    buckets = []
+    for t in range(max_t):
+        planes = _projection_planes(64, 3, seed=1000 + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, CAST([{', '.join(repr(x) for x in plane)}] AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        buckets.append(f"({bits}) AS b{t}")
+    bucket_cols = ",\n           ".join(buckets)
+    ctes, rows = [], []
+    for nt in _LSH_RECALL_TABLES:
+        same = " OR ".join(f"q.b{t} = c.b{t}" for t in range(nt))
+        ctes.append(f"""
+    lsh{nt} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY floor(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                    * sqrt(list_dot_product(c.e, c.e))) * 10000 + 0.5)
+                   / 10000 DESC, c.vec_id ASC) AS rn
+        FROM b q JOIN b c
+          ON q.vec_id < {_N_QUERY_VECS} AND q.vec_id <> c.vec_id
+         AND ({same})
+      ) WHERE rn <= {_TOP_K}
+    )""")
+        rows.append(f"""
+    SELECT CAST({nt} AS BIGINT) AS n_tables,
+           (SELECT count(*) FROM lsh{nt} i JOIN brute x
+              ON i.query_id = x.query_id
+             AND i.neighbor_id = x.neighbor_id) AS n_hits,
+           (SELECT count(*) FROM brute) AS n_brute,
+           CAST((SELECT count(*) FROM lsh{nt} i JOIN brute x
+                   ON i.query_id = x.query_id
+                  AND i.neighbor_id = x.neighbor_id) * 1000000
+                // (SELECT count(*) FROM brute) AS BIGINT) AS recall_ppm
+""")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, e,
+           {bucket_cols}
+          FROM v),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY floor(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                    * sqrt(list_dot_product(c.e, c.e))) * 10000 + 0.5)
+                   / 10000 DESC, c.vec_id ASC) AS rn
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERY_VECS}
+      ) WHERE rn <= {_TOP_K}
+    ),
+    {",".join(ctes)}
+    {" UNION ALL ".join(rows)}
+    ORDER BY n_tables
+    """
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "agg_bootstrap_ci",
@@ -700,5 +1231,43 @@ PENDING: tuple[PendingQuery, ...] = (
         sim_ivf_recall_query,
         _ivf_recall_oracle(),
         tags=("similarity", "ivf", "recall", "evaluation"),
+    ),
+    PendingQuery(
+        "ml_ols_cramer",
+        ml_ols_cramer_query,
+        _ols_cramer_oracle(),
+        tags=("ml", "regression", "cramer", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_simpson_diversity",
+        events_simpson_diversity_query,
+        _SIMPSON_ORACLE,
+        tags=("events", "diversity", "simpson", "integer-exact"),
+    ),
+    PendingQuery(
+        "events_bootstrap_user_mean",
+        events_bootstrap_user_mean_query,
+        _bootstrap_user_oracle(),
+        tags=("events", "bootstrap", "cluster-resampling",
+              "integer-exact"),
+    ),
+    PendingQuery(
+        "events_ab_power",
+        events_ab_power_query,
+        _ab_power_oracle(),
+        tags=("events", "experimentation", "power-analysis",
+              "integer-exact"),
+    ),
+    PendingQuery(
+        "text_lexical_richness",
+        text_lexical_richness_query,
+        _LEXICAL_ORACLE,
+        tags=("text", "lexical", "ttr", "hapax", "integer-exact"),
+    ),
+    PendingQuery(
+        "sim_lsh_recall",
+        sim_lsh_recall_query,
+        _lsh_recall_oracle(),
+        tags=("similarity", "lsh", "recall", "evaluation"),
     ),
 )

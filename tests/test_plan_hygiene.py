@@ -160,6 +160,9 @@ _BNLJ_WHITELIST = {
     # set (sim_ann_ivf_fixed / sim_cosine_topk anchors) + 1-row
     # hit/total aggregates per recall row
     "sim_ivf_recall",
+    # same anchors, LSH branch: 10-row query broadcast + 1-row
+    # hit/total aggregates per recall row
+    "sim_lsh_recall",
 }
 
 

@@ -56,6 +56,9 @@ _BNLJ_OK: set[str] = {
     # set (the sim_ann_ivf_fixed / sim_cosine_topk anchors) + 1-row
     # hit/total aggregates assembled into each recall row
     "sim_ivf_recall",
+    # same anchors, LSH branch: 10-row query broadcast + 1-row
+    # hit/total aggregates per recall row
+    "sim_lsh_recall",
 }
 
 
@@ -259,3 +262,225 @@ def test_ivf_recall_monotone_and_consistent(spark):
         for r in sim_ann_ivf_fixed(spark, SF_DIR).collect()
     }
     assert rows[2].n_hits == len(brute & ivf3)
+
+
+def test_ols_cramer_matches_fraction_model(spark):
+    """The four determinants equal an exact Fraction/Python-int Cramer
+    solve over pandas, and the implied betas reproduce numpy lstsq to
+    float precision — the regression really is the regression."""
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
+        ml_ols_cramer_query,
+    )
+
+    row = ml_ols_cramer_query(spark, SF_DIR).collect()[0]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_quantity", "l_discount", "l_extendedprice"]
+    ]
+    x1 = [int(q) for q in li.l_quantity]
+    x2 = [math.floor(d * 100 + 0.5) for d in li.l_discount]
+    y = [math.floor(p * 100 + 0.5) for p in li.l_extendedprice]
+    n = len(x1)
+    s1, s2 = sum(x1), sum(x2)
+    s11 = sum(a * a for a in x1)
+    s12 = sum(a * b for a, b in zip(x1, x2))
+    s22 = sum(b * b for b in x2)
+    sy = sum(y)
+    s1y = sum(a * c for a, c in zip(x1, y))
+    s2y = sum(b * c for b, c in zip(x2, y))
+
+    def det3(m):
+        (a, b, c), (d, e, f), (g, h, i) = m
+        return a * e * i - a * f * h - b * d * i + b * f * g + c * d * h - c * e * g
+
+    S = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    bv = [sy, s1y, s2y]
+    det_s = det3(S)
+    nums = []
+    for j in range(3):
+        M = [r.copy() for r in S]
+        for r in range(3):
+            M[r][j] = bv[r]
+        nums.append(det3(M))
+    assert row.n == n
+    assert int(row.det_s) == det_s
+    assert [int(row.num_b0), int(row.num_b1), int(row.num_b2)] == nums
+    # betas agree with numpy least squares
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta_np = np.linalg.lstsq(X, np.array(y, dtype=float), rcond=None)[0]
+    beta_exact = [float(Fraction(v, det_s)) for v in nums]
+    assert np.allclose(beta_exact, beta_np, rtol=1e-8)
+
+
+def test_simpson_diversity_bounds_and_recount(spark):
+    """Exact recount per day from pandas ints; ppm values in range;
+    dominance >= 1/n_types share; the calendar is bounded."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
+        events_simpson_diversity_query,
+    )
+
+    rows = events_simpson_diversity_query(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 31
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")[["ts", "event_type"]]
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    for r in rows:
+        grp = ev[ev.day.astype(str) == r.day].event_type.value_counts()
+        n = int(grp.sum())
+        assert r.n_events == n and r.n_types == len(grp)
+        pairs = sum(int(c) * (int(c) - 1) for c in grp)
+        if n > 1:
+            assert r.simpson_ppm == pairs * 1_000_000 // (n * (n - 1))
+        else:
+            assert r.simpson_ppm is None
+        assert r.dominance_ppm == int(grp.max()) * 1_000_000 // n
+        assert r.dominance_ppm * r.n_types >= 1_000_000 - r.n_types
+
+
+def test_cluster_bootstrap_matches_python_model(spark):
+    """Per-replicate user-level multiplicities recomputed with hashlib
+    over a pandas per-user rollup — and the replicates genuinely vary
+    (the cluster resample is alive, not degenerate)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
+        _BOOT_B,
+        _POIS_T,
+        events_bootstrap_user_mean_query,
+    )
+
+    got = {
+        r.replicate: (r.n_users_eff, r.n_purchases_eff, r.sum_cents)
+        for r in events_bootstrap_user_mean_query(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(range(_BOOT_B))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.event_type == "purchase"][["user_id", "value"]]
+    per_user = {}
+    for r in ev.itertuples():
+        k, c = per_user.get(r.user_id, (0, 0))
+        per_user[r.user_id] = (k + 1, c + math.floor(r.value * 100 + 0.5))
+    expect = {b: [0, 0, 0] for b in range(_BOOT_B)}
+    for uid, (k, c) in per_user.items():
+        for b in range(_BOOT_B):
+            u = int(hashlib.md5(f"{uid}:{b}".encode()).hexdigest()[:15], 16)
+            m = 6
+            for kk, t in enumerate(_POIS_T):
+                if u < t:
+                    m = kk
+                    break
+            expect[b][0] += m
+            expect[b][1] += m * k
+            expect[b][2] += m * c
+    assert got == {b: tuple(v) for b, v in expect.items()}
+    assert len({v[2] for v in got.values()}) > 1
+
+
+def test_ab_power_matches_fraction_model(spark):
+    """n_req equals the exact ceil of the cross-multiplied rational
+    computed with Python ints, and tracks the textbook float formula
+    (2(z_a+z_b)^2 sigma^2/delta^2) within rounding."""
+    import math
+
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
+        _POWER_MDE_DIV,
+        _POWER_Z_PPM,
+        events_ab_power_query,
+    )
+
+    row = events_ab_power_query(spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.event_type == "purchase"][["user_id", "value"]]
+    xs = {}
+    for r in ev.itertuples():
+        xs[r.user_id] = xs.get(r.user_id, 0) + math.floor(r.value * 100 + 0.5)
+    x = list(xs.values())
+    n, s, ss = len(x), sum(x), sum(v * v for v in x)
+    assert (row.n, row.s, row.ss) == (n, s, ss)
+    z2 = _POWER_Z_PPM * _POWER_Z_PPM
+    num = 2 * _POWER_MDE_DIV**2 * z2 * n * (n * ss - s * s)
+    den = (n - 1) * s * s * 10**12
+    n_req = -(-num // den)
+    assert row.n_req == n_req
+    assert row.sufficient == (1 if n >= n_req else 0)
+    # float cross-check
+    import statistics
+
+    var = statistics.variance(x)
+    mean = s / n
+    approx = 2 * (2.801585**2) * var / (mean / 20) ** 2
+    assert abs(n_req - approx) <= max(2, 0.01 * approx)
+
+
+def test_lexical_richness_recount(spark):
+    """Per-source recount with a pure-Python tokenizer; identities
+    n_hapax <= n_types <= n_tokens hold; ratios are the exact floors."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
+        text_lexical_richness_query,
+    )
+
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.n_hapax, r.ttr_ppm,
+                   r.hapax_share_ppm)
+        for r in text_lexical_richness_query(spark, SF_DIR).collect()
+    }
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["source", "text"]]
+    counts: dict = {}
+    for r in d.itertuples():
+        if not r.text.strip():
+            continue
+        toks = " ".join(r.text.strip().split()).lower().split(" ")
+        c = counts.setdefault(r.source, {})
+        for t in toks:
+            c[t] = c.get(t, 0) + 1
+    expect = {}
+    for src, c in counts.items():
+        tok = sum(c.values())
+        typ = len(c)
+        hap = sum(1 for v in c.values() if v == 1)
+        expect[src] = (tok, typ, hap, typ * 1_000_000 // tok,
+                       hap * 1_000_000 // typ)
+    assert got == expect
+    for tok, typ, hap, *_ in got.values():
+        assert hap <= typ <= tok
+
+
+def test_lsh_recall_monotone_and_consistent(spark):
+    """Nested table subsets make recall monotone BY CONSTRUCTION;
+    totals equal 10 x k; the t=8 row equals a recount from the
+    declared sim_ann_lsh ∩ sim_cosine_topk."""
+    from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
+        sim_lsh_recall_query,
+    )
+    from spotify_data_pipeline_spark.plans.similarity_queries import (
+        sim_ann_lsh,
+        sim_cosine_topk,
+    )
+
+    rows = sim_lsh_recall_query(spark, SF_DIR).collect()
+    assert [r.n_tables for r in rows] == [2, 4, 8]
+    assert all(r.n_brute == 50 for r in rows)
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_cosine_topk(spark, SF_DIR).collect()
+    }
+    lsh8 = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ann_lsh(spark, SF_DIR).collect()
+    }
+    assert rows[2].n_hits == len(brute & lsh8)
