@@ -183,6 +183,7 @@ def main() -> None:
     out["dpp_probe"] = _dpp_probe(spark, sf_dir)
     out["pq_probe"] = _pq_probe(spark, sf_dir)
     out["itemsets_probe"] = _itemsets_probe(spark, sf_dir)
+    out["ppjoin_probe"] = _ppjoin_probe(spark, sf_dir)
     out["env"] = {
         **env_start,
         "loadavg_end": _env_snapshot()["loadavg"],
@@ -190,6 +191,83 @@ def main() -> None:
         "testdata": _testdata_fingerprint(sf_dir),
     }
     print(json.dumps(out))
+
+
+def _ppjoin_probe(spark, sf_dir: str) -> dict:
+    """Prefix-filter payoff (operators/ppjoin.py): the candidate-pair
+    space the verification join must process — full posting self-join
+    (every pair sharing ANY shingle) vs the tau-prefix candidates —
+    with the verified pair set asserted identical to the naive exact
+    filter (zero recall loss is the operator's contract, measured here
+    on bench data, not assumed). The claim that scales is the
+    candidate count: verification joins the full shingle arrays back,
+    so its cost is linear in candidates."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.operators.dedup import shingle_hash_sets
+    from spotify_data_pipeline_spark.operators.ppjoin import (
+        prefix_candidate_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = shingle_hash_sets(docs, "doc_id", "text", 3)
+    sh = hs.select("doc_id", F.explode("hset").alias("sh"))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        n = fn()
+        return round(time.perf_counter() - t0, 3), n
+
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    naive_sec, naive_cand = timed(
+        lambda: a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    pruned_sec, pruned_cand = timed(
+        lambda: prefix_candidate_pairs(hs, "doc_id", 3, 5).count()
+    )
+    # zero recall loss: verified pairs equal the naive exact filter
+    verified = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in prefix_filter_pairs(docs).collect()
+    }
+    sizes = hs.select("doc_id", F.size("hset").alias("n_sh"))
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    naive_out = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .where(F.col("n_common") * 8 >= (F.col("n_a") + F.col("n_b")) * 3)
+        .collect()
+    }
+    return {
+        "naive_candidates": naive_cand,
+        "pruned_candidates": pruned_cand,
+        "candidate_reduction_pct": round(
+            100.0 * (1 - pruned_cand / max(naive_cand, 1)), 1
+        ),
+        "naive_scan_sec": naive_sec,
+        "pruned_scan_sec": pruned_sec,
+        "results_equal": verified == naive_out,
+        "note": "structural check; timing delta meaningful only at scale",
+    }
 
 
 def _dpp_probe(spark, sf_dir: str) -> dict:

@@ -42,26 +42,20 @@ from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.operators.dedup import shingle_hash_sets
 
-__all__ = ["prefix_filter_pairs"]
+__all__ = ["prefix_filter_pairs", "prefix_candidate_pairs"]
 
 
-def prefix_filter_pairs(
-    df: DataFrame,
+def prefix_candidate_pairs(
+    hs: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_k: int = 3,
     tau_num: int = 3,
     tau_den: int = 5,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= tau_num/tau_den, exact.
-
-    Output: (id_a, id_b, n_common, n_a, n_b, jaccard_ppm) with
-    id_a < id_b; jaccard_ppm = floor(|A∩B| * 1e6 / |A∪B|) — pure
-    integer arithmetic end to end.
-    """
-    if not (0 < tau_num < tau_den):
-        raise ValueError("tau must satisfy 0 < tau_num/tau_den < 1")
-    hs = shingle_hash_sets(df, id_col, text_col, shingle_k)
+    """The candidate stage alone (before verification): distinct
+    (id_a, id_b) pairs whose tau-prefixes share a shingle and whose
+    sizes pass the cross-multiplied length filter. Exposed separately
+    so the bench probe can measure the candidate-space reduction
+    against the full posting join."""
     sizes = hs.select(F.col(id_col).alias("_id"), F.size("hset").alias("n_sh"))
     sh = hs.select(F.col(id_col).alias("_id"), F.explode("hset").alias("sh"))
     dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
@@ -98,6 +92,27 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return cand
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    tau_num: int = 3,
+    tau_den: int = 5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= tau_num/tau_den, exact.
+
+    Output: (id_a, id_b, n_common, n_a, n_b, jaccard_ppm) with
+    id_a < id_b; jaccard_ppm = floor(|A∩B| * 1e6 / |A∪B|) — pure
+    integer arithmetic end to end.
+    """
+    if not (0 < tau_num < tau_den):
+        raise ValueError("tau must satisfy 0 < tau_num/tau_den < 1")
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_k)
+    cand = prefix_candidate_pairs(hs, id_col, tau_num, tau_den)
 
     # verify against the FULL sets: per-row array intersection, exact
     hs_a = hs.select(

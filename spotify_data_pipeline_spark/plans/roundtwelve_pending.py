@@ -1193,6 +1193,143 @@ def _lsh_recall_oracle() -> str:
     """
 
 
+def er_customer_entities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end as a composition of two proven
+    operators — the record-linkage pipeline every MDM/dedup stack
+    runs: (1) BLOCKING + matching via the exact edit-distance self-join
+    (operators/fuzzyjoin.py — frequency-ordered prefix filtering, the
+    join_fuzzy_levenshtein machinery verbatim, distance ≤ 1 on
+    customer names), then (2) TRANSITIVE closure of the match graph
+    via connected components (operators/components.py, min-label), so
+    A~B~C lands in ONE entity even when (A, C) itself is not a match
+    — the semantics a pair list alone cannot give. Output: one row per
+    multi-member entity (canonical id = min member, member count, max
+    member for audit). The oracle recomputes matches naively
+    (levenshtein ≤ 1 all-pairs under the same %8 bound both engines
+    apply) and reachability with a recursive CTE — the
+    dedup_components precedent on a different match relation. At
+    100 TB the prefix filter keeps candidate generation off the hot
+    constant name prefix and components needs O(log² n) rounds; the
+    composition inherits both operators' documented scale paths."""
+    from spotify_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from spotify_data_pipeline_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 8 == 1)
+        .select("c_custkey", "c_name")
+    )
+    pairs = fuzzy_self_join(cust, "c_custkey", "c_name", max_dist=1, q=3)
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        labels.groupBy(F.col("component").cast("long").alias("entity_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max("id").cast("long").alias("max_member"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+_ER_ENTITIES_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND abs(length(a.c_name) - length(b.c_name)) <= 1
+       AND levenshtein(a.c_name, b.c_name) <= 1
+      WHERE a.c_custkey % 8 = 1 AND b.c_custkey % 8 = 1
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, v) AS (
+      SELECT DISTINCT u, u FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ), labels AS (
+      SELECT u AS id, min(v) AS component FROM reach GROUP BY u
+    )
+    SELECT CAST(component AS BIGINT) AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(id) AS BIGINT) AS max_member
+    FROM labels GROUP BY 1 ORDER BY 1
+"""
+
+
+_DECAY_HORIZON_DAYS = 14  # events span exactly January (30 days,
+# measured), so a 14-day half-window guarantees BOTH branches bite at
+# every SF: roughly half the events are inside the horizon, half are
+# dropped by it — the vacuousness discipline applied to the filter
+
+
+def events_decayed_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed frequency ranking — the 'trending
+    now' shape (recent events count more, half-life = 1 day) made
+    EXACT: the weight 2^(H−age_days) is dyadic, so the decayed mass is
+    a plain BIGINT sum (the EWMA precedent: dyadic rationals instead
+    of pow()'s libm), with ages beyond the H=14-day horizon truncated
+    to zero weight — the explicit sliding-relevance cutoff that also
+    bounds the weight at 2^14 (no overflow at any corpus size whose
+    row count fits the sum; at 10^12 rows lift to DECIMAL(38,0),
+    documented). The anchor is the corpus max date (a 1-row broadcast
+    aggregate, the trending/aging precedent, whitelisted). Output per
+    event_type: events inside the horizon, total decayed units, and
+    the rank under (decayed DESC, type) — the deterministic total
+    order. One scan, one 1-row broadcast, one hash agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("_anchor"))
+    aged = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("age", F.datediff("_anchor", "day"))
+        .where(
+            (F.col("age") >= 0) & (F.col("age") <= _DECAY_HORIZON_DAYS)
+        )
+    )
+    w = Window.orderBy(F.col("decayed_units").desc(), "event_type")
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_recent"),
+            F.sum(
+                F.expr(f"shiftleft(1L, {_DECAY_HORIZON_DAYS} - age)")
+            )
+            .cast("long")
+            .alias("decayed_units"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("rank")
+    )
+
+
+_DECAYED_TOPK_ORACLE = f"""
+    WITH anchor AS (
+      SELECT max(CAST(ts AS DATE)) AS a FROM events
+    ), aged AS (
+      SELECT event_type,
+             date_diff('day', CAST(ts AS DATE), anchor.a) AS age
+      FROM events, anchor
+      WHERE date_diff('day', CAST(ts AS DATE), anchor.a)
+            BETWEEN 0 AND {_DECAY_HORIZON_DAYS}
+    ), agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_recent,
+             CAST(sum(1::BIGINT << ({_DECAY_HORIZON_DAYS} - age))
+                  AS BIGINT) AS decayed_units
+      FROM aged GROUP BY 1
+    )
+    SELECT event_type, n_recent, decayed_units,
+           CAST(row_number() OVER (
+             ORDER BY decayed_units DESC, event_type ASC) AS BIGINT) AS rank
+    FROM agg ORDER BY rank
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "agg_bootstrap_ci",
@@ -1269,5 +1406,19 @@ PENDING: tuple[PendingQuery, ...] = (
         sim_lsh_recall_query,
         _lsh_recall_oracle(),
         tags=("similarity", "lsh", "recall", "evaluation"),
+    ),
+    PendingQuery(
+        "er_customer_entities",
+        er_customer_entities_query,
+        _ER_ENTITIES_ORACLE,
+        tags=("entity-resolution", "fuzzy", "components",
+              "composition"),
+    ),
+    PendingQuery(
+        "events_decayed_topk",
+        events_decayed_topk_query,
+        _DECAYED_TOPK_ORACLE,
+        tags=("events", "decay", "trending", "dyadic",
+              "integer-exact"),
     ),
 )

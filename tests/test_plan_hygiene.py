@@ -163,6 +163,8 @@ _BNLJ_WHITELIST = {
     # same anchors, LSH branch: 10-row query broadcast + 1-row
     # hit/total aggregates per recall row
     "sim_lsh_recall",
+    # 1-row broadcast max-date anchor (trending/aging precedent)
+    "events_decayed_topk",
 }
 
 

@@ -96,33 +96,12 @@ def test_candidate_space_reduction(spark):
         .distinct()
         .count()
     )
-    # reproduce the operator's candidate step (pre-verification)
-    from pyspark.sql import Window
+    # the operator's candidate stage, via its public helper
+    from spotify_data_pipeline_spark.operators.ppjoin import (
+        prefix_candidate_pairs,
+    )
 
-    sizes = hs.select(F.col("doc_id").alias("_id"), F.size("hset").alias("n_sh"))
-    shp = hs.select(F.col("doc_id").alias("_id"), F.explode("hset").alias("sh"))
-    dfc = shp.groupBy("sh").agg(F.count("*").alias("_df"))
-    w = Window.partitionBy("_id").orderBy("_df", "sh")
-    pre = (
-        shp.join(dfc, "sh")
-        .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, "_id")
-        .where(F.col("_rk") <= F.col("n_sh") - F.expr("CAST((n_sh*3+4) DIV 5 AS BIGINT)") + 1)
-        .select("_id", "sh", "n_sh")
-    )
-    pa = pre.select(F.col("_id").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
-    pb = pre.select(F.col("_id").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
-    pruned = (
-        pa.join(pb, "sh")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_a") * 3 <= F.col("n_b") * 5)
-            & (F.col("n_b") * 3 <= F.col("n_a") * 5)
-        )
-        .select("id_a", "id_b")
-        .distinct()
-        .count()
-    )
+    pruned = prefix_candidate_pairs(hs, "doc_id", 3, 5).count()
     assert pruned < naive
     assert pruned > 0
 

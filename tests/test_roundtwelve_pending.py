@@ -59,6 +59,8 @@ _BNLJ_OK: set[str] = {
     # same anchors, LSH branch: 10-row query broadcast + 1-row
     # hit/total aggregates per recall row
     "sim_lsh_recall",
+    # 1-row broadcast max-date anchor (trending/aging precedent)
+    "events_decayed_topk",
 }
 
 
@@ -484,3 +486,58 @@ def test_lsh_recall_monotone_and_consistent(spark):
         for r in sim_ann_lsh(spark, SF_DIR).collect()
     }
     assert rows[2].n_hits == len(brute & lsh8)
+
+
+def test_er_entities_accounting(spark):
+    """Every entity has >= 2 members and a canonical id that IS a
+    member; members across entities are disjoint and their total plus
+    unmatched singletons covers the %8 customer subset exactly."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
+        er_customer_entities_query,
+    )
+
+    rows = er_customer_entities_query(spark, SF_DIR).collect()
+    assert rows  # matches exist at every SF (fuzzy-join staging guard)
+    total_members = 0
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.entity_id <= r.max_member
+        total_members += r.n_members
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    n_subset = int((cust.c_custkey % 8 == 1).sum())
+    assert total_members <= n_subset
+    # entity ids are distinct canonical minima
+    ids = [r.entity_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_decayed_topk_python_model_and_horizon_bites(spark):
+    """Exact dyadic recount from pandas — and the horizon genuinely
+    drops events (the filter branch is alive at this SF)."""
+    import pandas as pd
+
+    from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
+        _DECAY_HORIZON_DAYS,
+        events_decayed_topk_query,
+    )
+
+    rows = events_decayed_topk_query(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")[["ts", "event_type"]]
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    anchor = ev.day.max()
+    ev["age"] = (pd.to_datetime(anchor) - pd.to_datetime(ev.day)).dt.days
+    inside = ev[(ev.age >= 0) & (ev.age <= _DECAY_HORIZON_DAYS)]
+    assert 0 < len(inside) < len(ev)  # horizon bites
+    expect = {}
+    for r in inside.itertuples():
+        n, d = expect.get(r.event_type, (0, 0))
+        expect[r.event_type] = (n + 1, d + (1 << (_DECAY_HORIZON_DAYS - r.age)))
+    got = {r.event_type: (r.n_recent, r.decayed_units) for r in rows}
+    assert got == expect
+    order = [
+        t for t, _ in sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    ]
+    assert [r.event_type for r in rows] == order
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
