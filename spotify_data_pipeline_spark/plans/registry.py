@@ -40,19 +40,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tools/snapshot_evidence.py) — both enforced by tests/test_registry.py,
 # so a silent edit to a tail query's body fails pytest.
 #
-# Round-5 front-loading: roundfive (the 9 queries staged in round 4
-# plus events_interval_join_outer, dedup_passage_removal and the
-# rows-only text_heavy_hitters_cms built this round — 12 total,
-# positions 0–11), then the OLDEST-evidence blocks rotate back into
-# the window for fresh re-proofs — events(6) + llmops(11) +
-# aggregates(12) + relational's first 9 complete the 50-slot window.
-# Tail: relational 10 + roundfour 17 + windows 9 + multimodal 3 +
-# dedup 6 + similarity 4 + text 11 — every one r01∪r02∪r03∪r04-green
-# and hash-pinned by BOTH fn-source and import-closure hashes
-# (snapshot refreshed at round-5 start before any edit).
+# Round-5 front-loading (second session): roundfive (the 9 queries
+# staged in round 4 plus events_interval_join_outer,
+# dedup_passage_removal and the rows-only text_heavy_hitters_cms —
+# 12 total, positions 0–11, all unevidenced so they MUST be in the
+# window), then events_queries (6, positions 12–17 — their import
+# closure drifted during the exactly-once-sink work, so the deps pin
+# correctly invalidates their r02/r03 tail evidence and they need a
+# fresh re-proof), then roundsix's first 32 staged queries
+# (positions 18–49) fill the window exactly. Every other block
+# rotates to the tail: llmops(11) + aggregates(12) + relational(19) +
+# roundfour(17) + windows(9) + multimodal(3) + dedup(6) +
+# similarity(4) + text(11) — every one r01∪r02∪r03∪r04-green and
+# hash-pinned by BOTH fn-source and import-closure hashes
+# (verified eligible before this reorder: zero src/deps drift).
 _QUERY_MODULES = (
     "spotify_data_pipeline_spark.plans.roundfive",
     "spotify_data_pipeline_spark.plans.events_queries",
+    "spotify_data_pipeline_spark.plans.roundsix",
     "spotify_data_pipeline_spark.plans.llmops_queries",
     "spotify_data_pipeline_spark.plans.aggregates",
     "spotify_data_pipeline_spark.plans.relational",

@@ -1,10 +1,11 @@
-"""Round-6 declared-query staging area (the established pattern:
-built and oracle-verified NOW, deliberately NOT ``declare``d — the
-round-5 evidence window is full; activation next round is
-registration-only after ``tools/snapshot_evidence.py`` refreshes).
+"""Round-6 queries (staged and oracle-verified earlier in round 5 as
+``roundsix_pending``; the FIRST 32 are ACTIVATED this session — the
+round-5 window is roundfive(12) + events re-proofs(6) + these 32 —
+while the last 3 stay staged for the next window; see the activation
+block at the end of this module).
 
 Each entry: exact-oracle query + DuckDB SQL, exercised by
-``tests/test_roundsix_pending.py`` with the driver-shaped comparison.
+``tests/test_roundsix.py`` with the driver-shaped comparison.
 """
 
 from __future__ import annotations
@@ -2171,3 +2172,21 @@ PENDING: tuple[PendingQuery, ...] = (
         tags=("agg", "sketch", "kmv", "jaccard", "overlap"),
     ),
 )
+
+
+# --- Activation (round 5, second session): the evidence window holds
+# 50 rows and roundfive(12) + events_queries(6, rotated back in because
+# their import closure drifted during the exactly-once-sink work — the
+# deps pin correctly invalidates their tail evidence) leave exactly 32
+# free slots, so the FIRST 32 staged queries activate now; the last 3
+# (agg_kmv_distinct, llm_winsorize_stats, agg_kmv_overlap) stay staged
+# for the next window. declare() records a monotonic sequence per name
+# and registry order is pinned to _QUERY_MODULES order
+# (registry._module_rank), so these 32 occupy positions 18-49.
+ACTIVATED: tuple[PendingQuery, ...] = PENDING[:32]
+STAGED: tuple[PendingQuery, ...] = PENDING[32:]
+
+from spotify_data_pipeline_spark.plans.registry import declare  # noqa: E402
+
+for _pq in ACTIVATED:
+    declare(_pq.name, oracle=_pq.oracle, headline=_pq.headline, tags=_pq.tags)(_pq.fn)

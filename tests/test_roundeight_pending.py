@@ -44,7 +44,7 @@ def test_pending_names_unique_and_oracle_bearing():
     assert all(pq.oracle for pq in PENDING)
     # and no collision with the earlier staging areas either
     from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
-    from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
+    from spotify_data_pipeline_spark.plans.roundsix import PENDING as P6
 
     assert not set(names) & {pq.name for pq in P6}
     assert not set(names) & {pq.name for pq in P7}

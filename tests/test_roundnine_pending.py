@@ -42,7 +42,7 @@ def test_pending_names_unique_and_oracle_bearing():
     # and no collision with the earlier staging areas either
     from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING as P8
     from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
-    from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
+    from spotify_data_pipeline_spark.plans.roundsix import PENDING as P6
 
     for earlier in (P6, P7, P8):
         assert not set(names) & {pq.name for pq in earlier}

@@ -43,7 +43,7 @@ def test_pending_names_unique_and_oracle_bearing():
     assert len(names) == len(set(names))
     assert all(pq.oracle for pq in PENDING)
     # and no collision with the round-6 staging area either
-    from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
+    from spotify_data_pipeline_spark.plans.roundsix import PENDING as P6
 
     assert not set(names) & {pq.name for pq in P6}
 

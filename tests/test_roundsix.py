@@ -1,6 +1,7 @@
-"""Round-6 staged queries (plans/roundsix_pending.py) get the SAME
-driver-shaped oracle check as declared queries — so activating them in
-round 6 is registration-only (after the evidence-hash refresh).
+"""Round-6 queries (plans/roundsix.py): the first 32 are ACTIVATED
+into the round-5 evidence window (positions 18-49); the last 3 stay
+staged for the next window. Both groups keep the SAME driver-shaped
+oracle check here.
 """
 
 from __future__ import annotations
@@ -9,7 +10,7 @@ import os
 
 import pytest
 
-from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING
+from spotify_data_pipeline_spark.plans.roundsix import PENDING
 from tests.oracle_check import compare, run_oracle
 
 SF_DIR = os.environ.get("ORACLE_SF", "/root/testdata/sf0.001")
@@ -32,14 +33,17 @@ def test_pending_oracle_match(spark, pq):
         assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_not_registered(spark):
-    """Staged queries must NOT appear in the driver's view: the round-5
-    window is exactly full; an unevidenced tail entry is what the
-    registry invariants prevent."""
+def test_activation_partition(spark):
+    """Exactly the first 32 are registered (window positions 18-49);
+    the remaining staged 3 must NOT appear in the driver's view — an
+    unevidenced tail entry is what the registry invariants prevent."""
     from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.plans.roundsix import ACTIVATED, STAGED
 
+    assert len(ACTIVATED) == 32 and len(STAGED) == 3
     names = set(all_queries())
-    assert not names & {pq.name for pq in PENDING}
+    assert {pq.name for pq in ACTIVATED} <= names
+    assert not names & {pq.name for pq in STAGED}
 
 
 def test_pending_names_unique_and_oracle_bearing():
@@ -55,7 +59,7 @@ def _plan_of(df) -> str:
 def test_fuzzy_join_plan_no_cartesian(spark):
     """The point of prefix filtering: candidates come from an equi join
     on prefix grams, never an all-pairs comparison."""
-    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+    from spotify_data_pipeline_spark.plans.roundsix import (
         join_fuzzy_levenshtein_query,
     )
 
@@ -67,7 +71,7 @@ def test_fuzzy_join_plan_no_cartesian(spark):
 def test_star_join_plan_pushed_and_no_bnlj(spark):
     """Catalyst must broadcast the dims and push the date band to the
     orders scan — the declarative 100 TB star-join contract."""
-    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+    from spotify_data_pipeline_spark.plans.roundsix import (
         join_star_local_supplier_query,
     )
 
@@ -80,7 +84,7 @@ def test_star_join_plan_pushed_and_no_bnlj(spark):
 
 def test_skipgram_plan_is_join_free(spark):
     """In-array pair generation: one scan + one agg, no self-join."""
-    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+    from spotify_data_pipeline_spark.plans.roundsix import (
         text_skipgram_pairs_query,
     )
 
@@ -123,7 +127,7 @@ def test_weighted_sample_sums_to_k(spark):
     weight distribution."""
     from pyspark.sql import functions as F
 
-    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+    from spotify_data_pipeline_spark.plans.roundsix import (
         llm_weighted_sample_query,
     )
 
@@ -137,7 +141,7 @@ def test_second_batch_plans_no_nested_loop(spark):
     window plans — no BNLJ, no Cartesian. graph_triangle_count is
     exempt for its two documented broadcast-1-row stat assemblies
     (pre-whitelisted in plan hygiene)."""
-    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+    from spotify_data_pipeline_spark.plans.roundsix import (
         agg_small_qty_revenue_query,
         events_attribution_query,
         join_shipping_priority_query,
@@ -146,7 +150,7 @@ def test_second_batch_plans_no_nested_loop(spark):
         orders_late_priority_query,
     )
 
-    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+    from spotify_data_pipeline_spark.plans.roundsix import (
         agg_kmv_distinct_query,
         graph_label_propagation_query,
         incremental_join_fold_query,
@@ -174,7 +178,7 @@ def test_shipping_priority_plan_pushed_and_broadcast(spark):
     """Q3's 100 TB contract: both date bands reach the parquet scans as
     pushed filters, the filtered BUILDING-customer dim broadcasts, and
     the top-10 is a TakeOrdered, not a global sort."""
-    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+    from spotify_data_pipeline_spark.plans.roundsix import (
         join_shipping_priority_query,
     )
 
@@ -188,7 +192,7 @@ def test_shipping_priority_plan_pushed_and_broadcast(spark):
 def test_attribution_plan_single_user_shuffle(spark):
     """events_attribution must be ONE window pass: a single exchange on
     user_id plus the final 5-row agg — no events-against-events join."""
-    from spotify_data_pipeline_spark.plans.roundsix_pending import (
+    from spotify_data_pipeline_spark.plans.roundsix import (
         events_attribution_query,
     )
 

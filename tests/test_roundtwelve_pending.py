@@ -40,7 +40,7 @@ def test_pending_names_unique_and_oracle_bearing():
     )
     from spotify_data_pipeline_spark.plans.roundnine_pending import PENDING as P9
     from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
-    from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
+    from spotify_data_pipeline_spark.plans.roundsix import PENDING as P6
     from spotify_data_pipeline_spark.plans.roundten_pending import PENDING as P10
 
     for earlier in (P6, P7, P8, P9, P10, P11):

@@ -81,7 +81,7 @@ def main() -> None:
     from test_roundten_pending import _BNLJ_OK as _OK10
     from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING as P8
     from spotify_data_pipeline_spark.plans.roundnine_pending import PENDING as P9
-    from spotify_data_pipeline_spark.plans.roundsix_pending import PENDING as P6
+    from spotify_data_pipeline_spark.plans.roundsix import PENDING as P6
     from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
     from spotify_data_pipeline_spark.plans.roundten_pending import PENDING as P10
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
