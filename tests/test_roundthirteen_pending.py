@@ -1,0 +1,181 @@
+"""Round-13 staged queries (plans/roundthirteen_pending.py) get the
+SAME driver-shaped oracle check as declared queries — so activating
+them later is registration-only (after the evidence-hash refresh).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spotify_data_pipeline_spark.plans.roundthirteen_pending import PENDING
+from tests.oracle_check import compare, run_oracle
+
+SF_DIR = os.environ.get("ORACLE_SF", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("pq", PENDING, ids=lambda pq: pq.name)
+def test_pending_oracle_match(spark, pq):
+    result = pq.fn(spark, SF_DIR)
+    oracle = run_oracle(pq.oracle, SF_DIR)
+    errs = compare(result, oracle)
+    assert not errs, f"{pq.name}: " + "; ".join(errs)
+    # vacuousness guard: empty-vs-empty proves nothing.
+    assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
+
+
+def test_pending_not_registered(spark):
+    """Staged queries must NOT appear in the driver's view: the round-5
+    window is exactly full; an unevidenced tail entry is what the
+    registry invariants prevent."""
+    from spotify_data_pipeline_spark.plans import all_queries
+
+    names = set(all_queries())
+    assert not names & {pq.name for pq in PENDING}
+
+
+def test_pending_names_unique_and_oracle_bearing():
+    # no collisions inside this module, with the registry, or with any
+    # other staging module
+    from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING as P8
+    from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
+    from spotify_data_pipeline_spark.plans.roundnine_pending import PENDING as P9
+    from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
+    from spotify_data_pipeline_spark.plans.roundsix import PENDING as P6
+    from spotify_data_pipeline_spark.plans.roundten_pending import PENDING as P10
+    from spotify_data_pipeline_spark.plans.roundtwelve_pending import PENDING as P12
+
+    names = [pq.name for pq in PENDING]
+    assert len(names) == len(set(names))
+    assert all(pq.oracle for pq in PENDING)
+    taken = set(all_queries()) | {
+        pq.name for mod in (P6, P7, P8, P9, P10, P11, P12) for pq in mod
+    }
+    assert not set(names) & taken
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mannwhitney_u_identity_and_python_model(spark):
+    """U_a + U_b = n_a * n_b on every row (tie-averaged ranks make this
+    an identity), and the whole output matches an independent pure-
+    Python recount with scipy-style average ranks."""
+    from collections import defaultdict
+
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        events_ab_mannwhitney_query,
+    )
+
+    rows = events_ab_mannwhitney_query(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.u2_a + (r.u2_sum - r.u2_a) == r.u2_sum  # trivially
+        # the real identity: u2_a <= u2_sum and u2_b = u2_sum - u2_a >= 0
+        assert 0 <= r.u2_a <= r.u2_sum
+
+    # independent model
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet")).to_pylist()
+    by_type = defaultdict(list)
+    for e in t:
+        by_type[e["event_type"]].append((e["value"], e["user_id"] % 2 == 0))
+    expect = {}
+    for et, vals in by_type.items():
+        svals = sorted(v for v, _ in vals)
+        # average rank (doubled) per value
+        first = {}
+        cnt = defaultdict(int)
+        for i, v in enumerate(svals, start=1):
+            first.setdefault(v, i)
+            cnt[v] += 1
+        r2 = {v: 2 * first[v] + cnt[v] - 1 for v in first}
+        n_a = sum(1 for _, a in vals if a)
+        r2sum_a = sum(r2[v] for v, a in vals if a)
+        expect[et] = (n_a, r2sum_a, r2sum_a - n_a * (n_a + 1))
+    for r in rows:
+        assert (r.n_a, r.r2sum_a, r.u2_a) == expect[r.event_type], r.event_type
+
+
+def test_spearman_perfect_and_reversed(spark):
+    """rho = 1 on identical rankings, -1 on exactly reversed ones —
+    pins the closed form and the sign convention."""
+    from spotify_data_pipeline_spark.plans.parity import rnd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(100 - i)) for i in range(1, 21)], "k int, x double, y double"
+    )
+    w_x = Window.orderBy("x", "k")
+    w_y = Window.orderBy("y", "k")
+    ranked = df.select(
+        F.row_number().over(w_x).cast("long").alias("rx"),
+        F.row_number().over(w_y).cast("long").alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum(d2).cast("long").alias("s")
+    ).collect()[0]
+    n, s = agg.n, agg.s
+    rho = 1.0 - (6.0 * s) / (n * (n * n - 1))
+    assert rho == -1.0  # x ascending, y descending -> perfectly reversed
+    # and d2=0 -> rho=1
+    assert 1.0 - (6.0 * 0) / (n * (n * n - 1)) == 1.0
+
+
+def test_null_safe_join_counts_every_order(spark):
+    """The three lanes partition the orders table exactly: a plain `=`
+    join would drop the NULL class; the null-safe join must not."""
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        join_null_safe_equi_query,
+    )
+    from spotify_data_pipeline_spark.io import load_table
+
+    out = join_null_safe_equi_query(spark, SF_DIR).collect()
+    total = sum(r.n_orders for r in out)
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert total == n_orders
+    lanes = {r.lane for r in out}
+    assert "standard" in lanes  # the NULL<=>NULL match arm fired
+    null_rows = [r for r in out if r.prio_class is None]
+    assert len(null_rows) == 1 and null_rows[0].lane == "standard"
+
+
+def test_null_safe_join_plan_no_bnlj(spark):
+    """EqualNullSafe must plan as a hash-joinable equality, not a
+    nested-loop filter."""
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        join_null_safe_equi_query,
+    )
+
+    plan = _plan_of(join_null_safe_equi_query(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_quartile_migration_accounts_for_every_active_customer(spark):
+    """Matrix totals = customers active in 1996 OR 1997; entries with
+    q_from=0 are 1997-only customers, q_to=0 are 1996-only."""
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        orders_quartile_migration_query,
+    )
+    from spotify_data_pipeline_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    out = orders_quartile_migration_query(spark, SF_DIR)
+    total = out.agg(F.sum("n_customers")).collect()[0][0]
+    orders = load_table(spark, SF_DIR, "orders")
+    active = (
+        orders.where(F.year("o_orderdate").isin(1996, 1997))
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total == active
+    rows = out.collect()
+    assert all(0 <= r.q_from <= 4 and 0 <= r.q_to <= 4 for r in rows)
+    assert not any(r.q_from == 0 and r.q_to == 0 for r in rows)
