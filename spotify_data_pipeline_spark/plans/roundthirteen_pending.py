@@ -324,6 +324,242 @@ _QUARTILE_MIGRATION_ORACLE = f"""
 """
 
 
+
+def events_kendall_tau_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a between daily event VOLUME and daily event VALUE
+    per event type — the third correlation member (Pearson =
+    agg_correlation_stats, Spearman = agg_spearman_corr): concordance
+    of two time series, robust to any monotone rescaling of either.
+
+    Exactness: the series points are (day, n BIGINT, cents BIGINT);
+    a pair is concordant when (n_i−n_j)·(c_i−c_j) > 0, discordant
+    when < 0 — pure integer sign tests, tie pairs counted explicitly
+    so C + D + ties = n(n−1)/2 is an emitted identity. tau_a =
+    (C−D)/(n(n−1)/2) is one terminal division rounded half-up 4dp.
+
+    Scale shape: the pair join runs over the AGGREGATED daily series
+    (calendar-bounded: ≤31 rows per event type at any corpus size),
+    never over raw events — the bounded-aggregate self-join pattern
+    shared with the basket/co-occurrence family. The raw scan
+    aggregates once (map-side combinable) and everything after is
+    O(types · days²) driver-negligible work.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rnd_cents("value")).alias("cents"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    )
+    prod = (F.col("a.n") - F.col("b.n")) * (F.col("a.cents") - F.col("b.cents"))
+    agg = pairs.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((prod > 0).cast("long")).alias("concordant"),
+        F.sum((prod < 0).cast("long")).alias("discordant"),
+        F.sum((prod == 0).cast("long")).alias("tie_pairs"),
+    )
+    return agg.select(
+        "event_type",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "tie_pairs",
+        rnd(
+            (F.col("concordant") - F.col("discordant"))
+            / F.col("n_pairs").cast("double"),
+            4,
+        ).alias("tau_a"),
+    ).orderBy("event_type")
+
+
+_KENDALL_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM({rnd_cents_sql('value')}) AS cents
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             (a.n - b.n) * (a.cents - b.cents) AS prod
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+           CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+           CAST(sum(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_pairs,
+           {rnd_sql('(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END)'
+                    ' - sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END))'
+                    ' / CAST(count(*) AS DOUBLE)', 4)} AS tau_a
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def agg_trimmed_mean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric 5-each-side trimmed mean of order value per market
+    segment — the robust-location member completing the robust-stats
+    family (agg_mad_robust = dispersion, llm_winsorize_stats = clipping,
+    events_outlier_tukey = flagging): drop the k most extreme rows on
+    EACH side, then average what remains, so a single corrupted price
+    cannot move the segment statistic.
+
+    Exactness: money in integer cents; the two row_number windows use
+    the unique o_orderkey tiebreak so the dropped row SET is
+    deterministic; the kept-rows sum is an exact BIGINT and the mean is
+    one terminal division rounded half-up 4dp.
+
+    Scale shape: one orders⋈customer equi join (both shuffle once on
+    custkey), two rank windows per segment, one hash agg. For a global
+    (unsegmented) trim at 100 TB the rank windows swap to the two-phase
+    offset ranking in ``operators/batching.py``, same as the quartile
+    note.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", rnd_cents("o_totalprice").alias("_cents")
+    )
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "inner")
+    w_asc = Window.partitionBy("c_mktsegment").orderBy("_cents", "o_orderkey")
+    w_desc = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("_cents").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = j.select(
+        "c_mktsegment",
+        "_cents",
+        F.row_number().over(w_asc).alias("_lo"),
+        F.row_number().over(w_desc).alias("_hi"),
+    )
+    kept = ranked.where((F.col("_lo") > 5) & (F.col("_hi") > 5))
+    agg = kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("_cents").cast("long").alias("sum_cents"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_kept",
+        "sum_cents",
+        rnd(F.col("sum_cents") / (100.0 * F.col("n_kept")), 4).alias("trimmed_mean"),
+    ).orderBy("c_mktsegment")
+
+
+_TRIMMED_MEAN_ORACLE = f"""
+    WITH j AS (
+      SELECT c.c_mktsegment, o.o_orderkey,
+             {rnd_cents_sql('o.o_totalprice')} AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+      SELECT c_mktsegment, cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents, o_orderkey) AS lo,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents DESC, o_orderkey DESC) AS hi
+      FROM j
+    ), kept AS (
+      SELECT c_mktsegment, cents FROM ranked WHERE lo > 5 AND hi > 5
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           {rnd_sql('sum(cents) / (100.0 * count(*))', 4)} AS trimmed_mean
+    FROM kept
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+def ml_knn_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN classification quality as a confusion matrix — the
+    model-EVALUATION member of the ML family (ml_knn_label predicts;
+    this measures): for every 20th vector, predict its label from its
+    nearest neighbor under int8-quantized cosine
+    (operators/quantization.py, the driver-proven exact arithmetic from
+    sim_quantized_topk) and cross-tabulate true vs predicted.
+
+    Exactness: quantization is floor-half-up, dots are exact integers,
+    the 4dp-rounded qcos ordering ties break on neighbor_id — the
+    selected neighbor is deterministic on both engines, so the
+    confusion COUNTS are exact integers.
+
+    Scale shape: the query subset broadcasts over one corpus scan (the
+    corpus never shuffles — brute exact serving is the documented
+    oracle anchor; the scale path is the IVF/LSH serving family);
+    the label attach is one broadcast join on neighbor_id against the
+    (id,label) projection.
+    """
+    from spotify_data_pipeline_spark.operators.quantization import (
+        cosine_topk_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    nn = cosine_topk_quantized(queries, emb, k=1)
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("_lbl"))
+    true_l = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("_lbl").alias("true_label")
+    )
+    pred_l = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_lbl").alias("pred_label")
+    )
+    j = nn.join(F.broadcast(true_l), "query_id").join(
+        F.broadcast(pred_l), "neighbor_id"
+    )
+    return (
+        j.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+_QCOS13 = (
+    "(list_dot_product(a.q, b.q)"
+    " / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+)
+
+_KNN_CONFUSION_ORACLE = f"""
+    WITH z AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id, label,
+             CASE WHEN m = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(least(greatest(
+                         floor(CAST(x AS DOUBLE) * 127 / m + 0.5),
+                         -127.0), 127.0) AS DOUBLE))
+             END AS q
+      FROM z
+    ), nn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY floor({_QCOS13} * 10000 + 0.5) / 10000 DESC, b.vec_id ASC
+               ) AS rn
+        FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 20 = 0
+      ) WHERE rn = 1
+    )
+    SELECT CAST(t.label AS BIGINT) AS true_label,
+           CAST(p.label AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nn
+    JOIN embeddings t ON nn.query_id = t.vec_id
+    JOIN embeddings p ON nn.neighbor_id = p.vec_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -357,5 +593,23 @@ PENDING: tuple[PendingQuery, ...] = (
         orders_quartile_migration_query,
         _QUARTILE_MIGRATION_ORACLE,
         tags=("orders", "analytics", "cohort", "ntile"),
+    ),
+    PendingQuery(
+        "events_kendall_tau",
+        events_kendall_tau_query,
+        _KENDALL_ORACLE,
+        tags=("events", "statistics", "correlation", "timeseries"),
+    ),
+    PendingQuery(
+        "agg_trimmed_mean",
+        agg_trimmed_mean_query,
+        _TRIMMED_MEAN_ORACLE,
+        tags=("agg", "statistics", "robust"),
+    ),
+    PendingQuery(
+        "ml_knn_confusion",
+        ml_knn_confusion_query,
+        _KNN_CONFUSION_ORACLE,
+        tags=("ml", "evaluation", "knn", "similarity"),
     ),
 )

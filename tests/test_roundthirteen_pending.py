@@ -179,3 +179,74 @@ def test_quartile_migration_accounts_for_every_active_customer(spark):
     rows = out.collect()
     assert all(0 <= r.q_from <= 4 and 0 <= r.q_to <= 4 for r in rows)
     assert not any(r.q_from == 0 and r.q_to == 0 for r in rows)
+
+
+def test_kendall_pair_accounting(spark):
+    """C + D + ties = n(n-1)/2 per event type, and n_pairs matches the
+    day count observed in the raw table."""
+    from collections import Counter
+
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        events_kendall_tau_query,
+    )
+    from pyspark.sql import functions as F
+
+    rows = events_kendall_tau_query(spark, SF_DIR).collect()
+    assert rows
+    days = dict(
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct(F.to_date("ts")).alias("d"))
+        .collect()
+    )
+    for r in rows:
+        d = days[r.event_type]
+        assert r.n_pairs == d * (d - 1) // 2
+        assert r.concordant + r.discordant + r.tie_pairs == r.n_pairs
+        assert -1.0 <= r.tau_a <= 1.0
+
+
+def test_trimmed_mean_drops_exactly_five_per_side(spark):
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        agg_trimmed_mean_query,
+    )
+    from pyspark.sql import functions as F
+
+    rows = agg_trimmed_mean_query(spark, SF_DIR).collect()
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, SF_DIR, "orders")
+    per_seg = dict(
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in rows:
+        assert r.n_kept == per_seg[r.c_mktsegment] - 10
+        # a trimmed mean sits strictly inside the untrimmed extremes
+        assert r.trimmed_mean > 0
+
+
+def test_knn_confusion_counts_every_query(spark):
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        ml_knn_confusion_query,
+    )
+    from pyspark.sql import functions as F
+
+    out = ml_knn_confusion_query(spark, SF_DIR).collect()
+    total = sum(r.n for r in out)
+    n_queries = (
+        load_table(spark, SF_DIR, "embeddings")
+        .where(F.col("vec_id") % 20 == 0)
+        .count()
+    )
+    assert total == n_queries
+    # labels come from the real label domain
+    labels = {
+        r[0]
+        for r in load_table(spark, SF_DIR, "embeddings").select("label").distinct().collect()
+    }
+    assert all(r.true_label in labels and r.pred_label in labels for r in out)
