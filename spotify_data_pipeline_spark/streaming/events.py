@@ -521,3 +521,32 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment — the stateless join every streaming
+    pipeline starts with (attach user tier / device class / geo to an
+    event stream before any stateful work).
+
+    Semantics worth pinning (tests/test_streaming.py):
+
+    - The join is STATELESS: each micro-batch joins against the static
+      side's CURRENT snapshot; no watermark is needed and no state
+      store is created (unlike the stream-stream interval joins above).
+    - Spark re-plans the static side per micro-batch, so a dim that is
+      itself a lazily-read table reflects updates between batches; the
+      broadcast below pins the intended physical shape (dim is the
+      small side at any scale — the stream side must never build the
+      hash table).
+    - Stream-side rows without a dim match survive a LEFT join with
+      NULLs (tested) — inner/left_semi/left_anti are the streaming-
+      supported directions with a stream on the left; right/full are
+      rejected by Spark's UnsupportedOperationChecker because the
+      static side would need to emit unmatched rows at end-of-stream,
+      which never comes.
+    """
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on=on, how=how)

@@ -165,6 +165,11 @@ _BNLJ_WHITELIST = {
     "sim_lsh_recall",
     # 1-row broadcast max-date anchor (trending/aging precedent)
     "events_decayed_topk",
+    # --- round-13 staged (pre-whitelisted for activation) ---
+    # brute-force exact-oracle anchor: bounded query subset (every
+    # 20th vector) broadcast over one corpus scan, the
+    # cosine_topk_quantized pattern shared with sim_quantized_topk
+    "ml_knn_confusion",
 }
 
 

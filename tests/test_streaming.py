@@ -549,3 +549,31 @@ def test_purchase_window_join_full_both_null_sides(spark, tmp_path):
     # appears exactly once on the event side of the full join
     for eid in (2, 3, 4):
         assert sum(1 for pid, e in got if e == eid) >= 1
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """enrich_with_dim: stream-static broadcast join, stateless — the
+    streamed result equals the batch twin, and stream rows without a
+    dim match survive the LEFT join with NULL attributes."""
+    from spotify_data_pipeline_spark.streaming.events import enrich_with_dim
+
+    dim = spark.createDataFrame(
+        [(10, "gold")], "user_id long, tier string"
+    )  # user 11 deliberately absent
+    stream = _read_stream(spark, events_dir)
+    out = _run_stream(
+        spark,
+        enrich_with_dim(stream, dim, on="user_id", how="left"),
+        "enriched",
+        "append",
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(dim, on="user_id", how="left")
+        .collect()
+    )
+    key = lambda r: (r.event_id, r.ts, r.user_id, r.tier)
+    assert sorted(map(key, out)) == sorted(map(key, batch))
+    # the unmatched user's rows are present with a NULL tier
+    assert any(r.user_id == 11 and r.tier is None for r in out)
+    assert all(r.tier == "gold" for r in out if r.user_id == 10)

@@ -85,6 +85,9 @@ def main() -> None:
     from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
     from spotify_data_pipeline_spark.plans.roundten_pending import PENDING as P10
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        PENDING as P13,
+    )
     from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
         PENDING as P12,
     )
@@ -97,6 +100,7 @@ def main() -> None:
         ("round-10 staging", P10, _BNLJ_WHITELIST | _OK10),
         ("round-11 staging", P11, _BNLJ_WHITELIST),
         ("round-12 staging", P12, _BNLJ_WHITELIST),
+        ("round-13 staging", P13, _BNLJ_WHITELIST),
     ):
         print(f"\n## Staged: {title} ({len(pending)} queries)\n")
         print(header)
