@@ -560,6 +560,242 @@ _KNN_CONFUSION_ORACLE = f"""
 """
 
 
+
+def events_rapid_repeat_screen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat transaction screen — the payments-audit classic
+    (duplicate-submission / double-charge detection): pairs of
+    purchases by the SAME user within 180 minutes whose amounts differ
+    by at most $20. This is proximity matching on TWO numeric axes at
+    once (time AND amount) — a different capability from exact dedup
+    (equality) and text near-dup (set similarity).
+
+    Scale shape: the naive form is a per-user all-pairs theta join —
+    quadratic in per-user history length at 100 TB. Here each left
+    event explodes to its 3-hour time bin and both neighbors
+    (bin−1, bin, bin+1), the join runs on the (user, bin) EQUI key,
+    and the exact |Δts| ≤ 180 min / |Δcents| ≤ 2000 predicates filter
+    after — any qualifying pair's bins differ by ≤ 1, so it is found
+    exactly ONCE (no post-dedup), and no BNLJ appears (plan-asserted;
+    the events_window_count / operators/rangejoin.py device). The
+    DuckDB oracle is the NAIVE theta join, so the hash match IS the
+    binned ≡ naive equivalence proof at driver level.
+
+    Note the deliberately tuned thresholds: $20/180 min produce
+    non-vacuous pair sets at every test SF (1 / 32 / 354 — measured
+    before design, the vacuousness lesson applied).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            rnd_cents("value").alias("_c"),
+            F.unix_micros("ts").alias("_us"),
+            (F.unix_micros("ts") / F.lit(10800 * 1000000)).cast("long").alias("_bin"),
+        )
+    )
+    left = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("id_a"),
+        F.col("_us").alias("us_a"),
+        F.col("_c").alias("c_a"),
+        F.explode(
+            F.array(F.col("_bin") - 1, F.col("_bin"), F.col("_bin") + 1)
+        ).alias("_jb"),
+    )
+    right = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("id_b"),
+        F.col("_us").alias("us_b"),
+        F.col("_c").alias("c_b"),
+        F.col("_bin").alias("_jb2"),
+    )
+    pairs = left.join(
+        right, (F.col("u") == F.col("u2")) & (F.col("_jb") == F.col("_jb2"))
+    ).where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("us_a") != F.col("us_b"))
+        & (F.abs(F.col("us_a") - F.col("us_b")) <= 180 * 60 * 1000000)
+        & (F.abs(F.col("c_a") - F.col("c_b")) <= 2000)
+    )
+    return pairs.select(
+        F.col("u").alias("user_id"),
+        "id_a",
+        "id_b",
+        F.abs(F.col("c_a") - F.col("c_b")).alias("cents_apart"),
+        (F.abs(F.col("us_a") - F.col("us_b")) / F.lit(60 * 1000000))
+        .cast("long")
+        .alias("minutes_apart"),
+    ).orderBy("user_id", "id_a", "id_b")
+
+
+_RAPID_REPEAT_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, {rnd_cents_sql('value')} AS c
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id,
+           a.event_id AS id_a, b.event_id AS id_b,
+           abs(a.c - b.c) AS cents_apart,
+           CAST(abs(a.us - b.us) // 60000000 AS BIGINT) AS minutes_apart
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.us <> b.us
+     AND abs(a.us - b.us) <= CAST(180 AS BIGINT) * 60 * 1000000
+     AND abs(a.c - b.c) <= 2000
+    ORDER BY a.user_id, id_a, id_b
+"""
+
+
+def dq_freshness_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness report — the operational check next to the
+    validity checks (data_quality_report) and the reconciliation
+    checks (dq_order_reconciliation): per event type, how far behind
+    the corpus high-water mark is this slice's newest record, and how
+    much of its volume arrived in the trailing day?
+
+    Exactness: all lag arithmetic in integer epoch seconds (one
+    terminal DIV to whole minutes); trailing-day share in exact ppm
+    via integer cross-multiplication ((1440-min window chosen against
+    the 30-day span so both branches are exercised at every SF)).
+
+    Scale shape: ONE scan feeds a per-type hash agg; the 1-row
+    high-water-mark aggregate broadcasts back over the ≤|types| result
+    (the bounded-broadcast pattern, pre-whitelisted) — nothing
+    corpus-sized moves twice.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("_ep")
+    )
+    anchor = ev.agg(F.max("_ep").alias("_hwm"))
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("_ep").alias("_newest"),
+    )
+    trailing = (
+        ev.join(
+            F.broadcast(anchor),
+            F.col("_ep") > F.col("_hwm") - F.lit(86400 * 1000000),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_day"))
+    )
+    out = (
+        per_type.crossJoin(F.broadcast(anchor))
+        .join(trailing, "event_type", "left")
+        .select(
+            "event_type",
+            "n_rows",
+            ((F.col("_hwm") - F.col("_newest")) / F.lit(60 * 1000000))
+            .cast("long")
+            .alias("staleness_min"),
+            F.coalesce("_n_day", F.lit(0)).alias("n_trailing_day"),
+            (
+                F.coalesce("_n_day", F.lit(0)) * 1000000 / F.col("n_rows")
+            ).cast("long").alias("trailing_share_ppm"),
+        )
+    )
+    return out.orderBy("event_type")
+
+
+_FRESHNESS_ORACLE = """
+    WITH hwm AS (SELECT max(epoch_us(ts)) AS h FROM events),
+    per_type AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             max(epoch_us(ts)) AS newest
+      FROM events GROUP BY 1
+    ), trail AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_day
+      FROM events, hwm WHERE epoch_us(ts) > h - 86400000000 GROUP BY 1
+    )
+    SELECT p.event_type, p.n_rows,
+           CAST((h - p.newest) // 60000000 AS BIGINT) AS staleness_min,
+           CAST(coalesce(t.n_day, 0) AS BIGINT) AS n_trailing_day,
+           CAST(coalesce(t.n_day, 0) * 1000000 // p.n_rows AS BIGINT)
+             AS trailing_share_ppm
+    FROM per_type p CROSS JOIN hwm LEFT JOIN trail t USING (event_type)
+    ORDER BY p.event_type
+"""
+
+
+def events_ratio_delta_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric inference by the delta method — the
+    experimentation-stats member that fixes the standard A/B mistake:
+    "revenue per event" is a RATIO of sums whose denominator is
+    random, and treating per-event values as i.i.d. understates the
+    variance because events cluster within users. The unit of analysis
+    here is the USER: X_u = user's value sum (cents), Y_u = user's
+    event count; R = ΣX/ΣY is the ratio-of-sums estimator and its
+    linearization variance is Var(R) = n/(n−1) · (ΣX² − 2RΣXY + R²ΣY²)
+    / (ΣY)² — every moment an exact BIGINT, so the float work is one
+    composite expression over five exact integers, identical on both
+    engines (the welch_t precedent, which already crosses sqrt).
+
+    Scale shape: per-user rollup (one shuffle on user_id) then a
+    per-type hash agg of five moments — the same two-stage shape as
+    the cluster bootstrap (events_bootstrap_user_mean) WITHOUT the ×B
+    replicate fan-out: the closed form is the cheap deterministic twin
+    the bootstrap validates against.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", rnd_cents("value").alias("_c")
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum("_c").alias("_x"), F.count(F.lit(1)).cast("long").alias("_y")
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    r = F.col("_sx") / F.col("_sy")
+    var = (
+        (F.col("n_users") / (F.col("n_users") - 1))
+        * (F.col("_sxx") - 2 * r * F.col("_sxy") + r * r * F.col("_syy"))
+        / (F.col("_sy") * F.col("_sy"))
+    )
+    return m.select(
+        "event_type",
+        "n_users",
+        "_sx",
+        "_sy",
+        rnd(r / 100.0, 4).alias("ratio_dollars"),
+        rnd(F.sqrt(var) / 100.0, 4).alias("se_dollars"),
+    ).withColumnRenamed("_sx", "sum_cents").withColumnRenamed(
+        "_sy", "n_events"
+    ).orderBy("event_type")
+
+
+_RATIO_DELTA_ORACLE = f"""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             SUM({rnd_cents_sql('value')}) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM per_user GROUP BY 1
+    )
+    SELECT event_type, n_users,
+           sx AS sum_cents, sy AS n_events,
+           {rnd_sql('(sx / sy) / 100.0', 4)} AS ratio_dollars,
+           {rnd_sql('sqrt((n_users / (n_users - 1.0)) * (sxx - 2 * (sx / sy) * sxy + (sx / sy) * (sx / sy) * syy) / (sy * sy)) / 100.0', 4)} AS se_dollars
+    FROM m
+    ORDER BY event_type
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -611,5 +847,23 @@ PENDING: tuple[PendingQuery, ...] = (
         ml_knn_confusion_query,
         _KNN_CONFUSION_ORACLE,
         tags=("ml", "evaluation", "knn", "similarity"),
+    ),
+    PendingQuery(
+        "events_rapid_repeat_screen",
+        events_rapid_repeat_screen_query,
+        _RAPID_REPEAT_ORACLE,
+        tags=("events", "audit", "proximity", "rangejoin"),
+    ),
+    PendingQuery(
+        "dq_freshness_report",
+        dq_freshness_report_query,
+        _FRESHNESS_ORACLE,
+        tags=("dq", "ops", "freshness"),
+    ),
+    PendingQuery(
+        "events_ratio_delta_ci",
+        events_ratio_delta_ci_query,
+        _RATIO_DELTA_ORACLE,
+        tags=("events", "abtest", "statistics", "ratio", "delta-method"),
     ),
 )

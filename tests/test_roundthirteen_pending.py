@@ -250,3 +250,94 @@ def test_knn_confusion_counts_every_query(spark):
         for r in load_table(spark, SF_DIR, "embeddings").select("label").distinct().collect()
     }
     assert all(r.true_label in labels and r.pred_label in labels for r in out)
+
+
+def test_rapid_repeat_binned_equals_naive(spark):
+    """The binned candidate generation must lose no pair: recompute the
+    screen with a naive per-user theta join in Spark and compare sets;
+    also plan-assert the declared form carries no BNLJ/cartesian."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.parity import rnd_cents
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        events_rapid_repeat_screen_query,
+    )
+    from pyspark.sql import functions as F
+
+    out = events_rapid_repeat_screen_query(spark, SF_DIR)
+    plan = _plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    got = {(r.user_id, r.id_a, r.id_b) for r in out.collect()}
+
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            rnd_cents("value").alias("c"),
+        )
+    )
+    a = e.select(*(F.col(c).alias(c + "_a") for c in e.columns))
+    b = e.select(*(F.col(c).alias(c + "_b") for c in e.columns))
+    naive = (
+        a.join(b, F.col("user_id_a") == F.col("user_id_b"))
+        .where(
+            (F.col("event_id_a") < F.col("event_id_b"))
+            & (F.col("us_a") != F.col("us_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= 180 * 60 * 1000000)
+            & (F.abs(F.col("c_a") - F.col("c_b")) <= 2000)
+        )
+        .select("user_id_a", "event_id_a", "event_id_b")
+    )
+    expect = {(r.user_id_a, r.event_id_a, r.event_id_b) for r in naive.collect()}
+    assert got == expect
+
+
+def test_freshness_shares_and_bounds(spark):
+    """Every trailing-day share in [0, 1e6] ppm; the freshest type has
+    staleness 0; trailing counts never exceed totals."""
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        dq_freshness_report_query,
+    )
+
+    rows = dq_freshness_report_query(spark, SF_DIR).collect()
+    assert rows
+    assert min(r.staleness_min for r in rows) == 0
+    for r in rows:
+        assert 0 <= r.n_trailing_day <= r.n_rows
+        assert 0 <= r.trailing_share_ppm <= 1_000_000
+
+
+def test_ratio_delta_matches_python_model(spark):
+    """R and SE recomputed from scratch in Python floats (same formula,
+    same association order) — pins the moment algebra."""
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        events_ratio_delta_ci_query,
+    )
+
+    rows = events_ratio_delta_ci_query(spark, SF_DIR).collect()
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet")).to_pylist()
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for e in t:
+        cell = per[e["event_type"]][e["user_id"]]
+        cell[0] += int(math.floor(e["value"] * 100 + 0.5))
+        cell[1] += 1
+    for r in rows:
+        users = per[r.event_type]
+        n = len(users)
+        sx = sum(x for x, _ in users.values())
+        sy = sum(y for _, y in users.values())
+        sxx = sum(x * x for x, _ in users.values())
+        sxy = sum(x * y for x, y in users.values())
+        syy = sum(y * y for x, y in users.values())
+        assert (r.n_users, r.sum_cents, r.n_events) == (n, sx, sy)
+        R = sx / sy
+        var = (n / (n - 1)) * (sxx - 2 * R * sxy + R * R * syy) / (sy * sy)
+        assert abs(r.ratio_dollars - R / 100.0) < 1e-3
+        assert abs(r.se_dollars - math.sqrt(var) / 100.0) < 1e-3
