@@ -796,6 +796,237 @@ _RATIO_DELTA_ORACLE = f"""
 """
 
 
+
+def llm_langid_agreement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata audit — the labeled-data DQ composition: the
+    corpus carries a DECLARED ``lang`` column, the engine carries a
+    heuristic language-ID classifier (operators/textops.language_id,
+    the curation-pipeline gate); this query cross-tabulates the two
+    into an agreement matrix with per-declared-language accuracy in
+    exact ppm. In a real ingest this is the check that catches both
+    bad metadata (declared ≠ content) and classifier drift — the
+    confusion-matrix device from ml_knn_confusion applied to the text
+    modality.
+
+    Exactness: the classifier is a pure expression tree whose SQL twin
+    (language_id_sql) is generated from the SAME stopword profiles, so
+    agreement counts are exact integers; accuracy is one integer
+    cross-multiplication (no division until the ppm scale).
+
+    Scale shape: map-only classification (one scan, no shuffle) into a
+    |langs|² hash agg; the accuracy join is vs a |langs|-row aggregate.
+    """
+    from spotify_data_pipeline_spark.functions.text import is_nonblank
+    from spotify_data_pipeline_spark.operators.textops import language_id
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        is_nonblank(F.col("text"))
+    )
+    pred = language_id(docs).select("lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_lang = cells.groupBy("lang").agg(
+        F.sum("n").alias("_tot"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))).alias(
+            "_agree"
+        ),
+    )
+    return (
+        cells.join(per_lang, "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            (F.coalesce("_agree", F.lit(0)) * 1000000 / F.col("_tot"))
+            .cast("long")
+            .alias("lang_accuracy_ppm"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _langid_agreement_oracle() -> str:
+    from spotify_data_pipeline_spark.operators.textops import language_id_sql
+
+    return r"""
+    WITH t AS (
+      SELECT lang,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), pred AS (
+      SELECT lang, __LANGID__ AS pred_lang FROM t
+    ), cells AS (
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ), per_lang AS (
+      SELECT lang, sum(n) AS tot,
+             coalesce(sum(CASE WHEN lang = pred_lang THEN n END), 0) AS agree
+      FROM cells GROUP BY 1
+    )
+    SELECT c.lang, c.pred_lang, c.n,
+           CAST(p.agree * 1000000 // p.tot AS BIGINT) AS lang_accuracy_ppm
+    FROM cells c JOIN per_lang p USING (lang)
+    ORDER BY c.lang, c.pred_lang
+    """.replace("__LANGID__", language_id_sql("toks"))
+
+
+_LANGID_AGREEMENT_ORACLE = _langid_agreement_oracle()
+
+
+def customer_360_snapshot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-360 feature snapshot — the feature-store
+    materialization every ML/analytics platform builds: ONE wide row
+    per customer assembling identity (segment, nation), transactional
+    aggregates (order count, lifetime spend in exact cents, average
+    order value), temporal features (first/last order date, recency
+    in whole days behind the corpus max date — a 1-row broadcast
+    anchor, the trending/aging precedent), and a within-segment spend
+    quintile (ntile with the unique-key tiebreak). Customers with no
+    orders survive the LEFT join with explicit zeros/NULLs — a feature
+    table must cover the whole entity population, not just the active
+    subset (pinned in pytest).
+
+    Scale shape: orders pre-aggregate per customer (one shuffle on the
+    key), one equi join to the customer spine, broadcast nation dim,
+    one per-segment window. No fact-sized broadcast, no self-join —
+    the materialization is two shuffles end to end.
+    """
+    return customer_360(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def customer_360(cust: DataFrame, nation: DataFrame, orders: DataFrame) -> DataFrame:
+    """The snapshot builder itself, DataFrame-parameterized so the
+    zero-order LEFT-join contract is testable on a constructed fixture
+    (no test SF happens to contain an orderless customer)."""
+    nation = nation.select(F.col("n_nationkey"), F.col("n_name").alias("nation"))
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("_maxd"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(rnd_cents("o_totalprice")).alias("spend_cents"),
+        F.min(F.to_date("o_orderdate")).alias("first_order"),
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+    )
+    j = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .crossJoin(F.broadcast(anchor))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.coalesce("spend_cents", F.lit(0)), "c_custkey"
+    )
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        "nation",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend_cents", F.lit(0)).alias("spend_cents"),
+        "first_order",
+        "last_order",
+        F.datediff(F.col("_maxd"), F.col("last_order")).cast("long").alias(
+            "recency_days"
+        ),
+        rnd(
+            F.coalesce("spend_cents", F.lit(0))
+            / (100.0 * F.greatest(F.coalesce("n_orders", F.lit(0)), F.lit(1))),
+            4,
+        ).alias("avg_order_value"),
+        F.ntile(5).over(w).cast("long").alias("spend_quintile"),
+    ).orderBy("c_custkey")
+
+
+_CUSTOMER_360_ORACLE = f"""
+    WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             SUM({rnd_cents_sql('o_totalprice')}) AS spend_cents,
+             min(CAST(o_orderdate AS DATE)) AS first_order,
+             max(CAST(o_orderdate AS DATE)) AS last_order
+      FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_mktsegment, n.n_name AS nation,
+           CAST(coalesce(p.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(p.spend_cents, 0) AS BIGINT) AS spend_cents,
+           p.first_order, p.last_order,
+           CAST(date_diff('day', p.last_order, a.maxd) AS BIGINT) AS recency_days,
+           {rnd_sql('coalesce(p.spend_cents, 0) / (100.0 * greatest(coalesce(p.n_orders, 0), 1))', 4)} AS avg_order_value,
+           CAST(ntile(5) OVER (PARTITION BY c.c_mktsegment
+                               ORDER BY coalesce(p.spend_cents, 0), c.c_custkey)
+                AS BIGINT) AS spend_quintile
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    CROSS JOIN anchor a
+    ORDER BY c.c_custkey
+"""
+
+
+def sim_embedding_norm_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-data-quality audit — the embeddings-column twin of the
+    tabular validity checks: per label, vector count, dimensionality
+    bounds (min = max ⇒ the column is rectangular — a ragged dim is
+    the classic silent ANN corruption), zero-vector count (cosine is
+    undefined on them; the serving paths must know), and the squared-
+    norm range at 4dp (min/max are order-INDEPENDENT picks of per-row
+    rounded values — no cross-row float summation anywhere, the same
+    per-row-dot + rnd4 device sim_cosine_topk has driver-proven since
+    round 2).
+
+    Scale shape: map-only per-vector features into a |labels|-row hash
+    agg; one scan, one tiny shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "label",
+        F.size("embedding").alias("_dim"),
+        rnd(
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("_n2"),
+    )
+    return (
+        feats.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("_dim").cast("long").alias("dim_min"),
+            F.max("_dim").cast("long").alias("dim_max"),
+            F.sum((F.col("_n2") == 0.0).cast("long")).alias("n_zero_vecs"),
+            F.min("_n2").alias("norm2_min"),
+            F.max("_n2").alias("norm2_max"),
+        )
+        .orderBy("label")
+    )
+
+
+_NORM_AUDIT_ORACLE = """
+    WITH f AS (
+      SELECT label,
+             len(embedding) AS dim,
+             floor(list_dot_product(embedding, embedding) * 10000 + 0.5) / 10000 AS n2
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(dim) AS BIGINT) AS dim_min,
+           CAST(max(dim) AS BIGINT) AS dim_max,
+           CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+           min(n2) AS norm2_min,
+           max(n2) AS norm2_max
+    FROM f
+    GROUP BY label
+    ORDER BY label
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -865,5 +1096,23 @@ PENDING: tuple[PendingQuery, ...] = (
         events_ratio_delta_ci_query,
         _RATIO_DELTA_ORACLE,
         tags=("events", "abtest", "statistics", "ratio", "delta-method"),
+    ),
+    PendingQuery(
+        "llm_langid_agreement",
+        llm_langid_agreement_query,
+        _LANGID_AGREEMENT_ORACLE,
+        tags=("llmops", "text", "dq", "langid", "confusion"),
+    ),
+    PendingQuery(
+        "customer_360_snapshot",
+        customer_360_snapshot_query,
+        _CUSTOMER_360_ORACLE,
+        tags=("warehouse", "featurestore", "denormalize", "ntile"),
+    ),
+    PendingQuery(
+        "sim_embedding_norm_audit",
+        sim_embedding_norm_audit_query,
+        _NORM_AUDIT_ORACLE,
+        tags=("similarity", "dq", "vectors"),
     ),
 )

@@ -341,3 +341,83 @@ def test_ratio_delta_matches_python_model(spark):
         var = (n / (n - 1)) * (sxx - 2 * R * sxy + R * R * syy) / (sy * sy)
         assert abs(r.ratio_dollars - R / 100.0) < 1e-3
         assert abs(r.se_dollars - math.sqrt(var) / 100.0) < 1e-3
+
+
+def test_langid_agreement_totals_match_corpus(spark):
+    """Cell counts sum to the nonblank corpus; accuracy ppm consistent
+    with the diagonal cell share per declared language."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        llm_langid_agreement_query,
+    )
+    from pyspark.sql import functions as F
+
+    rows = llm_langid_agreement_query(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_nonblank = docs.where(F.length(F.trim("text")) > 0).count()
+    assert sum(r.n for r in rows) == n_nonblank
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    agree = defaultdict(int)
+    for r in rows:
+        tot[r.lang] += r.n
+        if r.lang == r.pred_lang:
+            agree[r.lang] += r.n
+    for r in rows:
+        assert r.lang_accuracy_ppm == agree[r.lang] * 1000000 // tot[r.lang]
+
+
+def test_customer_360_covers_every_customer(spark):
+    """A feature table covers the whole entity population: one row per
+    customer; zero-order customers present with zeros and NULL dates."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        customer_360_snapshot_query,
+    )
+
+    out = customer_360_snapshot_query(spark, SF_DIR)
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    rows = out.collect()
+    assert len(rows) == n_cust
+    assert len({r.c_custkey for r in rows}) == n_cust
+    assert all(1 <= r.spend_quintile <= 5 for r in rows)
+
+
+def test_customer_360_zero_order_contract(spark):
+    """No test SF happens to contain an orderless customer, so the
+    LEFT-join survival contract is pinned on a constructed fixture:
+    the inactive customer appears with zeros and NULL dates/recency."""
+    import datetime
+
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import customer_360
+
+    cust = spark.createDataFrame(
+        [(1, "C1", 0, 10.0, "BUILDING"), (2, "C2", 0, 20.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    nation = spark.createDataFrame([(0, "ZERO", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    orders = spark.createDataFrame(
+        [(100, 1, "O", 50.0, datetime.datetime(1996, 3, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {r.c_custkey: r for r in customer_360(cust, nation, orders).collect()}
+    assert rows[1].n_orders == 1 and rows[1].recency_days == 0
+    inactive = rows[2]
+    assert inactive.n_orders == 0 and inactive.spend_cents == 0
+    assert inactive.first_order is None and inactive.last_order is None
+    assert inactive.recency_days is None
+    assert inactive.spend_quintile in (1, 2)  # still ranked within its segment
+
+
+def test_norm_audit_rectangular_and_positive(spark):
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        sim_embedding_norm_audit_query,
+    )
+
+    rows = sim_embedding_norm_audit_query(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.dim_min == r.dim_max  # rectangular embedding column
+        assert r.n_zero_vecs == 0
+        assert 0 < r.norm2_min <= r.norm2_max
