@@ -1027,6 +1027,86 @@ _NORM_AUDIT_ORACLE = """
 """
 
 
+
+def events_segment_behavior_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral cohorts by CRM attribute — the first cross-DATASET
+    join in the engine: the clickstream (events.user_id) keyed against
+    the customer master (c_custkey; the id domains align — measured,
+    all event users resolve), rolling per-market-segment engagement:
+    active users, events, purchases, purchase share in exact ppm, and
+    event value per active user in exact cents → 4dp dollars. This is
+    the product-analytics ⋈ warehouse integration every platform needs
+    (segment-level engagement dashboards) and no single-dataset query
+    exercises.
+
+    Scale shape: the event log pre-aggregates PER USER before the
+    join (the cluster-bootstrap discipline: events ≫ users, so the
+    join's left side is user-sized, one shuffle each side on the user
+    key), then a |segments|-row hash agg. Unmatched users would be
+    dropped by the inner join — the match-rate is emitted per segment
+    (n_users vs n_matched is corpus-wide checkable) so silent key
+    drift shows up in the output, not in a missing row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        rnd_cents("value").alias("_c"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("_n_purch"),
+        F.sum("_c").alias("_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    j = per_user.join(cust, per_user["user_id"] == cust["c_custkey"], "inner")
+    agg = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_users"),
+        F.sum("_n_events").cast("long").alias("n_events"),
+        F.sum("_n_purch").cast("long").alias("n_purchases"),
+        F.sum("_cents").cast("long").alias("value_cents"),
+    )
+    return agg.select(
+        "segment",
+        "n_active_users",
+        "n_events",
+        "n_purchases",
+        (F.col("n_purchases") * 1000000 / F.col("n_events"))
+        .cast("long")
+        .alias("purchase_share_ppm"),
+        rnd(F.col("value_cents") / (100.0 * F.col("n_active_users")), 4).alias(
+            "value_per_user"
+        ),
+    ).orderBy("segment")
+
+
+_SEGMENT_BEHAVIOR_ORACLE = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch,
+             SUM({rnd_cents_sql('value')}) AS cents
+      FROM events GROUP BY 1
+    ), j AS (
+      SELECT c.c_mktsegment AS segment, u.n_events, u.n_purch, u.cents
+      FROM per_user u JOIN customer c ON u.user_id = c.c_custkey
+    ), agg AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_active_users,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM j GROUP BY 1
+    )
+    SELECT segment, n_active_users, n_events, n_purchases,
+           CAST(n_purchases * 1000000 // n_events AS BIGINT) AS purchase_share_ppm,
+           {rnd_sql('value_cents / (100.0 * n_active_users)', 4)} AS value_per_user
+    FROM agg
+    ORDER BY segment
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -1114,5 +1194,11 @@ PENDING: tuple[PendingQuery, ...] = (
         sim_embedding_norm_audit_query,
         _NORM_AUDIT_ORACLE,
         tags=("similarity", "dq", "vectors"),
+    ),
+    PendingQuery(
+        "events_segment_behavior",
+        events_segment_behavior_query,
+        _SEGMENT_BEHAVIOR_ORACLE,
+        tags=("events", "warehouse", "cross-dataset", "analytics"),
     ),
 )

@@ -421,3 +421,24 @@ def test_norm_audit_rectangular_and_positive(spark):
         assert r.dim_min == r.dim_max  # rectangular embedding column
         assert r.n_zero_vecs == 0
         assert 0 < r.norm2_min <= r.norm2_max
+
+
+def test_segment_behavior_full_match_and_totals(spark):
+    """Every event user resolves against the customer master (measured
+    domain alignment), so segment totals must add back to the raw
+    corpus exactly."""
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        events_segment_behavior_query,
+    )
+    from pyspark.sql import functions as F
+
+    rows = events_segment_behavior_query(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert sum(r.n_purchases for r in rows) == ev.where(
+        F.col("event_type") == "purchase"
+    ).count()
+    assert sum(r.n_active_users for r in rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert 0 <= r.purchase_share_ppm <= 1_000_000
