@@ -170,6 +170,12 @@ _BNLJ_WHITELIST = {
     # 20th vector) broadcast over one corpus scan, the
     # cosine_topk_quantized pattern shared with sim_quantized_topk
     "ml_knn_confusion",
+    # 1-row high-water-mark aggregate broadcast twice (trailing-day
+    # theta filter + report assembly cross join)
+    "dq_freshness_report",
+    # 1-row max-order-date anchor cross-joined under the recency
+    # feature (trending/aging precedent)
+    "customer_360_snapshot",
 }
 
 
