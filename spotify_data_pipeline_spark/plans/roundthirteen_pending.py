@@ -1107,6 +1107,213 @@ _SEGMENT_BEHAVIOR_ORACLE = f"""
 """
 
 
+
+def agg_cohen_kappa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa over the language-agreement matrix — the
+    chance-corrected agreement statistic every labeling/annotation
+    pipeline reports (raw accuracy rewards majority-class guessing;
+    kappa subtracts the agreement two independent raters would reach
+    by chance). Raters here: the declared ``lang`` metadata vs the
+    heuristic classifier (llm_langid_agreement's two sides).
+
+    Exactness: kappa = (p_o − p_e)/(1 − p_e) algebraically clears to
+    (N·Σdiag − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l) — an exact
+    BIGINT numerator and denominator, emitted both raw (driver-pins
+    the marginals) and as one half-up-rounded ppm division.
+
+    Scale shape: map-only classification → |langs|² cell agg →
+    |langs|-row marginals; everything after the scan is constant-size.
+    """
+    from spotify_data_pipeline_spark.functions.text import is_nonblank
+    from spotify_data_pipeline_spark.operators.textops import language_id
+
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    cells = (
+        language_id(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows_m = cells.groupBy("lang").agg(F.sum("n").alias("_row"))
+    cols_m = cells.groupBy("pred_lang").agg(F.sum("n").alias("_col"))
+    chance = (
+        rows_m.join(cols_m, rows_m["lang"] == cols_m["pred_lang"], "inner")
+        .agg(F.sum(F.col("_row") * F.col("_col")).cast("long").alias("_sum_rc"))
+    )
+    totals = cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n")))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    j = totals.crossJoin(F.broadcast(chance))
+    num = F.col("n_docs") * F.col("n_agree") - F.col("_sum_rc")
+    den = F.col("n_docs") * F.col("n_docs") - F.col("_sum_rc")
+    return j.select(
+        "n_docs",
+        "n_agree",
+        F.col("_sum_rc").alias("sum_row_col"),
+        F.floor(num * 1000000 / den + F.lit(0.5)).cast("long").alias("kappa_ppm"),
+    )
+
+
+def _cohen_kappa_oracle() -> str:
+    from spotify_data_pipeline_spark.operators.textops import language_id_sql
+
+    return r"""
+    WITH t AS (
+      SELECT lang,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), cells AS (
+      SELECT lang, __LANGID__ AS pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2
+    ), rm AS (SELECT lang, sum(n) AS r FROM cells GROUP BY 1),
+    cm AS (SELECT pred_lang, sum(n) AS c FROM cells GROUP BY 1),
+    chance AS (
+      SELECT CAST(sum(rm.r * cm.c) AS BIGINT) AS sum_rc
+      FROM rm JOIN cm ON rm.lang = cm.pred_lang
+    ), totals AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN lang = pred_lang THEN n END), 0) AS BIGINT) AS n_agree
+      FROM cells
+    )
+    SELECT n_docs, n_agree, sum_rc AS sum_row_col,
+           CAST(floor((n_docs * n_agree - sum_rc) * 1000000.0
+                      / (n_docs * n_docs - sum_rc) + 0.5) AS BIGINT) AS kappa_ppm
+    FROM totals CROSS JOIN chance
+    """.replace("__LANGID__", language_id_sql("toks"))
+
+
+_COHEN_KAPPA_ORACLE = _cohen_kappa_oracle()
+
+
+def ml_knn_prf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the 1-NN classifier — the
+    metric layer over ml_knn_confusion's matrix (accuracy alone hides
+    class imbalance; P/R/F1 per class is what a model card reports).
+
+    Exactness: tp = diagonal cell, row/col marginals from the same
+    exact integer matrix; precision = tp/col, recall = tp/row,
+    F1 = 2·tp/(row+col) — each ONE integer cross-multiplication to
+    ppm (floor), zero float accumulation anywhere.
+
+    Scale shape: identical to ml_knn_confusion (bounded query subset
+    broadcast over one corpus scan) plus constant-size marginal aggs.
+    """
+    from spotify_data_pipeline_spark.operators.quantization import (
+        cosine_topk_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    nn = cosine_topk_quantized(queries, emb, k=1)
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("_lbl"))
+    j = nn.join(
+        F.broadcast(
+            labels.select(F.col("vec_id").alias("query_id"), F.col("_lbl").alias("t"))
+        ),
+        "query_id",
+    ).join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("_lbl").alias("p")
+            )
+        ),
+        "neighbor_id",
+    )
+    cells = j.groupBy("t", "p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rows_m = cells.groupBy("t").agg(F.sum("n").cast("long").alias("row_n"))
+    cols_m = cells.groupBy("p").agg(F.sum("n").cast("long").alias("col_n"))
+    diag = cells.where(F.col("t") == F.col("p")).select(
+        F.col("t").alias("label"), F.col("n").alias("tp")
+    )
+    out = (
+        rows_m.select(F.col("t").alias("label"), "row_n")
+        .join(cols_m.select(F.col("p").alias("label"), "col_n"), "label", "full_outer")
+        .join(diag, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("row_n", F.lit(0)).alias("n_true"),
+            F.coalesce("col_n", F.lit(0)).alias("n_pred"),
+        )
+    )
+    pr = F.when(
+        F.col("n_pred") > 0, F.floor(F.col("tp") * 1000000 / F.col("n_pred"))
+    ).cast("long")
+    rc = F.when(
+        F.col("n_true") > 0, F.floor(F.col("tp") * 1000000 / F.col("n_true"))
+    ).cast("long")
+    f1 = F.when(
+        F.col("n_true") + F.col("n_pred") > 0,
+        F.floor(2 * F.col("tp") * 1000000 / (F.col("n_true") + F.col("n_pred"))),
+    ).cast("long")
+    return out.select(
+        "label",
+        "tp",
+        "n_true",
+        "n_pred",
+        pr.alias("precision_ppm"),
+        rc.alias("recall_ppm"),
+        f1.alias("f1_ppm"),
+    ).orderBy("label")
+
+
+_QCOS13B = (
+    "(list_dot_product(a.q, b.q)"
+    " / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+)
+
+_KNN_PRF_ORACLE = f"""
+    WITH z AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id, label,
+             CASE WHEN m = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(least(greatest(
+                         floor(CAST(x AS DOUBLE) * 127 / m + 0.5),
+                         -127.0), 127.0) AS DOUBLE))
+             END AS q
+      FROM z
+    ), nn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY floor({_QCOS13B} * 10000 + 0.5) / 10000 DESC, b.vec_id ASC
+               ) AS rn
+        FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 20 = 0
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT CAST(t.label AS BIGINT) AS t, CAST(p.label AS BIGINT) AS p,
+             CAST(count(*) AS BIGINT) AS n
+      FROM nn JOIN embeddings t ON nn.query_id = t.vec_id
+              JOIN embeddings p ON nn.neighbor_id = p.vec_id
+      GROUP BY 1, 2
+    ), rm AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+    cm AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+    d AS (SELECT t AS label, n AS tp FROM cells WHERE t = p),
+    m AS (
+      SELECT coalesce(rm.label, cm.label) AS label,
+             CAST(coalesce(d.tp, 0) AS BIGINT) AS tp,
+             CAST(coalesce(rm.row_n, 0) AS BIGINT) AS n_true,
+             CAST(coalesce(cm.col_n, 0) AS BIGINT) AS n_pred
+      FROM rm FULL OUTER JOIN cm ON rm.label = cm.label
+              LEFT JOIN d ON coalesce(rm.label, cm.label) = d.label
+    )
+    SELECT label, tp, n_true, n_pred,
+           CASE WHEN n_pred > 0 THEN CAST(floor(tp * 1000000.0 / n_pred) AS BIGINT) END AS precision_ppm,
+           CASE WHEN n_true > 0 THEN CAST(floor(tp * 1000000.0 / n_true) AS BIGINT) END AS recall_ppm,
+           CASE WHEN n_true + n_pred > 0 THEN CAST(floor(2 * tp * 1000000.0 / (n_true + n_pred)) AS BIGINT) END AS f1_ppm
+    FROM m
+    ORDER BY label
+"""
+
+
 @dataclass(frozen=True)
 class PendingQuery:
     name: str
@@ -1200,5 +1407,17 @@ PENDING: tuple[PendingQuery, ...] = (
         events_segment_behavior_query,
         _SEGMENT_BEHAVIOR_ORACLE,
         tags=("events", "warehouse", "cross-dataset", "analytics"),
+    ),
+    PendingQuery(
+        "agg_cohen_kappa",
+        agg_cohen_kappa_query,
+        _COHEN_KAPPA_ORACLE,
+        tags=("agg", "statistics", "agreement", "evaluation"),
+    ),
+    PendingQuery(
+        "ml_knn_prf",
+        ml_knn_prf_query,
+        _KNN_PRF_ORACLE,
+        tags=("ml", "evaluation", "knn", "precision-recall"),
     ),
 )

@@ -176,6 +176,11 @@ _BNLJ_WHITELIST = {
     # 1-row max-order-date anchor cross-joined under the recency
     # feature (trending/aging precedent)
     "customer_360_snapshot",
+    # same brute anchor as ml_knn_confusion (metric layer over it)
+    "ml_knn_prf",
+    # 1-row totals x 1-row chance-product aggregates assembled into
+    # the single kappa row
+    "agg_cohen_kappa",
 }
 
 

@@ -442,3 +442,58 @@ def test_segment_behavior_full_match_and_totals(spark):
     assert sum(r.n_active_users for r in rows) == ev.select("user_id").distinct().count()
     for r in rows:
         assert 0 <= r.purchase_share_ppm <= 1_000_000
+
+
+def test_cohen_kappa_python_recount(spark):
+    """kappa recomputed from the agreement matrix cells in exact
+    Python integers; kappa <= accuracy always (chance correction
+    can only lower the score)."""
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        agg_cohen_kappa_query,
+        llm_langid_agreement_query,
+    )
+
+    k = agg_cohen_kappa_query(spark, SF_DIR).collect()[0]
+    cells = llm_langid_agreement_query(spark, SF_DIR).collect()
+    N = sum(r.n for r in cells)
+    agree = sum(r.n for r in cells if r.lang == r.pred_lang)
+    from collections import defaultdict
+
+    row = defaultdict(int)
+    col = defaultdict(int)
+    for r in cells:
+        row[r.lang] += r.n
+        col[r.pred_lang] += r.n
+    sum_rc = sum(row[l] * col[l] for l in set(row) | set(col))
+    assert (k.n_docs, k.n_agree, k.sum_row_col) == (N, agree, sum_rc)
+    import math
+
+    expect = math.floor((N * agree - sum_rc) * 1000000 / (N * N - sum_rc) + 0.5)
+    assert k.kappa_ppm == expect
+    assert k.kappa_ppm <= agree * 1000000 // N  # kappa <= accuracy
+
+
+def test_knn_prf_consistent_with_confusion(spark):
+    """tp / marginals recomputed from ml_knn_confusion's matrix; F1 is
+    the harmonic mean bound: min(P,R) <= F1 <= max(P,R)."""
+    from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
+        ml_knn_confusion_query,
+        ml_knn_prf_query,
+    )
+    from collections import defaultdict
+
+    cm = ml_knn_confusion_query(spark, SF_DIR).collect()
+    prf = {r.label: r for r in ml_knn_prf_query(spark, SF_DIR).collect()}
+    row = defaultdict(int)
+    col = defaultdict(int)
+    diag = defaultdict(int)
+    for r in cm:
+        row[r.true_label] += r.n
+        col[r.pred_label] += r.n
+        if r.true_label == r.pred_label:
+            diag[r.true_label] = r.n
+    for lbl, r in prf.items():
+        assert r.tp == diag[lbl] and r.n_true == row[lbl] and r.n_pred == col[lbl]
+        if r.precision_ppm is not None and r.recall_ppm is not None and r.f1_ppm is not None:
+            lo, hi = sorted((r.precision_ppm, r.recall_ppm))
+            assert lo - 1 <= r.f1_ppm <= hi + 1  # ppm flooring slack
