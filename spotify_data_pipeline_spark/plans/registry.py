@@ -40,21 +40,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tools/snapshot_evidence.py) — both enforced by tests/test_registry.py,
 # so a silent edit to a tail query's body fails pytest.
 #
-# Round-5 front-loading (second session): roundfive (the 9 queries
-# staged in round 4 plus events_interval_join_outer,
-# dedup_passage_removal and the rows-only text_heavy_hitters_cms —
-# 12 total, positions 0–11, all unevidenced so they MUST be in the
-# window), then events_queries (6, positions 12–17 — their import
-# closure drifted during the exactly-once-sink work, so the deps pin
-# correctly invalidates their r02/r03 tail evidence and they need a
-# fresh re-proof), then roundsix's first 32 staged queries
-# (positions 18–49) fill the window exactly. Every other block
-# rotates to the tail: llmops(11) + aggregates(12) + relational(19) +
-# roundfour(17) + windows(9) + multimodal(3) + dedup(6) +
-# similarity(4) + text(11) — every one r01∪r02∪r03∪r04-green and
-# hash-pinned by BOTH fn-source and import-closure hashes
-# (verified eligible before this reorder: zero src/deps drift).
+# Round-6 front-loading: all 142 previously-declared queries entered
+# the round with valid evidence pins (zero NEW/DRIFT —
+# tools/window_eligibility.py), so the whole 50-slot window goes to
+# staged activations: roundsix_tail (the 3 roundsix staging-tail
+# queries via delegating wrappers + the md5-CMS exact-oracle twin,
+# positions 0–3), then roundseven_pending's 39 (4–42), then
+# roundeight_pending's first 7 (43–49), both declared by the
+# plans.active manifest (which controls declare sequence within each
+# staging module — see its docstring for the deps-pin rationale).
+# Every prior block rotates to the tail: roundfive(12) +
+# events_queries(6) + roundsix(32) + llmops(11) + aggregates(12) +
+# relational(19) + roundfour(17) + windows(9) + multimodal(3) +
+# dedup(6) + similarity(4) + text(11) — every one r01..r05-green and
+# hash-pinned by BOTH fn-source and import-closure hashes.
 _QUERY_MODULES = (
+    "spotify_data_pipeline_spark.plans.roundsix_tail",
+    "spotify_data_pipeline_spark.plans.roundseven_pending",
+    "spotify_data_pipeline_spark.plans.roundeight_pending",
+    "spotify_data_pipeline_spark.plans.active",
     "spotify_data_pipeline_spark.plans.roundfive",
     "spotify_data_pipeline_spark.plans.events_queries",
     "spotify_data_pipeline_spark.plans.roundsix",

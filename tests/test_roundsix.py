@@ -34,16 +34,23 @@ def test_pending_oracle_match(spark, pq):
 
 
 def test_activation_partition(spark):
-    """Exactly the first 32 are registered (window positions 18-49);
-    the remaining staged 3 must NOT appear in the driver's view — an
-    unevidenced tail entry is what the registry invariants prevent."""
+    """All 35 are registered: the first 32 via roundsix.py's own
+    activation loop (evidenced round 5), the staged tail 3 via the
+    plans/roundsix_tail.py delegating wrappers (round-6 window,
+    positions 0-2) — the wrappers exist so activating the tail never
+    edits this module and never drifts the 32 siblings' deps pins."""
     from spotify_data_pipeline_spark.plans import all_queries
     from spotify_data_pipeline_spark.plans.roundsix import ACTIVATED, STAGED
 
     assert len(ACTIVATED) == 32 and len(STAGED) == 3
     names = set(all_queries())
     assert {pq.name for pq in ACTIVATED} <= names
-    assert not names & {pq.name for pq in STAGED}
+    assert {pq.name for pq in STAGED} <= names
+    # the tail 3 are registered under the wrapper module, not this one
+    qs = all_queries()
+    for pq in STAGED:
+        assert qs[pq.name].fn.__module__.endswith("roundsix_tail")
+        assert qs[pq.name].oracle == pq.oracle
 
 
 def test_pending_names_unique_and_oracle_bearing():
