@@ -20,27 +20,44 @@ queries from a partially-activated module can be declared ahead of
 their already-evidenced siblings to land inside the driver's first-50
 evidence window.
 
-Round 6 window (50 slots, all free — zero NEW/DRIFT at round start):
-  positions 0-3   plans/roundsix_tail.py (3 staged-tail wrappers + the
-                  md5-CMS exact-oracle twin)
-  positions 4-42  roundseven_pending: all 39
-  positions 43-49 roundeight_pending: first 7
+Round 7 window (50 slots, all free — zero NEW/DRIFT after the round-
+start evidence snapshot pinned the 50 round-6 rows):
+  positions 0-20  roundnine_pending: all 21
+  positions 21-28 roundten_pending: first 8
+  positions 29-49 roundeight_pending: the 21 NOT activated in round 6
+                  (declared BEFORE their 7 evidenced siblings, whose
+                  declare sequence pushes them to tail positions 50-56
+                  where their r06 pins remain valid)
 Headline promotions at declare time (bench coverage for new plan
-shapes): agg_forecast_revenue (TPC-H Q6 — the pushdown canary),
-text_bm25_topk (rational-idf BM25 — the retrieval family's scan+join
-shape).
+shapes): sim_pq_adc_topk (PQ asymmetric-distance top-k — the
+compressed-ANN scale path), agg_bitmap_distinct (bitmap-index exact
+distinct — the mergeable-sketch agg shape).
+
+Round 6 window (for the record): roundsix_tail 0-3, roundseven_pending
+4-42, roundeight_pending first 7 at 43-49; headline promotions
+agg_forecast_revenue (TPC-H Q6 pushdown canary) and text_bm25_topk.
 """
 
 from __future__ import annotations
 
-from spotify_data_pipeline_spark.plans import roundeight_pending, roundseven_pending
+from spotify_data_pipeline_spark.plans import (
+    roundeight_pending,
+    roundnine_pending,
+    roundseven_pending,
+    roundten_pending,
+)
 from spotify_data_pipeline_spark.plans.registry import declare
 
 # Promote to bench headline at activation (PendingQuery entries carry
 # headline=False; the flag is a bench-coverage decision made here).
-_HEADLINE = {"agg_forecast_revenue", "text_bm25_topk"}
+_HEADLINE = {
+    "agg_forecast_revenue",
+    "text_bm25_topk",
+    "sim_pq_adc_topk",
+    "agg_bitmap_distinct",
+}
 
-_R8_ACTIVE = (
+_R8_ROUND6 = (
     "graph_hits_scores",
     "text_phrase_search",
     "events_marker_sessions",
@@ -48,6 +65,17 @@ _R8_ACTIVE = (
     "agg_revenue_gini",
     "events_uniques_rollup",
     "text_collocation_lift",
+)
+
+_R10_ACTIVE = (
+    "orders_changepoint_day",
+    "text_kn_continuation",
+    "events_chisq_independence",
+    "agg_bitmap_distinct",
+    "events_twap",
+    "ops_join_size_estimate",
+    "privacy_l_diversity",
+    "ml_decision_stump",
 )
 
 
@@ -63,8 +91,18 @@ def _activate(pending, names=None) -> None:
         )(pq.fn)
 
 
+_activate(roundnine_pending.PENDING)
+_activate(roundten_pending.PENDING, _R10_ACTIVE)
+# round-8: the 21 NEW activations first (window positions 29-49), then
+# the 7 round-6-evidenced ones (tail 50-56 — sequence within the module
+# index is exactly this declare order, see registry._module_rank).
+_R8_NEW = tuple(
+    pq.name for pq in roundeight_pending.PENDING if pq.name not in _R8_ROUND6
+)
+_activate(roundeight_pending.PENDING, _R8_NEW)
+_activate(roundeight_pending.PENDING, _R8_ROUND6)
 _activate(roundseven_pending.PENDING)
-_activate(roundeight_pending.PENDING, _R8_ACTIVE)
 
-#: names activated from roundeight so far (tests + future manifests read this)
-R8_ACTIVATED: tuple[str, ...] = _R8_ACTIVE
+#: activation manifests (tests + future manifests read these)
+R8_ACTIVATED: tuple[str, ...] = _R8_NEW + _R8_ROUND6  # all 28
+R10_ACTIVATED: tuple[str, ...] = _R10_ACTIVE

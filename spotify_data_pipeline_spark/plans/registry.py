@@ -40,25 +40,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tools/snapshot_evidence.py) — both enforced by tests/test_registry.py,
 # so a silent edit to a tail query's body fails pytest.
 #
-# Round-6 front-loading: all 142 previously-declared queries entered
-# the round with valid evidence pins (zero NEW/DRIFT —
-# tools/window_eligibility.py), so the whole 50-slot window goes to
-# staged activations: roundsix_tail (the 3 roundsix staging-tail
-# queries via delegating wrappers + the md5-CMS exact-oracle twin,
-# positions 0–3), then roundseven_pending's 39 (4–42), then
-# roundeight_pending's first 7 (43–49), both declared by the
-# plans.active manifest (which controls declare sequence within each
-# staging module — see its docstring for the deps-pin rationale).
-# Every prior block rotates to the tail: roundfive(12) +
-# events_queries(6) + roundsix(32) + llmops(11) + aggregates(12) +
-# relational(19) + roundfour(17) + windows(9) + multimodal(3) +
-# dedup(6) + similarity(4) + text(11) — every one r01..r05-green and
-# hash-pinned by BOTH fn-source and import-closure hashes.
+# Round-7 front-loading: all 192 previously-declared queries entered
+# the round with valid evidence pins (zero NEW/DRIFT after the round-
+# start snapshot — tools/window_eligibility.py), so the whole 50-slot
+# window goes to staged activations: roundnine_pending's 21 (0–20),
+# roundten_pending's first 8 (21–28), then roundeight_pending's 21
+# not-yet-evidenced queries (29–49) — the plans.active manifest
+# declares those 21 BEFORE the module's 7 round-6-evidenced siblings,
+# which therefore sit at tail positions 50–56 on their intact r06
+# pins (declare sequence orders queries within one module index).
+# Every prior block rotates further down the tail: roundsix_tail(4) +
+# roundseven(39) + roundfive(12) + events_queries(6) + roundsix(32) +
+# llmops(11) + aggregates(12) + relational(19) + roundfour(17) +
+# windows(9) + multimodal(3) + dedup(6) + similarity(4) + text(11) —
+# every one r01..r06-green and hash-pinned by BOTH fn-source and
+# import-closure hashes.
 _QUERY_MODULES = (
-    "spotify_data_pipeline_spark.plans.roundsix_tail",
-    "spotify_data_pipeline_spark.plans.roundseven_pending",
+    "spotify_data_pipeline_spark.plans.roundnine_pending",
+    "spotify_data_pipeline_spark.plans.roundten_pending",
     "spotify_data_pipeline_spark.plans.roundeight_pending",
     "spotify_data_pipeline_spark.plans.active",
+    "spotify_data_pipeline_spark.plans.roundsix_tail",
+    "spotify_data_pipeline_spark.plans.roundseven_pending",
     "spotify_data_pipeline_spark.plans.roundfive",
     "spotify_data_pipeline_spark.plans.events_queries",
     "spotify_data_pipeline_spark.plans.roundsix",

@@ -43,7 +43,12 @@ def events_ab_mannwhitney_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns r2sum_a and u2_a (= 2·U_a), plus the exact integer
     cross-check identity column u2_sum = 2·n_a·n_b (U_a + U_b sums to
     n_a·n_b regardless of ties — emitting it driver-pins the tie
-    handling on both engines).
+    handling on both engines). The rank-sum accumulator runs in
+    DECIMAL(38,0) on Spark (matching DuckDB's HUGEINT sum — Spark's
+    long sum would wrap silently); the declared BIGINT output columns
+    bound the domain at ~3·10⁹ rows per event_type, since r2sum is
+    Θ(n²) — past that the statistic itself needs a wider declared
+    type, not different arithmetic.
 
     Scale shape: one scan → one rank window partitioned by event_type →
     one hash agg; no joins, nothing corpus-sized broadcast. Honest
@@ -69,7 +74,14 @@ def events_ab_mannwhitney_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("event_type").agg(
         F.sum("_a").cast("long").alias("n_a"),
         F.sum(1 - F.col("_a")).cast("long").alias("n_b"),
-        F.sum(F.col("_a") * F.col("_r2")).cast("long").alias("r2sum_a"),
+        # DECIMAL accumulator (ADVICE r05 int64-headroom note): Spark's
+        # sum(long) wraps silently while DuckDB's sum(BIGINT) promotes
+        # to HUGEINT — accumulate exactly, bound only at the final
+        # BIGINT output cast (domain limit ~3e9 rows per event_type,
+        # stated in the docstring).
+        F.sum((F.col("_a") * F.col("_r2")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("r2sum_a"),
     )
     return agg.select(
         "event_type",
@@ -1117,9 +1129,14 @@ def agg_cohen_kappa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic classifier (llm_langid_agreement's two sides).
 
     Exactness: kappa = (p_o − p_e)/(1 − p_e) algebraically clears to
-    (N·Σdiag − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l) — an exact
-    BIGINT numerator and denominator, emitted both raw (driver-pins
-    the marginals) and as one half-up-rounded ppm division.
+    (N·Σdiag − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l) — numerator
+    and denominator computed in DECIMAL(38,0) on the Spark side and
+    HUGEINT in the oracle (ADVICE r05: the earlier BIGINT num·10⁶
+    wrapped silently past ~3M docs — int64 headroom is N²·10⁶), then
+    both engines convert the SAME exact integers to double and divide
+    BEFORE any scaling, so the ppm rounding is IEEE-identical
+    cross-engine up to N ≈ 3·10⁹ (the BIGINT bound of the raw
+    sum_row_col output column, documented domain limit).
 
     Scale shape: map-only classification → |langs|² cell agg →
     |langs|-row marginals; everything after the scan is constant-size.
@@ -1137,7 +1154,11 @@ def agg_cohen_kappa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols_m = cells.groupBy("pred_lang").agg(F.sum("n").alias("_col"))
     chance = (
         rows_m.join(cols_m, rows_m["lang"] == cols_m["pred_lang"], "inner")
-        .agg(F.sum(F.col("_row") * F.col("_col")).cast("long").alias("_sum_rc"))
+        .agg(
+            F.sum(F.col("_row").cast("decimal(38,0)") * F.col("_col"))
+            .cast("decimal(38,0)")
+            .alias("_sum_rc")
+        )
     )
     totals = cells.agg(
         F.sum("n").cast("long").alias("n_docs"),
@@ -1146,13 +1167,16 @@ def agg_cohen_kappa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_agree"),
     )
     j = totals.crossJoin(F.broadcast(chance))
-    num = F.col("n_docs") * F.col("n_agree") - F.col("_sum_rc")
-    den = F.col("n_docs") * F.col("n_docs") - F.col("_sum_rc")
+    nd = F.col("n_docs").cast("decimal(38,0)")
+    num = (nd * F.col("n_agree") - F.col("_sum_rc")).cast("double")
+    den = (nd * F.col("n_docs") - F.col("_sum_rc")).cast("double")
     return j.select(
         "n_docs",
         "n_agree",
-        F.col("_sum_rc").alias("sum_row_col"),
-        F.floor(num * 1000000 / den + F.lit(0.5)).cast("long").alias("kappa_ppm"),
+        F.col("_sum_rc").cast("long").alias("sum_row_col"),
+        F.floor(F.lit(1000000.0) * num / den + F.lit(0.5))
+        .cast("long")
+        .alias("kappa_ppm"),
     )
 
 
@@ -1170,16 +1194,20 @@ def _cohen_kappa_oracle() -> str:
     ), rm AS (SELECT lang, sum(n) AS r FROM cells GROUP BY 1),
     cm AS (SELECT pred_lang, sum(n) AS c FROM cells GROUP BY 1),
     chance AS (
-      SELECT CAST(sum(rm.r * cm.c) AS BIGINT) AS sum_rc
+      -- HUGEINT products (Spark side: DECIMAL(38,0)) — BIGINT wrapped
+      -- silently past ~3M docs once the old num*1e6 scaling applied
+      SELECT sum(CAST(rm.r AS HUGEINT) * cm.c) AS sum_rc
       FROM rm JOIN cm ON rm.lang = cm.pred_lang
     ), totals AS (
       SELECT CAST(sum(n) AS BIGINT) AS n_docs,
              CAST(coalesce(sum(CASE WHEN lang = pred_lang THEN n END), 0) AS BIGINT) AS n_agree
       FROM cells
     )
-    SELECT n_docs, n_agree, sum_rc AS sum_row_col,
-           CAST(floor((n_docs * n_agree - sum_rc) * 1000000.0
-                      / (n_docs * n_docs - sum_rc) + 0.5) AS BIGINT) AS kappa_ppm
+    SELECT n_docs, n_agree, CAST(sum_rc AS BIGINT) AS sum_row_col,
+           CAST(floor(1000000.0
+                      * CAST(CAST(n_docs AS HUGEINT) * n_agree - sum_rc AS DOUBLE)
+                      / CAST(CAST(n_docs AS HUGEINT) * n_docs - sum_rc AS DOUBLE)
+                      + 0.5) AS BIGINT) AS kappa_ppm
     FROM totals CROSS JOIN chance
     """.replace("__LANGID__", language_id_sql("toks"))
 

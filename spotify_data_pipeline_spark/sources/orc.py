@@ -39,15 +39,21 @@ def read_orc(
     spark: SparkSession, path: str, schema: StructType | None = None
 ) -> DataFrame:
     """Scan an ORC dataset; when ``schema`` is given, assert the file
-    schema matches it exactly (names + types, order-sensitive) so shape
-    drift fails loudly at read time instead of corrupting downstream
+    schema matches it on names + types, order-sensitive but
+    NULLABILITY-INSENSITIVE (ADVICE r05: ORC readers infer
+    nullable=true for columns a writer declared required, so a strict
+    StructType equality rejected byte-identical data) — shape drift
+    still fails loudly at read time instead of corrupting downstream
     joins."""
     df = spark.read.orc(path)
-    if schema is not None and df.schema != schema:
-        raise ValueError(
-            f"ORC schema drift at {path}: expected {schema.simpleString()}, "
-            f"found {df.schema.simpleString()}"
-        )
+    if schema is not None:
+        found = [(f.name, f.dataType) for f in df.schema.fields]
+        want = [(f.name, f.dataType) for f in schema.fields]
+        if found != want:
+            raise ValueError(
+                f"ORC schema drift at {path}: expected {schema.simpleString()}, "
+                f"found {df.schema.simpleString()}"
+            )
     return df
 
 

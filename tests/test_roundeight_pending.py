@@ -31,23 +31,20 @@ def test_pending_oracle_match(spark, pq):
         assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_partially_registered(spark):
-    """Round-6 activation (plans/active.py manifest): exactly the first
-    7 round-8 staged queries are declared (window positions 43-49);
-    the rest stay pending for the round-7 window. The manifest declares
-    FROM this module so the pending file itself never changes at
-    activation — future partial activations can't drift these pins."""
+def test_pending_all_registered(spark):
+    """Round-7 activation completed this module: all 28 round-8 staged
+    queries are declared — the 21 new ones ahead of the 7 round-6-
+    evidenced siblings (active.py declare sequence), so the evidenced 7
+    sit in the tail on their intact r06 pins while the new 21 occupy
+    window slots 29-49."""
     from spotify_data_pipeline_spark.plans import all_queries
     from spotify_data_pipeline_spark.plans.active import R8_ACTIVATED
 
     qs = all_queries()
-    assert R8_ACTIVATED == tuple(pq.name for pq in PENDING[:7])
+    assert set(R8_ACTIVATED) == {pq.name for pq in PENDING}
     for pq in PENDING:
-        if pq.name in R8_ACTIVATED:
-            assert pq.name in qs and qs[pq.name].fn is pq.fn
-            assert qs[pq.name].oracle == pq.oracle
-        else:
-            assert pq.name not in qs
+        assert pq.name in qs and qs[pq.name].fn is pq.fn
+        assert qs[pq.name].oracle == pq.oracle
 
 
 def test_pending_names_unique_and_oracle_bearing():

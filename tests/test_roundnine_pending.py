@@ -28,11 +28,18 @@ def test_pending_oracle_match(spark, pq):
         assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_not_registered(spark):
+def test_pending_all_registered(spark):
+    """Round-7 activation (plans/active.py manifest): every round-9
+    staged query is declared, oracle intact, fn identical — the
+    manifest declares FROM this module so the pending file itself
+    never changes at activation."""
     from spotify_data_pipeline_spark.plans import all_queries
 
-    names = set(all_queries())
-    assert not names & {pq.name for pq in PENDING}
+    qs = all_queries()
+    for pq in PENDING:
+        assert pq.name in qs, pq.name
+        assert qs[pq.name].fn is pq.fn, pq.name
+        assert qs[pq.name].oracle == pq.oracle, pq.name
 
 
 def test_pending_names_unique_and_oracle_bearing():

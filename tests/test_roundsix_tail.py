@@ -71,10 +71,14 @@ def test_cms_md5_bracket_and_collisions_bite(spark):
 
 
 def test_cms_md5_min_tightening_bites(spark):
-    """depth=3 must genuinely tighten: for at least one candidate the
-    three row estimates differ (min < max over rows) — otherwise a
-    depth-1 sketch would produce the same result and the min() in the
-    estimator is dead code on this data."""
+    """depth=3 must genuinely tighten ON THE ROWS THE ORACLE CHECKS:
+    for at least one top-10 CANDIDATE the three row estimates differ
+    (min < max over rows) — otherwise a depth-1 sketch would produce
+    the same checked result and the min() in the estimator is dead
+    code on the driver-compared rows (ADVICE r06: the earlier
+    whole-vocabulary spread count could pass while every candidate row
+    had agreeing hash rows)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from spotify_data_pipeline_spark.functions.text import tokens
@@ -85,6 +89,14 @@ def test_cms_md5_min_tightening_bites(spark):
         spark_df.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count("*").alias("cnt"))
+    )
+    # the SAME candidate rule as the query: exact top-10 per source,
+    # deterministic token tiebreak
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("tok"))
+    cand = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("source", "tok")
     )
     per_row_est = counts.select(
         "source",
@@ -114,8 +126,40 @@ def test_cms_md5_min_tightening_bites(spark):
                 bucket_sum, on=["source", "b"]
             ).select("source", "tok", f"e{r}")
         )
-    joined = ests[0].join(ests[1], ["source", "tok"]).join(ests[2], ["source", "tok"])
+    joined = (
+        ests[0]
+        .join(ests[1], ["source", "tok"])
+        .join(ests[2], ["source", "tok"])
+        .join(cand, ["source", "tok"], "left_semi")  # candidate rows only
+    )
     spread = joined.where(
         (F.col("e0") != F.col("e1")) | (F.col("e1") != F.col("e2"))
     ).count()
-    assert spread > 0, "all 3 hash rows agree everywhere — min() never tightens"
+    assert spread > 0, (
+        "all 3 hash rows agree on every top-10 candidate — min() never "
+        "tightens on the rows the oracle actually checks"
+    )
+
+
+def test_cms_md5_width_pinned_to_hex_digit():
+    """The bucket expression extracts ONE lowercase-hex digit (values
+    0-15), so '% width' is only meaningful at width == 16 — raising
+    width without widening the digit extraction would silently leave
+    buckets >= 16 empty and bias the estimates (ADVICE r06). Pin the
+    constant to the extraction so a future width change fails loudly
+    here instead."""
+    import inspect
+    import re
+
+    src = inspect.getsource(rt.text_heavy_hitters_cms_md5_query)
+    m = re.search(r"depth, width = (\d+), (\d+)", src)
+    assert m, "depth/width constants moved — update this pin"
+    width = int(m.group(2))
+    digits = re.findall(r"substring\(md5\([^)]*\)\), 1, (\d+)\)", src)
+    assert digits, "bucket hex-digit extraction moved — update this pin"
+    n_digits = {int(d) for d in digits}
+    assert n_digits == {1}, n_digits
+    assert width == 16 ** 1, (
+        f"width={width} but the bucket hash extracts exactly one hex "
+        "digit (16 values) — widen the substring with the width"
+    )

@@ -26,11 +26,23 @@ def test_pending_oracle_match(spark, pq):
         assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_not_registered(spark):
+def test_pending_partially_registered(spark):
+    """Round-7 activation (plans/active.py manifest): exactly the first
+    8 round-10 staged queries are declared (window positions 21-28);
+    the rest stay pending for the round-8 window. The manifest declares
+    FROM this module so the pending file itself never changes at
+    activation — future partial activations can't drift these pins."""
     from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.plans.active import R10_ACTIVATED
 
-    names = set(all_queries())
-    assert not names & {pq.name for pq in PENDING}
+    qs = all_queries()
+    assert R10_ACTIVATED == tuple(pq.name for pq in PENDING[:8])
+    for pq in PENDING:
+        if pq.name in R10_ACTIVATED:
+            assert pq.name in qs and qs[pq.name].fn is pq.fn
+            assert qs[pq.name].oracle == pq.oracle
+        else:
+            assert pq.name not in qs
 
 
 def test_pending_names_unique_and_oracle_bearing():

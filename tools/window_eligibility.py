@@ -63,9 +63,13 @@ def main() -> None:
             == snap[name]["sha256"]
         )
         deps_ok = tool.deps_hash(q.fn) == snap[name].get("deps_sha256")
-        (ok if (src_ok and deps_ok) else drift).append(
-            name if (src_ok and deps_ok) else f"{name} ({'src' if not src_ok else 'deps'})"
-        )
+        if src_ok and deps_ok:
+            ok.append(name)
+        else:
+            what = "+".join(
+                label for label, bad in (("src", not src_ok), ("deps", not deps_ok)) if bad
+            )
+            drift.append(f"{name} ({what})")
 
     must_window = len(new) + len(drift)
     print(f"registered: {len(qs)}  window slots: 50")
