@@ -183,6 +183,27 @@ def test_registry_metadata_sane():
     assert sum(1 for q in qs.values() if q.headline) >= 10
 
 
+def test_plan_audit_doc_covers_every_query():
+    """PLAN_AUDIT.md is the regenerable plan-shape artifact (VERDICT
+    r06 item 7: it silently staled when a round added queries without
+    regenerating). This pin makes staleness a test failure: the doc
+    must carry exactly one row per registered query. Regenerate with
+    ``python tools/plan_audit.py``."""
+    from spotify_data_pipeline_spark.plans import all_queries
+
+    qs = set(all_queries())
+    rows = set()
+    with open(os.path.join(_REPO, "PLAN_AUDIT.md")) as f:
+        for line in f:
+            if line.startswith("| ") and not line.startswith("| query") and "---" not in line:
+                rows.add(line.split("|")[1].strip())
+    missing = qs - rows
+    assert not missing, (
+        f"PLAN_AUDIT.md missing {len(missing)} queries (e.g. "
+        f"{sorted(missing)[:5]}) — run python tools/plan_audit.py"
+    )
+
+
 def test_headline_queries_driver_evidenced():
     """Headline queries are the benched ones the judge reads wall-times
     for — each must be in the evidence window or already green."""

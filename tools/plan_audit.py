@@ -75,16 +75,12 @@ def main() -> None:
     # staged (not-yet-declared) queries: same audit, same whitelist —
     # the pending tests carry their own _BNLJ_OK sets, which are
     # pre-merged into the hygiene whitelist at staging time
-    from test_roundeight_pending import _BNLJ_OK as _OK8
-    from test_roundnine_pending import _BNLJ_OK as _OK9
-    from test_roundseven_pending import _BNLJ_OK as _OK7
     from test_roundten_pending import _BNLJ_OK as _OK10
-    from spotify_data_pipeline_spark.plans.roundeight_pending import PENDING as P8
-    from spotify_data_pipeline_spark.plans.roundnine_pending import PENDING as P9
-    from spotify_data_pipeline_spark.plans.roundsix import PENDING as P6
-    from spotify_data_pipeline_spark.plans.roundseven_pending import PENDING as P7
-    from spotify_data_pipeline_spark.plans.roundten_pending import PENDING as P10
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
+    from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
+        PENDING as P14,
+    )
+    from spotify_data_pipeline_spark.plans.roundten_pending import PENDING as P10
     from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
         PENDING as P13,
     )
@@ -92,20 +88,23 @@ def main() -> None:
         PENDING as P12,
     )
 
+    declared = set(all_queries())
     for title, pending, wl in (
-        ("round-6 staging", P6, _BNLJ_WHITELIST),
-        ("round-7 staging", P7, _BNLJ_WHITELIST | _OK7),
-        ("round-8 staging", P8, _BNLJ_WHITELIST | _OK8),
-        ("round-9 staging", P9, _BNLJ_WHITELIST | _OK9),
         ("round-10 staging", P10, _BNLJ_WHITELIST | _OK10),
         ("round-11 staging", P11, _BNLJ_WHITELIST),
         ("round-12 staging", P12, _BNLJ_WHITELIST),
         ("round-13 staging", P13, _BNLJ_WHITELIST),
+        ("round-14 staging", P14, _BNLJ_WHITELIST),
     ):
-        print(f"\n## Staged: {title} ({len(pending)} queries)\n")
+        # only the NOT-yet-declared remainder: declared entries already
+        # have a row in the main table above
+        remainder = [pq for pq in pending if pq.name not in declared]
+        if not remainder:
+            continue
+        print(f"\n## Staged: {title} ({len(remainder)} queries)\n")
         print(header)
         print(sep)
-        for pq in pending:
+        for pq in remainder:
             emit_row(pq.name, pq.fn, wl)
 
 
