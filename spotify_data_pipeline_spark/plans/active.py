@@ -36,6 +36,18 @@ distinct — the mergeable-sketch agg shape).
 Round 6 window (for the record): roundsix_tail 0-3, roundseven_pending
 4-42, roundeight_pending first 7 at 43-49; headline promotions
 agg_forecast_revenue (TPC-H Q6 pushdown canary) and text_bm25_topk.
+
+Shared-staging-file constraint (ADVICE r06): once ANY query of a
+staging module is activated and driver-evidenced, every still-pending
+sibling in that module is frozen too — an edit to a pending entry
+drifts the deps_sha256 pins of its evidenced siblings (the file is in
+their import closure). roundeight_pending lived through exactly this
+between rounds 6 and 7 (its remaining 21 could not be touched while 7
+siblings carried r06 pins); round 7 closed the exposure by activating
+the whole module. Rule going forward: one staging module per
+activation WAVE (plans/roundfourteen_pending.py is the first cut to
+that rule), so pending edits never share a file with evidenced
+queries.
 """
 
 from __future__ import annotations
