@@ -181,6 +181,16 @@ _BNLJ_WHITELIST = {
     # 1-row totals x 1-row chance-product aggregates assembled into
     # the single kappa row
     "agg_cohen_kappa",
+    # --- round-15 staged (pre-whitelisted for activation) ---
+    # |months|² pair self-join over the MONTHLY aggregate (~80² rows at
+    # any SF; a century is ~720k pairs) — the kmv sketch-pair bounded
+    # precedent; the corpus is scanned once, in the month agg
+    "orders_theil_sen_trend",
+    # |QI groups| × |balance bands| dense grid (~125×11,
+    # schema-bounded) + 1-row corpus-totals broadcast
+    "privacy_t_closeness_emd",
+    # 1-row max-order-date anchor broadcast (trending/aging precedent)
+    "orders_rfm_segmentation",
 }
 
 

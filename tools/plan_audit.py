@@ -80,6 +80,9 @@ def main() -> None:
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
         PENDING as P14,
     )
+    from spotify_data_pipeline_spark.plans.roundfifteen_pending import (
+        PENDING as P15,
+    )
     from spotify_data_pipeline_spark.plans.roundten_pending import PENDING as P10
     from spotify_data_pipeline_spark.plans.roundthirteen_pending import (
         PENDING as P13,
@@ -95,6 +98,7 @@ def main() -> None:
         ("round-12 staging", P12, _BNLJ_WHITELIST),
         ("round-13 staging", P13, _BNLJ_WHITELIST),
         ("round-14 staging", P14, _BNLJ_WHITELIST),
+        ("round-15 staging", P15, _BNLJ_WHITELIST),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
