@@ -191,6 +191,14 @@ _BNLJ_WHITELIST = {
     "privacy_t_closeness_emd",
     # 1-row max-order-date anchor broadcast (trending/aging precedent)
     "orders_rfm_segmentation",
+    # --- round-16 staged (pre-whitelisted for activation) ---
+    # 1-row corpus-totals broadcast under the 6-row sweep frame
+    "llm_quality_threshold_sweep",
+    # 1-row supply-total window assembly (Hamilton allocation runs on
+    # the |sources|-row frame)
+    "llm_token_budget_allocation",
+    # four (1-row child-count × 1-row orphan-count) assemblies
+    "dq_referential_orphans",
 }
 
 
