@@ -99,10 +99,13 @@ def _cold_pass(sf_dir: str) -> dict[str, float]:
         load_table(spark, "/root/testdata/sf0.001", t).count()
     timings: dict[str, float] = {}
     for name, q in sorted(headline_queries().items()):
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception:  # noqa: BLE001 — one broken query must not
+            timings[name] = -1.0  # cost the whole record; excluded from totals
     return timings
 
 
@@ -160,7 +163,12 @@ def main() -> None:
         )
         cold_runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
     names = sorted(cold_runs[0])
-    timings = {n: sorted(r[n] for r in cold_runs)[1] for n in names}
+
+    def _median_ok(vals):
+        ok = sorted(v for v in vals if v >= 0)
+        return ok[len(ok) // 2] if ok else -1.0
+
+    timings = {n: _median_ok([r[n] for r in cold_runs]) for n in names}
 
     # Warm: own session; one untimed pass compiles codegen and fills
     # caches, then median-of-3 on the SAME DataFrames — the
@@ -170,9 +178,12 @@ def main() -> None:
     warm: dict[str, float] = {}
     dfs: dict[str, object] = {}
     for name, q in sorted(headline_queries().items()):
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # untimed warm-up
-        dfs[name] = df  # hold the reference: cache lifetimes stay put
+        try:
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # untimed warm-up
+            dfs[name] = df  # hold the reference: cache lifetimes stay put
+        except Exception:  # noqa: BLE001 — fault isolation, as in cold
+            warm[name] = -1.0
     plan_stats: dict[str, dict] = {}
     for name, df in dfs.items():
         runs = []
@@ -197,14 +208,19 @@ def main() -> None:
             "bnlj": p.count("BroadcastNestedLoopJoin"),
         }
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    failed = sorted(
+        {n for n, v in timings.items() if v < 0}
+        | {n for n, v in warm.items() if v < 0}
+    )
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
-        "warm_total": round(sum(warm.values()), 3),
+        "warm_total": round(sum(v for v in warm.values() if v >= 0), 3),
+        "failed_queries": failed,  # -1 sentinels excluded from totals
         "plan_stats": plan_stats,
         "n_queries": len(timings),  # headline count grows round to round;
         # compare totals per-query or warm-series across rounds
@@ -212,21 +228,30 @@ def main() -> None:
     }
 
     # Probes: fresh session so probe state can't touch headline numbers.
+    # Fault-isolated: one failing probe must never cost the round's
+    # headline record (the driver keeps only this process's stdout —
+    # an uncaught probe exception would leave NO parseable line at all).
     dfs.clear()
     spark.stop()
     spark = get_spark(app_name="bench-probes")
-    out["skew_guard"] = _skew_guard(spark, sf_dir)
-    out["bloom_probe"] = _bloom_probe(spark, sf_dir)
-    out["scale_probe"] = _scale_probe(spark, sf_dir)
-    out["passage_scale_probe"] = _passage_scale_probe(spark, sf_dir)
-    out["graph_scale_probe"] = _graph_scale_probe(spark, sf_dir)
-    out["bucketed_join_probe"] = _bucketed_join_probe(spark, sf_dir)
-    out["incremental_probe"] = _incremental_probe(spark, sf_dir)
-    out["rangejoin_probe"] = _rangejoin_probe(spark, sf_dir)
-    out["dpp_probe"] = _dpp_probe(spark, sf_dir)
-    out["pq_probe"] = _pq_probe(spark, sf_dir)
-    out["itemsets_probe"] = _itemsets_probe(spark, sf_dir)
-    out["ppjoin_probe"] = _ppjoin_probe(spark, sf_dir)
+    for key, probe in (
+        ("skew_guard", _skew_guard),
+        ("bloom_probe", _bloom_probe),
+        ("scale_probe", _scale_probe),
+        ("passage_scale_probe", _passage_scale_probe),
+        ("graph_scale_probe", _graph_scale_probe),
+        ("bucketed_join_probe", _bucketed_join_probe),
+        ("incremental_probe", _incremental_probe),
+        ("rangejoin_probe", _rangejoin_probe),
+        ("dpp_probe", _dpp_probe),
+        ("pq_probe", _pq_probe),
+        ("itemsets_probe", _itemsets_probe),
+        ("ppjoin_probe", _ppjoin_probe),
+    ):
+        try:
+            out[key] = probe(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            out[key] = {"error": f"{type(e).__name__}: {e}"}
     out["env"] = {
         **env_start,
         "loadavg_end": _env_snapshot()["loadavg"],
@@ -252,23 +277,33 @@ def main() -> None:
         # per-query WARM medians — the series the judge compares
         # round-over-round; cold per-query lives in bench_full.json
         "queries": warm,
-        "probes": {
-            "skew": [out["skew_guard"]["plain_sec"], out["skew_guard"]["salted_sec"]],
-            "bloom": [out["bloom_probe"]["plain_sec"], out["bloom_probe"]["bloom_pruned_sec"]],
-            "bkt": [out["bucketed_join_probe"]["shuffled_sec"], out["bucketed_join_probe"]["bucketed_sec"]],
-            "bkt_xfree": out["bucketed_join_probe"]["bucketed_exchange_free"],
-            "scale": [out["scale_probe"]["minhash_ratio"], out["scale_probe"]["agg_ratio"]],
-            "psg_ratio": out["passage_scale_probe"]["passage_ratio"],
-            "gph_ratio": out["graph_scale_probe"]["triangles_ratio"],
-            "inc": [out["incremental_probe"]["rebuild_sec"], out["incremental_probe"]["fold_sec"]],
-            "rng": [out["rangejoin_probe"]["naive_capped_sec"], out["rangejoin_probe"]["binned_capped_sec"]],
-            "dpp": out["dpp_probe"]["dpp_in_plan"],
-            "pq_x": out["pq_probe"]["bytes_ratio"],
-            "its": [out["itemsets_probe"]["naive_scan_sec"], out["itemsets_probe"]["pruned_scan_sec"]],
-            "its_dense": [out["itemsets_probe"]["dense_naive_sec"], out["itemsets_probe"]["dense_pruned_sec"]],
-            "ppj": [out["ppjoin_probe"]["naive_scan_sec"], out["ppjoin_probe"]["pruned_scan_sec"]],
-            "ppj_dense": [out["ppjoin_probe"]["dense_naive_sec"], out["ppjoin_probe"]["dense_pruned_sec"]],
-        },
+        "failed_queries": failed,
+    }
+
+    def _p(key, *fields):
+        """Probe fields for the compact line; 'ERR' if the probe died
+        (full error text lives in bench_full.json)."""
+        d = out.get(key) or {}
+        if "error" in d or any(f not in d for f in fields):
+            return "ERR"
+        return [d[f] for f in fields] if len(fields) > 1 else d[fields[0]]
+
+    compact["probes"] = {
+        "skew": _p("skew_guard", "plain_sec", "salted_sec"),
+        "bloom": _p("bloom_probe", "plain_sec", "bloom_pruned_sec"),
+        "bkt": _p("bucketed_join_probe", "shuffled_sec", "bucketed_sec"),
+        "bkt_xfree": _p("bucketed_join_probe", "bucketed_exchange_free"),
+        "scale": _p("scale_probe", "minhash_ratio", "agg_ratio"),
+        "psg_ratio": _p("passage_scale_probe", "passage_ratio"),
+        "gph_ratio": _p("graph_scale_probe", "triangles_ratio"),
+        "inc": _p("incremental_probe", "rebuild_sec", "fold_sec"),
+        "rng": _p("rangejoin_probe", "naive_capped_sec", "binned_capped_sec"),
+        "dpp": _p("dpp_probe", "dpp_in_plan"),
+        "pq_x": _p("pq_probe", "bytes_ratio"),
+        "its": _p("itemsets_probe", "naive_scan_sec", "pruned_scan_sec"),
+        "its_dense": _p("itemsets_probe", "dense_naive_sec", "dense_pruned_sec"),
+        "ppj": _p("ppjoin_probe", "naive_scan_sec", "pruned_scan_sec"),
+        "ppj_dense": _p("ppjoin_probe", "dense_naive_sec", "dense_pruned_sec"),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1500:  # belt-and-braces: never hand the driver a torn line
