@@ -199,6 +199,9 @@ _BNLJ_WHITELIST = {
     "llm_token_budget_allocation",
     # four (1-row child-count × 1-row orphan-count) assemblies
     "dq_referential_orphans",
+    # --- round-17 staged (pre-whitelisted for activation) ---
+    # 1-row min/max-day bounds broadcast (anchor precedent)
+    "events_dau_wau_stickiness",
 }
 
 
