@@ -20,18 +20,31 @@ queries from a partially-activated module can be declared ahead of
 their already-evidenced siblings to land inside the driver's first-50
 evidence window.
 
-Round 7 window (50 slots, all free — zero NEW/DRIFT after the round-
-start evidence snapshot pinned the 50 round-6 rows):
-  positions 0-20  roundnine_pending: all 21
-  positions 21-28 roundten_pending: first 8
-  positions 29-49 roundeight_pending: the 21 NOT activated in round 6
-                  (declared BEFORE their 7 evidenced siblings, whose
-                  declare sequence pushes them to tail positions 50-56
-                  where their r06 pins remain valid)
-Headline promotions at declare time (bench coverage for new plan
-shapes): sim_pq_adc_topk (PQ asymmetric-distance top-k — the
-compressed-ANN scale path), agg_bitmap_distinct (bitmap-index exact
-distinct — the mergeable-sketch agg shape).
+Round 8 window (50 slots, all free — zero NEW/DRIFT after the round-
+start snapshot pinned the 50 round-7 rows):
+  positions 0-1   roundfourteen_pending: both (the webtext pair FIRST —
+                  VERDICT r07 item 3: the C4/RefinedWeb boilerplate
+                  screen is the most-used never-hash-checked operator)
+  positions 2-22  roundeleven_pending: all 21
+  positions 23-26 roundtwelve_pending: 4 of 14 (_R12_ACTIVE — includes
+                  etl_merge_upsert [S12 twin], dedup_ppjoin_prefix and
+                  ops_join_strategy_advice [the join-path advisor])
+  positions 27-49 roundten_pending: the 23 NOT activated in round 7 —
+                  declared BEFORE their 8 evidenced siblings via this
+                  file's declare sequence, so those 8 sit at tail
+                  positions 50-57 on intact r07 pins. Includes the md5
+                  MinHash/SimHash twins (dedup_minhash_estimate,
+                  dedup_simhash_md5), completing exact-oracle coverage
+                  of D4 (VERDICT r07 item 8).
+roundtwelve_pending is now partially evidenced (4 of 14): per the
+shared-staging-file rule its remaining 10 are FROZEN (an edit drifts
+the 4 new pins) until activated — acceptable, they are complete and
+2-SF hash-matched already (the roundeight precedent, rounds 6→7).
+
+Round 7 window (for the record): roundnine_pending 0-20,
+roundten_pending first 8 at 21-28, roundeight_pending's 21
+not-yet-evidenced at 29-49 (their 7 round-6 siblings at tail 50-56).
+Headline promotions that round: sim_pq_adc_topk, agg_bitmap_distinct.
 
 Round 6 window (for the record): roundsix_tail 0-3, roundseven_pending
 4-42, roundeight_pending first 7 at 43-49; headline promotions
@@ -41,22 +54,24 @@ Shared-staging-file constraint (ADVICE r06): once ANY query of a
 staging module is activated and driver-evidenced, every still-pending
 sibling in that module is frozen too — an edit to a pending entry
 drifts the deps_sha256 pins of its evidenced siblings (the file is in
-their import closure). roundeight_pending lived through exactly this
-between rounds 6 and 7 (its remaining 21 could not be touched while 7
-siblings carried r06 pins); round 7 closed the exposure by activating
-the whole module. Rule going forward: one staging module per
-activation WAVE (plans/roundfourteen_pending.py is the first cut to
-that rule), so pending edits never share a file with evidenced
-queries.
+their import closure). Rule going forward: one staging module per
+activation WAVE where possible (roundfourteen/fifteen/sixteen/
+seventeen are cut to that rule); when a partial activation is
+unavoidable (roundtwelve this round, per the verdict's prescribed
+window), the freeze is documented here and the remainder activates
+next round.
 """
 
 from __future__ import annotations
 
 from spotify_data_pipeline_spark.plans import (
     roundeight_pending,
+    roundeleven_pending,
+    roundfourteen_pending,
     roundnine_pending,
     roundseven_pending,
     roundten_pending,
+    roundtwelve_pending,
 )
 from spotify_data_pipeline_spark.plans.registry import declare
 
@@ -67,6 +82,11 @@ _HEADLINE = {
     "text_bm25_topk",
     "sim_pq_adc_topk",
     "agg_bitmap_distinct",
+    # round 8: the C4-style boilerplate screen (paragraph-keyed
+    # exchange shape) and the md5 SimHash twin (banded Hamming
+    # near-dup — D4's exact-oracle scale path) join the bench.
+    "text_paragraph_dedup",
+    "dedup_simhash_md5",
 }
 
 _R8_ROUND6 = (
@@ -90,6 +110,16 @@ _R10_ACTIVE = (
     "ml_decision_stump",
 )
 
+# Round-8 roundtwelve subset: S12's merge upsert, the ppjoin prefix
+# query, bootstrap CI, and the join-strategy advisor (VERDICT r07
+# item 6's query-level twin). The other 10 stay pending for round 9.
+_R12_ACTIVE = (
+    "agg_bootstrap_ci",
+    "etl_merge_upsert",
+    "dedup_ppjoin_prefix",
+    "ops_join_strategy_advice",
+)
+
 
 def _activate(pending, names=None) -> None:
     by_name = {pq.name: pq for pq in pending}
@@ -103,11 +133,20 @@ def _activate(pending, names=None) -> None:
         )(pq.fn)
 
 
-_activate(roundnine_pending.PENDING)
-_activate(roundten_pending.PENDING, _R10_ACTIVE)
-# round-8: the 21 NEW activations first (window positions 29-49), then
-# the 7 round-6-evidenced ones (tail 50-56 — sequence within the module
+_activate(roundfourteen_pending.PENDING)
+_activate(roundeleven_pending.PENDING)
+_activate(roundtwelve_pending.PENDING, _R12_ACTIVE)
+# roundten: the 23 NEW activations first (window positions 27-49), then
+# the 8 round-7-evidenced ones (tail 50-57 — sequence within the module
 # index is exactly this declare order, see registry._module_rank).
+_R10_NEW = tuple(
+    pq.name for pq in roundten_pending.PENDING if pq.name not in _R10_ACTIVE
+)
+_activate(roundten_pending.PENDING, _R10_NEW)
+_activate(roundten_pending.PENDING, _R10_ACTIVE)
+_activate(roundnine_pending.PENDING)
+# round-8 (historical layout preserved): the 21 then-new activations
+# before the 7 round-6-evidenced ones.
 _R8_NEW = tuple(
     pq.name for pq in roundeight_pending.PENDING if pq.name not in _R8_ROUND6
 )
@@ -118,3 +157,7 @@ _activate(roundseven_pending.PENDING)
 #: activation manifests (tests + future manifests read these)
 R8_ACTIVATED: tuple[str, ...] = _R8_NEW + _R8_ROUND6  # all 28
 R10_ACTIVATED: tuple[str, ...] = _R10_ACTIVE
+R10_REMAINDER: tuple[str, ...] = _R10_NEW  # the 23 activated round 8
+R11_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundeleven_pending.PENDING)
+R12_ACTIVATED: tuple[str, ...] = _R12_ACTIVE
+R14_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundfourteen_pending.PENDING)

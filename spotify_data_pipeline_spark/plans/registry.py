@@ -40,24 +40,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tools/snapshot_evidence.py) — both enforced by tests/test_registry.py,
 # so a silent edit to a tail query's body fails pytest.
 #
-# Round-7 front-loading: all 192 previously-declared queries entered
+# Round-8 front-loading: all 242 previously-declared queries entered
 # the round with valid evidence pins (zero NEW/DRIFT after the round-
 # start snapshot — tools/window_eligibility.py), so the whole 50-slot
-# window goes to staged activations: roundnine_pending's 21 (0–20),
-# roundten_pending's first 8 (21–28), then roundeight_pending's 21
-# not-yet-evidenced queries (29–49) — the plans.active manifest
-# declares those 21 BEFORE the module's 7 round-6-evidenced siblings,
-# which therefore sit at tail positions 50–56 on their intact r06
+# window goes to staged activations: roundfourteen_pending's 2 (0–1,
+# the webtext pair first per VERDICT r07 item 3), roundeleven's 21
+# (2–22), roundtwelve's first 4 (23–26), then roundten_pending's 23
+# not-yet-evidenced queries (27–49) — the plans.active manifest
+# declares those 23 BEFORE the module's 8 round-7-evidenced siblings,
+# which therefore sit at tail positions 50–57 on their intact r07
 # pins (declare sequence orders queries within one module index).
-# Every prior block rotates further down the tail: roundsix_tail(4) +
-# roundseven(39) + roundfive(12) + events_queries(6) + roundsix(32) +
-# llmops(11) + aggregates(12) + relational(19) + roundfour(17) +
-# windows(9) + multimodal(3) + dedup(6) + similarity(4) + text(11) —
-# every one r01..r06-green and hash-pinned by BOTH fn-source and
-# import-closure hashes.
+# Every prior block rotates further down the tail: roundnine(21) +
+# roundeight(28) + roundsix_tail(4) + roundseven(39) + roundfive(12) +
+# events_queries(6) + roundsix(32) + llmops(11) + aggregates(12) +
+# relational(19) + roundfour(17) + windows(9) + multimodal(3) +
+# dedup(6) + similarity(4) + text(11) — every one r01..r07-green and
+# hash-pinned by BOTH fn-source and import-closure hashes.
 _QUERY_MODULES = (
-    "spotify_data_pipeline_spark.plans.roundnine_pending",
+    "spotify_data_pipeline_spark.plans.roundfourteen_pending",
+    "spotify_data_pipeline_spark.plans.roundeleven_pending",
+    "spotify_data_pipeline_spark.plans.roundtwelve_pending",
     "spotify_data_pipeline_spark.plans.roundten_pending",
+    "spotify_data_pipeline_spark.plans.roundnine_pending",
     "spotify_data_pipeline_spark.plans.roundeight_pending",
     "spotify_data_pipeline_spark.plans.active",
     "spotify_data_pipeline_spark.plans.roundsix_tail",

@@ -26,23 +26,21 @@ def test_pending_oracle_match(spark, pq):
         assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_partially_registered(spark):
-    """Round-7 activation (plans/active.py manifest): exactly the first
-    8 round-10 staged queries are declared (window positions 21-28);
-    the rest stay pending for the round-8 window. The manifest declares
-    FROM this module so the pending file itself never changes at
-    activation — future partial activations can't drift these pins."""
+def test_pending_registered_and_evidenced(spark):
+    """Round-8 completed the module's activation: the 8 round-7 window
+    queries (R10_ACTIVATED, evidenced r07) plus the 23 remainder
+    (R10_REMAINDER, round-8 window positions 27-49). Rotation-safe
+    membership assertions only — no window-position pins (the round-6
+    lesson)."""
     from spotify_data_pipeline_spark.plans import all_queries
-    from spotify_data_pipeline_spark.plans.active import R10_ACTIVATED
+    from spotify_data_pipeline_spark.plans.active import R10_ACTIVATED, R10_REMAINDER
 
     qs = all_queries()
     assert R10_ACTIVATED == tuple(pq.name for pq in PENDING[:8])
+    assert set(R10_ACTIVATED) | set(R10_REMAINDER) == {pq.name for pq in PENDING}
     for pq in PENDING:
-        if pq.name in R10_ACTIVATED:
-            assert pq.name in qs and qs[pq.name].fn is pq.fn
-            assert qs[pq.name].oracle == pq.oracle
-        else:
-            assert pq.name not in qs
+        assert pq.name in qs and qs[pq.name].fn is pq.fn
+        assert qs[pq.name].oracle == pq.oracle
 
 
 def test_pending_names_unique_and_oracle_bearing():

@@ -23,11 +23,22 @@ def test_pending_oracle_match(spark, pq):
     assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_not_registered(spark):
+def test_pending_partially_registered(spark):
+    """Round-8 activated 4 of 14 (plans/active.py _R12_ACTIVE, window
+    positions 23-26); the other 10 stay pending for round 9. The
+    manifest declares FROM this module so the pending file itself never
+    changes at activation. Membership-only assertions (rotation-safe)."""
     from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.plans.active import R12_ACTIVATED
 
-    names = set(all_queries())
-    assert not names & {pq.name for pq in PENDING}
+    qs = all_queries()
+    assert set(R12_ACTIVATED) <= {pq.name for pq in PENDING}
+    for pq in PENDING:
+        if pq.name in R12_ACTIVATED:
+            assert pq.name in qs and qs[pq.name].fn is pq.fn
+            assert qs[pq.name].oracle == pq.oracle
+        else:
+            assert pq.name not in qs
 
 
 def test_pending_names_unique_and_oracle_bearing():
