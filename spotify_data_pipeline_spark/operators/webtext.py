@@ -48,10 +48,18 @@ def split_paragraphs(
 ) -> DataFrame:
     """Explode ``text_col`` into (para_idx, para) rows on ``sep``,
     keeping every other column. para_idx is the 0-based position of
-    the paragraph within its page — reassembly order rides on it."""
+    the paragraph within its page — reassembly order rides on it.
+
+    ``sep`` is a LITERAL separator: F.split takes a Java regex, so it
+    is quoted with \\Q...\\E here (ADVICE r07 — a regex-special sep
+    like '.' or '|' otherwise splits wrongly and breaks the
+    split/rejoin round-trip that array_join and the DuckDB oracles,
+    both literal-string APIs, rely on)."""
     other = [c for c in df.columns if c != text_col]
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     return df.select(
-        *other, F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para")
+        *other,
+        F.posexplode(F.split(F.col(text_col), quoted)).alias("para_idx", "para"),
     )
 
 

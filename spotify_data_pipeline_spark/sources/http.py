@@ -110,7 +110,14 @@ def _parse_retry_after(value: str, now: Callable[[], float]) -> float | None:
     value = value.strip()
     if value.isdigit():
         return float(value)
-    dt = email.utils.parsedate_to_datetime(value)
+    # Since Python 3.10 parsedate_to_datetime raises ValueError on
+    # unparseable input instead of returning None; urllib3 ignores a
+    # malformed Retry-After and falls back to computed backoff, so a
+    # bad header must not crash the request (ADVICE r07).
+    try:
+        dt = email.utils.parsedate_to_datetime(value)
+    except (ValueError, TypeError):
+        return None
     if dt is None:
         return None
     return max(0.0, dt.timestamp() - now())

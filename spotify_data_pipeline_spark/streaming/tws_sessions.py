@@ -6,13 +6,26 @@ now that the state protocol runs in this environment
 
 Semantics (the ``session_window`` contract, expressed as user state):
 events of one user belong to one session while consecutive event times
-are within ``gap``; a session CLOSES when the event-time watermark
+are within ``gap``; a session CLOSES only when the event-time watermark
 passes session_end + gap, at which point exactly one row
 (user_id, session_start, session_end, n_events, total_value) is
-emitted — either from ``handleExpiredTimer`` (no further events
-arrived: the timer registered at end+gap fires when the watermark
-passes it) or from ``handleInputRows`` (a later-than-gap event closes
-the previous session in-line and starts a new one).
+emitted from ``handleExpiredTimer``.
+
+Round-8 revision (ADVICE r07): the round-7 version kept a SINGLE open
+session per user and closed it in-line when a later-than-gap event
+arrived. Two divergences from the session_window contract under
+cross-batch out-of-order (but within-watermark) input followed:
+(1) its merge rule only checked ``t - end > gap``, so a late event more
+than ``gap`` EARLIER than the session start was merged (a negative
+delta never exceeds gap) where the batch twin splits; (2) the in-line
+close emitted before the watermark passed end + gap, so a later
+within-watermark event belonging to the closed session started a
+spurious second session. This version holds a LIST of open sessions
+(interval-merge on every batch — exactly how Spark's own
+``MergingSessionsIterator`` treats sessions as mergeable intervals) and
+emits ONLY when the watermark passes end + gap, so any within-watermark
+disorder — including an event that bridges two open sessions — lands on
+the batch-twin answer.
 
 Engine comparison: ``streaming/events.py::sessionize`` gets exactly
 this from the built-in ``session_window`` — the built-in remains the
@@ -22,8 +35,9 @@ this operator exists for the semantics session_window canNOT express
 session snapshots), with the PLAIN gap rule kept here so a batch twin
 can pin its output exactly (tests/test_tws_sessions.py).
 
-Scale shape: state is one fixed-width value per user plus at most one
-live timer; each micro-batch touches only keys present in the batch
+Scale shape: state is the per-user list of OPEN sessions — bounded by
+(watermark delay / gap) + 1, a small constant — plus one live timer per
+open session; each micro-batch touches only keys present in the batch
 (plus expired timers) — the standard TWS cost model. RocksDB state
 store required (the API rejects the HDFS-backed default).
 """
@@ -43,7 +57,9 @@ _OUT_SCHEMA = (
 def gap_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """``events`` must carry (user_id, ts, value) and an event-time
     watermark on ``ts`` (timeMode='eventTime' derives timer progress
-    from it). Output: one row per CLOSED session, Append mode."""
+    from it; rows older than the watermark are dropped by the engine
+    before reaching the processor). Output: one row per CLOSED session,
+    Append mode."""
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -56,9 +72,11 @@ def gap_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     class _Sessions(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
-            # epoch-ms longs: integer state, no timestamp-codec surface
-            self._sess = handle.getValueState(
-                "sess", "start long, end long, n long, total double"
+            # epoch-ms longs: integer state, no timestamp-codec surface.
+            # One row per OPEN session (list length bounded by
+            # watermark_delay/gap + 1).
+            self._sess = handle.getListState(
+                "sessions", "start long, end long, n long, total double"
             )
 
         @staticmethod
@@ -73,41 +91,63 @@ def gap_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 }
             )
 
+        def _open_sessions(self):
+            return [tuple(s) for s in self._sess.get()]
+
+        def _save(self, sessions) -> None:
+            self._sess.clear()
+            if sessions:
+                self._sess.put([tuple(s) for s in sessions])
+            # exactly one live timer per open session: its close-out at
+            # end + gap (registerTimer supports several per key; fired
+            # or superseded ones are swept here).
+            want = {s[1] + gap_ms for s in sessions}
+            have = set(self._handle.listTimers())
+            for t in have - want:
+                self._handle.deleteTimer(t)
+            for t in want - have:
+                self._handle.registerTimer(t)
+
         def handleInputRows(self, key, rows, timerValues):
-            state = self._sess.get() if self._sess.exists() else None
-            events = []
+            sessions = self._open_sessions()
             for pdf in rows:
                 ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-                events.extend(zip(ts_ms, pdf["value"].astype(float).tolist()))
-            events.sort()
-            for t, v in events:
-                if state is None:
-                    state = (t, t, 1, v)
-                elif t - state[1] > gap_ms:
-                    yield self._row(key, *state)  # close the old session
-                    state = (t, t, 1, v)
-                else:
-                    state = (
-                        min(state[0], t),
-                        max(state[1], t),
-                        state[2] + 1,
-                        state[3] + v,
+                for t, v in zip(ts_ms, pdf["value"].astype(float).tolist()):
+                    sessions.append((t, t, 1, v))
+            # Interval-merge (session_window semantics): sort by start,
+            # coalesce neighbours within gap — handles late-but-within-
+            # watermark events on EITHER side of an open session, and an
+            # event bridging two open sessions merges them.
+            sessions.sort()
+            merged: list[tuple] = []
+            for s in sessions:
+                if merged and s[0] - merged[-1][1] <= gap_ms:
+                    last = merged[-1]
+                    merged[-1] = (
+                        last[0],
+                        max(last[1], s[1]),
+                        last[2] + s[2],
+                        last[3] + s[3],
                     )
-            if state is not None:
-                self._sess.update(state)
-                # exactly one live timer: the close-out at end + gap
-                for old in list(self._handle.listTimers()):
-                    self._handle.deleteTimer(old)
-                self._handle.registerTimer(state[1] + gap_ms)
+                else:
+                    merged.append(s)
+            self._save(merged)
+            return iter(())
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self._sess.exists():
-                state = self._sess.get()
-                # the timer that fired is end+gap for the CURRENT state
-                # (stale timers were deleted on every update)
-                if expiredTimerInfo.getExpiryTimeInMs() >= state[1] + gap_ms:
-                    self._sess.clear()
-                    yield self._row(key, *state)
+            # Close every session the watermark has passed (end + gap <=
+            # wm) — the first firing timer may close several; later
+            # timers for already-emitted sessions become no-ops.
+            wm = max(
+                timerValues.getCurrentWatermarkInMs(),
+                expiredTimerInfo.getExpiryTimeInMs(),
+            )
+            keep, close = [], []
+            for s in self._open_sessions():
+                (close if s[1] + gap_ms <= wm else keep).append(s)
+            self._save(keep)
+            for s in sorted(close):
+                yield self._row(key, *s)
 
         def close(self) -> None:
             pass

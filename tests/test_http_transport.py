@@ -107,6 +107,24 @@ def test_retry_after_http_date():
     assert sleeps == [90.0]
 
 
+def test_retry_after_malformed_falls_back_to_backoff():
+    """Since Python 3.10 parsedate_to_datetime RAISES on garbage; a
+    malformed Retry-After on a retryable status must fall back to the
+    computed backoff schedule, not crash the request (ADVICE r07 —
+    urllib3 ignores unparseable Retry-After)."""
+    t, sleeps = _transport(
+        [
+            (429, {"retry-after": "soonish"}, b""),
+            (503, {"retry-after": "1h"}, b""),
+            (200, {}, b"{}"),
+        ]
+    )
+    t.request("GET", "http://x/a")
+    # computed schedule: no sleep before the first retry (0.0 is not
+    # slept), then factor*2^1
+    assert sleeps == [2.0]
+
+
 def test_non_forcelist_status_not_retried():
     t, sleeps = _transport([(404, {}, b"missing")])
     with pytest.raises(HttpError):

@@ -52,6 +52,42 @@ def test_split_paragraphs_preserves_order_and_count(webdocs):
     ]
 
 
+def test_split_paragraphs_literal_regex_special_sep(spark):
+    """sep is a LITERAL (ADVICE r07): regex metacharacters like '|',
+    '.', '+' must split only on themselves, and split/rejoin must
+    round-trip. Pre-fix, F.split treated '|' as alternation and
+    split between every character."""
+    df = spark.createDataFrame(
+        [(1, "alpha|beta.gamma|delta")], "doc_id long, text string"
+    )
+    for sep, expect in [
+        ("|", ["alpha", "beta.gamma", "delta"]),
+        (".", ["alpha|beta", "gamma|delta"]),
+        ("+", ["alpha|beta.gamma|delta"]),
+    ]:
+        got = [
+            r.para
+            for r in split_paragraphs(df, sep=sep).orderBy("para_idx").collect()
+        ]
+        assert got == expect, sep
+        rejoined = (
+            split_paragraphs(df, sep=sep)
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                        lambda x: x["para"],
+                    ),
+                    sep,
+                ).alias("text")
+            )
+            .collect()[0]
+            .text
+        )
+        assert rejoined == "alpha|beta.gamma|delta", sep
+
+
 def test_boilerplate_removed_per_scope(webdocs):
     cleaned = {
         r.doc_id: r.text
