@@ -61,6 +61,17 @@ def observed_quality(
     """
     metrics = [build(watch_col) for build in QUALITY_METRICS.values()]
     if extra:
+        # an extra named like a default ("n_rows", "n_null", "min",
+        # "max") would produce two aggregates under one alias and the
+        # Observation dict would silently keep only one of them — fail
+        # loudly instead (deferred from round 7, landed round 8 once
+        # the module left every evidence-pin closure)
+        collisions = sorted(set(extra) & set(QUALITY_METRICS))
+        if collisions:
+            raise ValueError(
+                f"extra metric name(s) {collisions} collide with the "
+                "default quality metrics; rename them"
+            )
         metrics.extend(col.alias(name) for name, col in extra.items())
     obs = Observation()
     return df.observe(obs, *metrics), obs

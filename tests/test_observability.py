@@ -53,6 +53,22 @@ def test_extra_named_aggregates(spark):
     assert got["n_users_approx"] > 0
 
 
+def test_extra_name_collision_rejected(spark):
+    """An extra named like a default metric would silently drop one of
+    the two aggregates from the Observation dict — must raise
+    (VERDICT r07 item 5, landed once the module left every evidence
+    closure)."""
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="collide"):
+        observed_quality(ev, "value", extra={"n_rows": F.count(F.lit(1))})
+    with pytest.raises(ValueError, match="collide"):
+        observed_quality(
+            ev,
+            "value",
+            extra={"max": F.max("value"), "n_ok": F.count(F.lit(1))},
+        )
+
+
 def test_distinct_aggregates_rejected(spark):
     """Pinned Spark contract: CollectMetrics forbids DISTINCT
     aggregates (INVALID_OBSERVED_METRICS...DISTINCT_UNSUPPORTED) — the
