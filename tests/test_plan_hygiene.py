@@ -202,6 +202,13 @@ _BNLJ_WHITELIST = {
     # --- round-17 staged (pre-whitelisted for activation) ---
     # 1-row min/max-day bounds broadcast (anchor precedent)
     "events_dau_wau_stickiness",
+    # --- round-18 staged (pre-whitelisted for activation) ---
+    # 1-row corpus-token-total broadcast under the LM log-probability
+    # (the llm_tfidf_top_terms precedent)
+    "llm_unigram_xent",
+    # sources × vocab dense grid (the llm_ks_drift bounded-grid
+    # precedent; sources is a domain constant, pair join is term-keyed)
+    "text_js_divergence",
 }
 
 
