@@ -523,6 +523,89 @@ _LTV_ORACLE = f"""
 """
 
 
+def ops_similarity_path_advice_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity-join path advisor (operators/advisor.py, VERDICT
+    r07 item 6) as a driver-checkable query: the corpus's posting rows
+    (Σ df over distinct 3-token shingles), the naive self-join's exact
+    candidate-pair count (Σ C(df,2) — both integers), the density
+    ratio in ppm, and the recommended candidate path on a single node
+    vs a network-bound cluster at the BENCH_r07-calibrated crossovers
+    (ratio ≥ 30 local, ≥ 2 network — operators/advisor.py constants).
+
+    This query's stats run over raw STRING shingles so DuckDB computes
+    them identically; the operator's production path hashes shingles
+    (xxhash64) first — df counts are equal up to 32-bit collisions,
+    which is the usual md5/xxhash64 twin split (SURVEY §2.12).
+
+    Scale shape: distinct (doc, shingle) explode → shingle-keyed df agg
+    (map-side combinable) → one 1-row total — the same single pass the
+    prefix path's own df aggregate costs.
+    """
+    from spotify_data_pipeline_spark.operators.advisor import (
+        LOCAL_CROSSOVER_RATIO,
+        NETWORK_CROSSOVER_RATIO,
+    )
+
+    local_x, net_x = int(LOCAL_CROSSOVER_RATIO), int(NETWORK_CROSSOVER_RATIO)
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    sh = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 3)).alias("sh")
+    ).distinct()
+    df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    totals = df_tab.agg(
+        F.sum("df").cast("long").alias("posting_rows"),
+        F.sum(F.expr("(df * (df - 1)) DIV 2")).cast("long").alias("naive_candidate_pairs"),
+    )
+    return totals.select(
+        "posting_rows",
+        "naive_candidate_pairs",
+        F.expr("(naive_candidate_pairs * 1000000) DIV posting_rows")
+        .cast("long")
+        .alias("density_ppm"),
+        F.when(
+            F.col("naive_candidate_pairs") >= F.lit(local_x) * F.col("posting_rows"),
+            F.lit("prefix"),
+        )
+        .otherwise(F.lit("naive"))
+        .alias("local_path"),
+        F.when(
+            F.col("naive_candidate_pairs") >= F.lit(net_x) * F.col("posting_rows"),
+            F.lit("prefix"),
+        )
+        .otherwise(F.lit("naive"))
+        .alias("network_path"),
+    )
+
+
+_PATH_ADVICE_ORACLE = f"""
+  WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks
+    FROM documents WHERE length(trim(text)) > 0
+  ), s AS (
+    SELECT DISTINCT doc_id, unnest(
+      CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM t
+  ), df_tab AS (
+    SELECT sh, CAST(count(*) AS BIGINT) AS df FROM s GROUP BY 1
+  ), totals AS (
+    SELECT CAST(sum(df) AS BIGINT) AS posting_rows,
+           CAST(sum((df * (df - 1)) // 2) AS BIGINT) AS naive_candidate_pairs
+    FROM df_tab
+  )
+  SELECT posting_rows, naive_candidate_pairs,
+         CAST((naive_candidate_pairs * 1000000) // posting_rows AS BIGINT)
+           AS density_ppm,
+         CASE WHEN naive_candidate_pairs >= 30 * posting_rows
+              THEN 'prefix' ELSE 'naive' END AS local_path,
+         CASE WHEN naive_candidate_pairs >= 2 * posting_rows
+              THEN 'prefix' ELSE 'naive' END AS network_path
+  FROM totals
+"""
+
+
 PENDING: tuple[PendingQuery, ...] = (
     PendingQuery(
         "llm_unigram_xent",
@@ -561,5 +644,12 @@ PENDING: tuple[PendingQuery, ...] = (
         orders_ltv_deciles_query,
         _LTV_ORACLE,
         tags=("orders", "ltv", "deciles", "concentration", "integer-exact"),
+    ),
+    PendingQuery(
+        "ops_similarity_path_advice",
+        ops_similarity_path_advice_query,
+        _PATH_ADVICE_ORACLE,
+        tags=("ops", "advisor", "similarity-join", "crossover",
+              "integer-exact"),
     ),
 )

@@ -267,6 +267,29 @@ def test_char_entropy_recount_and_band(spark):
         assert 0 < r.entropy_e6 <= math.log(r.n_distinct_bigrams) * 1_000_000 + r.n_distinct_bigrams
 
 
+def test_path_advice_agrees_with_operator(spark):
+    """The query's recommendation columns equal the operator's decision
+    at the query's own measured density (string-shingle stats fed into
+    suggest_similarity_join_path)."""
+    from spotify_data_pipeline_spark.operators.advisor import (
+        suggest_similarity_join_path,
+    )
+    from spotify_data_pipeline_spark.plans.roundeighteen_pending import (
+        ops_similarity_path_advice_query,
+    )
+
+    row = ops_similarity_path_advice_query(spark, SF_DIR).collect()[0]
+    stats = {
+        "posting_rows": row.posting_rows,
+        "naive_candidate_pairs": row.naive_candidate_pairs,
+    }
+    assert row.local_path == suggest_similarity_join_path(stats)
+    assert row.network_path == suggest_similarity_join_path(
+        stats, network_bound=True
+    )
+    assert row.density_ppm == (row.naive_candidate_pairs * 1_000_000) // row.posting_rows
+
+
 def test_ltv_deciles_shape(spark):
     from spotify_data_pipeline_spark.plans.roundeighteen_pending import (
         orders_ltv_deciles_query,
