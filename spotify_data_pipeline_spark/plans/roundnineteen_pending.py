@@ -368,60 +368,77 @@ _STOPWORD_ORACLE = f"""
 """
 
 
-def orders_clerk_hhi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clerk-workload concentration: per-clerk order share in ppm and
-    the Herfindahl-Hirschman index Σ share_ppm² // 1e6 — the standard
-    concentration index (10 000 ≈ perfectly even across 100 clerks,
-    1 000 000 = one clerk does everything). One row: clerks, orders,
-    HHI, the max single-clerk share, and the top clerk (ties broken by
-    clerk id).
+def lineitem_supplier_hhi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration: per-supplier share of lineitem
+    revenue (exact cents) in ppm and the Herfindahl-Hirschman index
+    Σ share_ppm² // 1e6 — the standard concentration index (≈ 1e6/N
+    when perfectly even across N suppliers, 1 000 000 when one supplier
+    ships everything; antitrust's 'highly concentrated' is HHI > 2500
+    on the 1e4 scale = 250 000 here). One row: suppliers, revenue, HHI,
+    the max single-supplier share, and that supplier (ties broken by
+    suppkey).
 
-    Scale shape: one clerk-keyed agg (map-side combinable) → one
-    bounded |clerks|-frame window pass → 1-row report.
+    Scale shape: one supplier-keyed agg (map-side combinable); the
+    total is a 1-row broadcast (an ``OVER ()`` window here would drag
+    every supplier row into ONE window partition — suppliers grow with
+    the corpus, so that's a skew bomb, not a bounded frame); HHI is a
+    second 1-row agg; the top supplier is a global top-1
+    (TakeOrderedAndProject). Assembly is the triangle-count 1-row
+    cross-join pattern.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    per_clerk = orders.groupBy("o_clerk").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rnd_cents(F.col("l_extendedprice"))).cast("long").alias("cents")
     )
-    one = Window.partitionBy(F.lit(1))
-    w_top = Window.orderBy(F.col("share_ppm").desc(), F.col("o_clerk").asc())
-    shares = (
-        per_clerk.withColumn("_t", F.sum("n").over(one))
-        .withColumn("share_ppm", F.expr("(n * 1000000) DIV _t").cast("long"))
-        .withColumn("n_clerks", F.count(F.lit(1)).over(one).cast("long"))
-        .withColumn("n_orders", F.col("_t").cast("long"))
-        .withColumn(
-            "hhi",
-            (F.sum(F.expr("share_ppm * share_ppm")).over(one) / F.lit(1_000_000))
-            .cast("long"),
+    totals = per_supp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    shares = per_supp.crossJoin(F.broadcast(totals)).withColumn(
+        "share_ppm", F.expr("(cents * 1000000) DIV revenue_cents").cast("long")
+    )
+    hhi = shares.agg(
+        F.expr("sum(share_ppm * share_ppm) DIV 1000000").cast("long").alias("hhi")
+    )
+    top = (
+        shares.orderBy(F.col("share_ppm").desc(), F.col("l_suppkey").asc())
+        .limit(1)
+        .select(
+            F.col("share_ppm").alias("top_share_ppm"),
+            F.col("l_suppkey").cast("long").alias("top_suppkey"),
         )
-        .withColumn("_rn", F.row_number().over(w_top))
     )
-    return shares.where(F.col("_rn") == 1).select(
-        "n_clerks",
-        "n_orders",
-        "hhi",
-        F.col("share_ppm").alias("top_share_ppm"),
-        F.col("o_clerk").alias("top_clerk"),
+    return (
+        totals.crossJoin(F.broadcast(hhi))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_suppliers",
+            "revenue_cents",
+            "hhi",
+            "top_share_ppm",
+            "top_suppkey",
+        )
     )
 
 
-_CLERK_HHI_ORACLE = """
-  WITH per_clerk AS (
-    SELECT o_clerk, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1
+_SUPPLIER_HHI_ORACLE = f"""
+  WITH per_supp AS (
+    SELECT l_suppkey,
+           CAST(sum({rnd_cents_sql('l_extendedprice')}) AS BIGINT) AS cents
+    FROM lineitem GROUP BY 1
   ), shares AS (
-    SELECT o_clerk, n,
-           CAST((n * 1000000) // sum(n) OVER () AS BIGINT) AS share_ppm,
-           CAST(count(*) OVER () AS BIGINT) AS n_clerks,
-           CAST(sum(n) OVER () AS BIGINT) AS n_orders
-    FROM per_clerk
+    SELECT l_suppkey, cents,
+           CAST((cents * 1000000) // sum(cents) OVER () AS BIGINT) AS share_ppm,
+           CAST(count(*) OVER () AS BIGINT) AS n_suppliers,
+           CAST(sum(cents) OVER () AS BIGINT) AS revenue_cents
+    FROM per_supp
   )
-  SELECT n_clerks, n_orders,
+  SELECT n_suppliers, revenue_cents,
          CAST(sum(share_ppm * share_ppm) OVER () // 1000000 AS BIGINT) AS hhi,
          share_ppm AS top_share_ppm,
-         o_clerk AS top_clerk
+         CAST(l_suppkey AS BIGINT) AS top_suppkey
   FROM shares
-  ORDER BY share_ppm DESC, o_clerk ASC
+  ORDER BY share_ppm DESC, l_suppkey ASC
   LIMIT 1
 """
 
@@ -504,10 +521,10 @@ PENDING: tuple[PendingQuery, ...] = (
         tags=("text", "quality", "stopwords", "integer-exact"),
     ),
     PendingQuery(
-        "orders_clerk_hhi",
-        orders_clerk_hhi_query,
-        _CLERK_HHI_ORACLE,
-        tags=("orders", "concentration", "hhi", "integer-exact"),
+        "lineitem_supplier_hhi",
+        lineitem_supplier_hhi_query,
+        _SUPPLIER_HHI_ORACLE,
+        tags=("lineitem", "concentration", "hhi", "integer-exact"),
     ),
     PendingQuery(
         "part_price_dispersion",

@@ -209,6 +209,10 @@ _BNLJ_WHITELIST = {
     # sources × vocab dense grid (the llm_ks_drift bounded-grid
     # precedent; sources is a domain constant, pair join is term-keyed)
     "text_js_divergence",
+    # --- round-19 staged (pre-whitelisted for activation) ---
+    # three 1-row aggregates assembled by broadcast cross join (the
+    # graph_triangle_count pattern)
+    "lineitem_supplier_hhi",
 }
 
 

@@ -86,6 +86,9 @@ def main() -> None:
     from spotify_data_pipeline_spark.plans.roundeighteen_pending import (
         PENDING as P18,
     )
+    from spotify_data_pipeline_spark.plans.roundnineteen_pending import (
+        PENDING as P19,
+    )
     from spotify_data_pipeline_spark.plans.roundseventeen_pending import (
         PENDING as P17,
     )
@@ -111,6 +114,7 @@ def main() -> None:
         ("round-16 staging", P16, _BNLJ_WHITELIST),
         ("round-17 staging", P17, _BNLJ_WHITELIST),
         ("round-18 staging", P18, _BNLJ_WHITELIST),
+        ("round-19 staging", P19, _BNLJ_WHITELIST),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
