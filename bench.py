@@ -254,6 +254,7 @@ def main() -> None:
         ("pq_probe", _pq_probe),
         ("itemsets_probe", _itemsets_probe),
         ("ppjoin_probe", _ppjoin_probe),
+        ("webtext_scale_probe", _webtext_scale_probe),
     ):
         try:
             out[key] = probe(spark, sf_dir)
@@ -326,6 +327,7 @@ def main() -> None:
         ),
         "ppj": _p("ppjoin_probe", "naive_scan_sec", "pruned_scan_sec"),
         "ppj_dense": _p("ppjoin_probe", "dense_naive_sec", "dense_pruned_sec"),
+        "web_ratio": _p("webtext_scale_probe", "webtext_ratio"),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1500:  # belt-and-braces: never hand the driver a torn line
@@ -1163,6 +1165,52 @@ def _graph_scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
         "triangles_1x_sec": t1,
         "triangles_4x_sec": tN,
         "triangles_ratio": round(tN / max(t1, 1e-9), 2),
+    }
+
+
+def _webtext_scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
+    """Scaling evidence for the round-8 flagship activation
+    (text_paragraph_dedup / operators/webtext.py): synthesize
+    newline-separated pages from documents (the roundfourteen device),
+    replicate ``factor``× with vowel-rotated content under distinct doc
+    ids — content paragraphs stay distinct across replicas while the
+    per-source header/footer templates repeat, so the template df rows
+    grow ×factor but remain ONE grouped row each (the no-skew-cell
+    claim) — and report the end-to-end boilerplate-removal runtime
+    ratio. Near ``factor`` ⇒ the paragraph-keyed exchanges are
+    scan-bound as designed; superlinear would expose a hot-paragraph
+    skew cell."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.operators.webtext import (
+        remove_boilerplate_paragraphs,
+    )
+    from spotify_data_pipeline_spark.plans.roundfourteen_pending import _synth_pages
+
+    pages = _synth_pages(spark, sf_dir)
+    rotations = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"][:factor]
+    big = None
+    for i, rot in enumerate(rotations):
+        rep = pages.select(
+            (F.col("doc_id") * factor + i).alias("doc_id"),
+            "source",
+            F.translate("text", "aeiou", rot).alias("text"),
+        )
+        big = rep if big is None else big.unionByName(rep)
+
+    def cleaned(df):
+        return remove_boilerplate_paragraphs(
+            df, "doc_id", "text", scope_cols=("source",), min_doc_freq=3
+        )
+
+    n_part = spark.sparkContext.defaultParallelism
+    t1 = _median_timed(cleaned(pages.repartition(n_part)))
+    tN = _median_timed(cleaned(big.repartition(n_part)))
+    return {
+        "factor": factor,
+        "webtext_1x_sec": t1,
+        "webtext_4x_sec": tN,
+        "webtext_ratio": round(tN / max(t1, 1e-9), 2),
     }
 
 
