@@ -213,6 +213,11 @@ _BNLJ_WHITELIST = {
     # three 1-row aggregates assembled by broadcast cross join (the
     # graph_triangle_count pattern)
     "lineitem_supplier_hhi",
+    # --- round-20 staged (pre-whitelisted for activation) ---
+    # each unrolled BPE round applies the selected merge via a 1-row
+    # broadcast of the top pair (the kmeans/pagerank iteration pattern)
+    "llm_bpe_phrase_merges",
+    "llm_bpe_compression_curve",
 }
 
 

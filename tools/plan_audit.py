@@ -89,6 +89,9 @@ def main() -> None:
     from spotify_data_pipeline_spark.plans.roundnineteen_pending import (
         PENDING as P19,
     )
+    from spotify_data_pipeline_spark.plans.roundtwenty_pending import (
+        PENDING as P20,
+    )
     from spotify_data_pipeline_spark.plans.roundseventeen_pending import (
         PENDING as P17,
     )
@@ -115,6 +118,7 @@ def main() -> None:
         ("round-17 staging", P17, _BNLJ_WHITELIST),
         ("round-18 staging", P18, _BNLJ_WHITELIST),
         ("round-19 staging", P19, _BNLJ_WHITELIST),
+        ("round-20 staging", P20, _BNLJ_WHITELIST),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
