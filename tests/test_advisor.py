@@ -69,6 +69,29 @@ def test_stats_pass_on_documents(spark):
     assert suggest_similarity_join_path(stats) in ("naive", "prefix")
 
 
+def test_auto_pairs_both_paths_identical(spark):
+    """The auto dispatcher's two candidate paths return the SAME exact
+    pair set (the prefix filter is lossless), and the chosen path
+    matches the advisor's decision on the corpus stats."""
+    from spotify_data_pipeline_spark.operators.advisor import similarity_pairs_auto
+    from spotify_data_pipeline_spark.operators.ppjoin import prefix_filter_pairs
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    path, pairs = similarity_pairs_auto(docs)
+    stats = similarity_join_stats(docs)
+    assert path == suggest_similarity_join_path(stats)
+
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.jaccard_ppm)
+        for r in pairs.collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.jaccard_ppm)
+        for r in prefix_filter_pairs(docs).collect()
+    }
+    assert got == prefix and got  # non-vacuous: duplicates exist at 0.6
+
+
 def test_dict_with_precomputed_ratio():
     assert suggest_similarity_join_path({"density_ratio": 29.9}) == "naive"
     assert suggest_similarity_join_path({"density_ratio": 30.0}) == "prefix"
