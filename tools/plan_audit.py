@@ -76,6 +76,7 @@ def main() -> None:
     # the pending tests carry their own _BNLJ_OK sets, which are
     # pre-merged into the hygiene whitelist at staging time
     from test_roundten_pending import _BNLJ_OK as _OK10
+    from test_roundtwentyone_pending import _BNLJ_OK as _OK21
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
         PENDING as P14,
@@ -105,6 +106,9 @@ def main() -> None:
     from spotify_data_pipeline_spark.plans.roundtwelve_pending import (
         PENDING as P12,
     )
+    from spotify_data_pipeline_spark.plans.roundtwentyone_pending import (
+        PENDING as P21,
+    )
 
     declared = set(all_queries())
     for title, pending, wl in (
@@ -119,6 +123,7 @@ def main() -> None:
         ("round-18 staging", P18, _BNLJ_WHITELIST),
         ("round-19 staging", P19, _BNLJ_WHITELIST),
         ("round-20 staging", P20, _BNLJ_WHITELIST),
+        ("round-21 staging", P21, _BNLJ_WHITELIST | _OK21),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
