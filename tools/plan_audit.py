@@ -77,6 +77,7 @@ def main() -> None:
     # pre-merged into the hygiene whitelist at staging time
     from test_roundten_pending import _BNLJ_OK as _OK10
     from test_roundtwentyone_pending import _BNLJ_OK as _OK21
+    from test_roundtwentytwo_pending import _BNLJ_OK as _OK22
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
         PENDING as P14,
@@ -109,6 +110,9 @@ def main() -> None:
     from spotify_data_pipeline_spark.plans.roundtwentyone_pending import (
         PENDING as P21,
     )
+    from spotify_data_pipeline_spark.plans.roundtwentytwo_pending import (
+        PENDING as P22,
+    )
 
     declared = set(all_queries())
     for title, pending, wl in (
@@ -124,6 +128,7 @@ def main() -> None:
         ("round-19 staging", P19, _BNLJ_WHITELIST),
         ("round-20 staging", P20, _BNLJ_WHITELIST),
         ("round-21 staging", P21, _BNLJ_WHITELIST | _OK21),
+        ("round-22 staging", P22, _BNLJ_WHITELIST | _OK22),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
