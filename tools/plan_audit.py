@@ -78,6 +78,7 @@ def main() -> None:
     from test_roundten_pending import _BNLJ_OK as _OK10
     from test_roundtwentyone_pending import _BNLJ_OK as _OK21
     from test_roundtwentytwo_pending import _BNLJ_OK as _OK22
+    from test_roundtwentythree_pending import _BNLJ_OK as _OK23
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
         PENDING as P14,
@@ -113,6 +114,9 @@ def main() -> None:
     from spotify_data_pipeline_spark.plans.roundtwentytwo_pending import (
         PENDING as P22,
     )
+    from spotify_data_pipeline_spark.plans.roundtwentythree_pending import (
+        PENDING as P23,
+    )
 
     declared = set(all_queries())
     for title, pending, wl in (
@@ -129,6 +133,7 @@ def main() -> None:
         ("round-20 staging", P20, _BNLJ_WHITELIST),
         ("round-21 staging", P21, _BNLJ_WHITELIST | _OK21),
         ("round-22 staging", P22, _BNLJ_WHITELIST | _OK22),
+        ("round-23 staging", P23, _BNLJ_WHITELIST | _OK23),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
