@@ -62,12 +62,15 @@ class PendingQuery:
 _TOKENS_SQL = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
 
 # DuckDB twin of Spark's conv(substr(md5(x),1,15),16,10): split the 15
-# hex digits as first*16^14 + next-14 (the llm_shard_manifest device —
-# 60 bits, always < 2^63).
+# hex digits as first*16^14 + next-14 (60 bits, always < 2^63). The
+# 16^14 weight (72057594037927936) makes this the TRUE head-15 value,
+# exact for every modulus — the llm_shard_manifest oracle wrote 16^13
+# here, invisible under its power-of-2 modulus (low 52 bits agree)
+# but wrong beyond it.
 def _md5_bucket_sql(arg_sql: str, n_buckets: int) -> str:
     return (
         f"CAST((  (strpos('0123456789abcdef', substr(md5({arg_sql}), 1, 1)) - 1)"
-        f" * 4503599627370496"
+        f" * 72057594037927936"
         f" + CAST(('0x' || substr(md5({arg_sql}), 2, 14)) AS BIGINT)"
         f") % {n_buckets} AS BIGINT)"
     )
