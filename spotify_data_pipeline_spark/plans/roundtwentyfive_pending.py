@@ -1,0 +1,649 @@
+"""Round-25 declared-query staging area — the ML-PIPELINE depth wave:
+the model-side operators a curation stack runs after the data ships.
+
+- **Boosted stumps** (2 unrolled gradient-boosting rounds on squared
+  loss — Friedman '01 reduced to its SQL-expressible core): each
+  round scans once with 9 conditional split aggregates, picks the
+  best threshold by the exact variance-reduction score, and updates
+  integer-cent predictions with integer leaf means. The
+  kmeans/pagerank/BPE unrolling precedent applied to boosting.
+- **Haar wavelet energy** (unnormalized multi-resolution analysis of
+  the daily-revenue series): per-scale detail energy over the first
+  256 days — all coefficients are INTEGER sums/differences of whole
+  dollars (unnormalized Haar needs no division), energies BIGINT
+  with measured headroom.
+- **Curriculum order** (curriculum-learning manifest): documents
+  staged into 8 difficulty tiers by an integer difficulty score,
+  with per-tier token share — the ordered-training-schedule artifact.
+- **Calibration bins** (reliability diagram): the NB quality
+  classifier's margin bucketed into bins with per-bin empirical
+  accuracy — the calibration readout that decides whether scores can
+  gate thresholds. The classifier is re-derived inline (same device
+  as llm_nb_quality_filter; staging modules never import each other).
+
+Per-wave staging module (nothing evidenced imports this file).
+Exactness rules as earlier waves: cents, integer ppm via DIV/`//`,
+BIGINT casts, DECIMAL(38,0) second moments, micro-nat per-term log
+floors, deterministic tiebreaks, the corrected 16^14 md5 head-15
+device. New device: **exact-double split scores** — variance-
+reduction scores S_l^2/n_l + S_r^2/n_r computed from int64 sums that
+convert to float64 exactly (|S| < 2^53), so every arithmetic step is
+the same IEEE operation on both engines and the argmax is stable
+(threshold-ascending tiebreak regardless).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_data_pipeline_spark.functions.text import is_nonblank, tokens
+from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.plans.parity import rnd_cents
+
+
+@dataclass(frozen=True)
+class PendingQuery:
+    name: str
+    fn: object
+    oracle: str | None
+    headline: bool = False
+    tags: tuple[str, ...] = ()
+
+
+_TOKENS_SQL = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+_MD5_HEAD15 = (
+    "(strpos('0123456789abcdef', substr(md5({arg}), 1, 1)) - 1)"
+    " * 72057594037927936"
+    " + CAST(('0x' || substr(md5({arg}), 2, 14)) AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# 1. Boosted stumps — 2 unrolled rounds, exact
+# ---------------------------------------------------------------------------
+
+_GBT_THRESHOLDS = (5, 10, 15, 20, 25, 30, 35, 40, 45)
+_GBT_ROUNDS = 2
+
+
+def ml_gbdt_stump_boost_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two gradient-boosting rounds of depth-1 regression stumps
+    predicting lineitem extended price (integer cents) from quantity.
+    Round r: residuals against the current integer prediction, ONE
+    scan computing (sum, count) of residuals left of each of 9 fixed
+    thresholds, split score S_l^2/n_l + S_r^2/n_r (exact-double — see
+    module docstring), argmax with threshold-ascending tiebreak, leaf
+    adjustments as integer DIV means. Emits one row per round:
+    chosen threshold, leaf sizes and adjustments, and the integer
+    mean squared error AFTER the round (DECIMAL(38,0) sum of squares
+    — boosting must shrink it, pinned in tests).
+
+    Scale shape: per round one map-side-combinable 1-row aggregate
+    (18 conditional sums) + a 9-row argmax + a 1-row broadcast back —
+    the residual data never shuffles; the pattern scales to any
+    corpus because ALL split state is (thresholds x 2) numbers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        rnd_cents(F.col("l_extendedprice")).alias("y"),
+    )
+    f0 = li.agg(F.expr("sum(y) DIV count(1)").cast("long").alias("f0"))
+    rows = li.crossJoin(F.broadcast(f0)).withColumn(
+        "r", (F.col("y") - F.col("f0")).cast("long")
+    )
+    out = []
+    for rnd_no in range(1, _GBT_ROUNDS + 1):
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("r").cast("long").alias("s"),
+        ]
+        for t in _GBT_THRESHOLDS:
+            aggs.append(
+                F.sum(F.when(F.col("q") <= t, F.col("r")).otherwise(0))
+                .cast("long")
+                .alias(f"s_{t}")
+            )
+            aggs.append(
+                F.sum(F.when(F.col("q") <= t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{t}")
+            )
+        stats = rows.agg(*aggs)
+        cands = stats.select(
+            "n",
+            "s",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).cast("long").alias("t"),
+                            F.col(f"s_{t}").alias("s_l"),
+                            F.col(f"n_{t}").alias("n_l"),
+                        )
+                        for t in _GBT_THRESHOLDS
+                    ]
+                )
+            ).alias("c"),
+        ).select(
+            F.col("c.t").alias("t"),
+            F.col("c.s_l").alias("s_l"),
+            F.col("c.n_l").alias("n_l"),
+            (F.col("s") - F.col("c.s_l")).alias("s_r"),
+            (F.col("n") - F.col("c.n_l")).alias("n_r"),
+        ).where((F.col("n_l") > 0) & (F.col("n_r") > 0))
+        w_best = Window.orderBy(
+            (
+                F.col("s_l") * F.col("s_l") / F.col("n_l")
+                + F.col("s_r") * F.col("s_r") / F.col("n_r")
+            ).desc(),
+            F.col("t").asc(),
+        )
+        best = (
+            cands.withColumn("rk", F.row_number().over(w_best))
+            .where(F.col("rk") == 1)
+            .select(
+                "t",
+                "n_l",
+                "n_r",
+                F.expr("s_l DIV n_l").cast("long").alias("adj_l"),
+                F.expr("s_r DIV n_r").cast("long").alias("adj_r"),
+            )
+        )
+        rows = rows.crossJoin(F.broadcast(best)).select(
+            "q",
+            "y",
+            (
+                F.col("r")
+                - F.when(F.col("q") <= F.col("t"), F.col("adj_l")).otherwise(
+                    F.col("adj_r")
+                )
+            )
+            .cast("long")
+            .alias("r"),
+        )
+        mse = rows.agg(
+            F.expr(
+                "CAST(sum(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))"
+                " / count(1) AS BIGINT)"
+            ).alias("mse")
+        )
+        out.append(
+            best.crossJoin(F.broadcast(mse)).select(
+                F.lit(rnd_no).cast("long").alias("round"),
+                F.col("t").alias("threshold"),
+                F.col("n_l").alias("n_left"),
+                F.col("n_r").alias("n_right"),
+                F.col("adj_l").alias("adj_left_cents"),
+                F.col("adj_r").alias("adj_right_cents"),
+                F.col("mse").alias("mse_after"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("round")
+
+
+def _gbt_oracle() -> str:
+    cond_aggs = ",\n           ".join(
+        f"CAST(sum(CASE WHEN q <= {t} THEN r ELSE 0 END) AS BIGINT) AS s_{t},"
+        f" CAST(sum(CASE WHEN q <= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in _GBT_THRESHOLDS
+    )
+
+    def round_ctes(k: int, prev_rows: str) -> str:
+        cand_union = "\n      UNION ALL\n".join(
+            f"      SELECT CAST({t} AS BIGINT) AS t, s_{t} AS s_l,"
+            f" n_{t} AS n_l, s - s_{t} AS s_r, n - n_{t} AS n_r"
+            f" FROM stats{k}"
+            for t in _GBT_THRESHOLDS
+        )
+        return f"""stats{k} AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS s,
+           {cond_aggs}
+    FROM {prev_rows}
+  ), cands{k} AS (
+    SELECT * FROM (
+{cand_union}
+    ) WHERE n_l > 0 AND n_r > 0
+  ), best{k} AS (
+    SELECT t, n_l, n_r,
+           CAST(s_l // n_l AS BIGINT) AS adj_l,
+           CAST(s_r // n_r AS BIGINT) AS adj_r
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY (s_l * s_l / n_l + s_r * s_r / n_r) DESC, t ASC) AS rk
+      FROM cands{k}) WHERE rk = 1
+  ), rows{k} AS (
+    SELECT q, y,
+           CAST(r - CASE WHEN q <= t THEN adj_l ELSE adj_r END AS BIGINT) AS r
+    FROM {prev_rows} CROSS JOIN best{k}
+  ), mse{k} AS (
+    SELECT CAST(sum(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))
+                / count(*) AS BIGINT) AS mse
+    FROM rows{k}
+  )"""
+
+    ctes = []
+    prev = "rows0"
+    for k in range(1, _GBT_ROUNDS + 1):
+        ctes.append(round_ctes(k, prev))
+        prev = f"rows{k}"
+    selects = "\n  UNION ALL\n".join(
+        f"""  SELECT CAST({k} AS BIGINT) AS round, t AS threshold,
+         n_l AS n_left, n_r AS n_right,
+         adj_l AS adj_left_cents, adj_r AS adj_right_cents,
+         (SELECT mse FROM mse{k}) AS mse_after
+  FROM best{k}"""
+        for k in range(1, _GBT_ROUNDS + 1)
+    )
+    return f"""
+  WITH base AS (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+    FROM lineitem
+  ), f0 AS (
+    SELECT CAST(sum(y) // count(*) AS BIGINT) AS f0 FROM base
+  ), rows0 AS (
+    SELECT q, y, CAST(y - f0 AS BIGINT) AS r FROM base CROSS JOIN f0
+  ), {", ".join(ctes)}
+{selects}
+  ORDER BY round
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Haar wavelet energy — multi-resolution revenue analysis
+# ---------------------------------------------------------------------------
+
+_HAAR_N = 256
+_HAAR_LEVELS = 8
+
+
+def orders_haar_energy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar detail energy per scale over the first 256
+    days of daily order revenue (integer whole dollars — cents DIV
+    100, keeping level-8 squared details inside BIGINT with ~30x
+    headroom at sf0.1): at level k the signal is cut into 2^k-day
+    blocks and the detail coefficient is (first-half sum) -
+    (second-half sum) — a pure integer, no normalization division.
+    Energy_k = integer sum of squared details (BIGINT final column —
+    the driver-comparability rule from the DECIMAL(38,0) waves).
+    High energy at small scales = day-to-day noise; at
+    large scales = regime shifts — the multi-resolution seasonality
+    readout next to the direct DOW/decompose rows.
+
+    Scale shape: one day-grain shuffle builds the (bounded, 256-row)
+    series; the 8 levels are one explode (256x8 rows) + one
+    (level, block) agg + one level agg. Signal length is the cap,
+    not the corpus.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.withColumn("day", F.date_trunc("day", F.col("o_orderdate")))
+        .groupBy("day")
+        .agg(
+            F.expr(
+                "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) DIV 100"
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    series = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _HAAR_N)
+        .select((F.col("rn") - 1).alias("i"), "x")
+    )
+    lvl = series.select(
+        "i",
+        "x",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(_HAAR_LEVELS).cast("long"))
+        ).alias("k"),
+    ).select(
+        "k",
+        F.expr("i DIV (CAST(pow(2, k) AS BIGINT))").alias("j"),
+        (
+            F.lit(1)
+            - F.lit(2) * F.expr("(i DIV (CAST(pow(2, k-1) AS BIGINT))) % 2")
+        ).alias("sign"),
+        "x",
+    )
+    details = lvl.groupBy("k", "j").agg(
+        F.sum(F.col("sign") * F.col("x")).cast("long").alias("d")
+    )
+    return (
+        details.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"),
+        )
+        .select(F.col("k").alias("scale"), "n_coeffs", "energy")
+        .orderBy("scale")
+    )
+
+
+_HAAR_ORACLE = f"""
+  WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS day,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100
+                AS BIGINT) AS x
+    FROM orders GROUP BY 1
+  ), series AS (
+    SELECT rn - 1 AS i, x FROM (
+      SELECT x, row_number() OVER (ORDER BY day) AS rn FROM daily)
+    WHERE rn <= {_HAAR_N}
+  ), lvl AS (
+    SELECT r.k AS k,
+           i // CAST(pow(2, r.k) AS BIGINT) AS j,
+           1 - 2 * ((i // CAST(pow(2, r.k - 1) AS BIGINT)) % 2) AS sign,
+           x
+    FROM series, range(1, {_HAAR_LEVELS + 1}) r(k)
+  ), details AS (
+    SELECT k, j, CAST(sum(sign * x) AS BIGINT) AS d
+    FROM lvl GROUP BY 1, 2
+  )
+  SELECT CAST(k AS BIGINT) AS scale,
+         CAST(count(*) AS BIGINT) AS n_coeffs,
+         CAST(sum(d * d) AS BIGINT) AS energy
+  FROM details GROUP BY k ORDER BY scale
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Curriculum order — difficulty-staged training manifest
+# ---------------------------------------------------------------------------
+
+_CUR_STAGES = 8
+
+
+def llm_curriculum_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning manifest: every document gets an integer
+    difficulty score (tokens + distinct-token richness ppm DIV 1000 —
+    longer, lexically richer docs are 'harder'), documents are ranked
+    (score, doc_id tiebreak) and cut into 8 equal stages; per stage:
+    doc count, difficulty range, token share ppm. The easy->hard
+    training schedule artifact (Bengio et al. '09), deterministic and
+    re-runnable.
+
+    Scale shape: map-only scoring, one global rank over the doc
+    METADATA (id, score — not text), a 1-row count broadcast for the
+    equal cut, one 8-group agg.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        is_nonblank(F.col("text"))
+    )
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_dist"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("n_tok")
+            + F.expr("((n_dist * 1000000) DIV n_tok) DIV 1000")
+        )
+        .cast("long")
+        .alias("difficulty"),
+    )
+    n1 = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.col("difficulty").asc(), F.col("doc_id").asc())
+    staged = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(n1))
+        .withColumn("stage", F.expr(f"((rn - 1) * {_CUR_STAGES}) DIV n"))
+    )
+    tok_total = scored.agg(F.sum("n_tok").cast("long").alias("tot"))
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("difficulty").cast("long").alias("min_difficulty"),
+            F.max("difficulty").cast("long").alias("max_difficulty"),
+            F.sum("n_tok").cast("long").alias("stage_tokens"),
+        )
+        .crossJoin(F.broadcast(tok_total))
+        .select(
+            F.col("stage").cast("long").alias("stage"),
+            "n_docs",
+            "min_difficulty",
+            "max_difficulty",
+            "stage_tokens",
+            F.expr("(stage_tokens * 1000000) DIV tot")
+            .cast("long")
+            .alias("token_share_ppm"),
+        )
+        .orderBy("stage")
+    )
+
+
+_CUR_ORACLE = f"""
+  WITH scored AS (
+    SELECT doc_id, n_tok,
+           CAST(n_tok + ((n_dist * 1000000) // n_tok) // 1000 AS BIGINT)
+             AS difficulty
+    FROM (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS toks
+            FROM documents WHERE length(trim(text)) > 0)
+    )
+  ), n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+  staged AS (
+    SELECT *, ((rn - 1) * {_CUR_STAGES}) // n AS stage FROM (
+      SELECT *, row_number() OVER (ORDER BY difficulty, doc_id) AS rn
+      FROM scored) CROSS JOIN n1
+  ), tok_total AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM scored)
+  SELECT CAST(stage AS BIGINT) AS stage,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(difficulty) AS BIGINT) AS min_difficulty,
+         CAST(max(difficulty) AS BIGINT) AS max_difficulty,
+         CAST(sum(n_tok) AS BIGINT) AS stage_tokens,
+         CAST((sum(n_tok) * 1000000) // tot AS BIGINT) AS token_share_ppm
+  FROM staged CROSS JOIN tok_total
+  GROUP BY stage, tot ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Calibration bins — reliability of the NB quality margin
+# ---------------------------------------------------------------------------
+
+_CAL_BUCKETS_NB = 128
+_CAL_BIN_E6 = 300_000  # margin bin width in micro-nats
+_CAL_BIN_CAP = 7  # bins clamped to [-7, 7]
+
+
+def ml_nb_calibration_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the NB 'en' quality classifier (the
+    llm_nb_quality_filter device re-derived inline): per margin bin
+    (3e5-micro-nat wide, clamped to [-7, 7]) the doc count, positive
+    rate and predicted-positive agreement ppm — the calibration
+    readout that decides whether the margin can gate a threshold
+    sweep. A well-ordered classifier shows positive rate rising with
+    the bin; the test pins monotonicity between the extreme bins.
+
+    Scale shape: identical to the classifier (bounded bucket aggs +
+    bucket equi-join + doc agg), plus one bin agg.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        is_nonblank(F.col("text"))
+    )
+    labeled = docs.withColumn("is_hq", (F.col("lang") == "en"))
+    tok = labeled.select(
+        "doc_id", "is_hq", F.explode(tokens(F.col("text"))).alias("term")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("nbq:"), F.col("term"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CAL_BUCKETS_NB,
+    )
+    per_bucket = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_hq"), 1).otherwise(0)).cast("long").alias("c_hq"),
+        F.sum(F.when(~F.col("is_hq"), 1).otherwise(0)).cast("long").alias("c_lq"),
+    )
+    totals = tok.agg(
+        F.sum(F.when(F.col("is_hq"), 1).otherwise(0)).cast("long").alias("n_hq"),
+        F.sum(F.when(~F.col("is_hq"), 1).otherwise(0)).cast("long").alias("n_lq"),
+    )
+    priors = labeled.agg(
+        F.sum(F.when(F.col("is_hq"), 1).otherwise(0)).cast("long").alias("d_hq"),
+        F.sum(F.when(~F.col("is_hq"), 1).otherwise(0)).cast("long").alias("d_lq"),
+    )
+    lw = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.floor(
+                F.log((F.col("c_hq") + 1) / (F.col("n_hq") + _CAL_BUCKETS_NB))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long")
+            - F.floor(
+                F.log((F.col("c_lq") + 1) / (F.col("n_lq") + _CAL_BUCKETS_NB))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("lw_e6"),
+    )
+    margins = (
+        tok.join(lw, "bucket")
+        .groupBy("doc_id", "is_hq")
+        .agg(F.sum("lw_e6").cast("long").alias("sum_lw"))
+        .crossJoin(F.broadcast(priors))
+        .select(
+            "is_hq",
+            (
+                F.col("sum_lw")
+                + F.floor(
+                    F.log(F.col("d_hq") / (F.col("d_hq") + F.col("d_lq")))
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("long")
+                - F.floor(
+                    F.log(F.col("d_lq") / (F.col("d_hq") + F.col("d_lq")))
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("margin_e6"),
+        )
+    )
+    binned = margins.select(
+        "is_hq",
+        F.greatest(
+            F.lit(-_CAL_BIN_CAP).cast("long"),
+            F.least(
+                F.lit(_CAL_BIN_CAP).cast("long"),
+                F.expr(f"margin_e6 DIV {_CAL_BIN_E6}"),
+            ),
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("is_hq").cast("long")).cast("long").alias("n_pos"),
+            F.expr(
+                "(sum(CAST(is_hq AS LONG)) * 1000000) DIV count(1)"
+            )
+            .cast("long")
+            .alias("pos_rate_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+_CAL_ORACLE = f"""
+  WITH labeled AS (
+    SELECT doc_id, lang = 'en' AS is_hq, text
+    FROM documents WHERE length(trim(text)) > 0
+  ), tok AS (
+    SELECT doc_id, is_hq,
+           CAST(({_MD5_HEAD15.format(arg="'nbq:' || term")})
+                % {_CAL_BUCKETS_NB} AS BIGINT) AS bucket
+    FROM (SELECT doc_id, is_hq, unnest({_TOKENS_SQL}) AS term FROM labeled)
+  ), per_bucket AS (
+    SELECT bucket,
+           CAST(sum(CASE WHEN is_hq THEN 1 ELSE 0 END) AS BIGINT) AS c_hq,
+           CAST(sum(CASE WHEN is_hq THEN 0 ELSE 1 END) AS BIGINT) AS c_lq
+    FROM tok GROUP BY 1
+  ), totals AS (
+    SELECT CAST(sum(CASE WHEN is_hq THEN 1 ELSE 0 END) AS BIGINT) AS n_hq,
+           CAST(sum(CASE WHEN is_hq THEN 0 ELSE 1 END) AS BIGINT) AS n_lq
+    FROM tok
+  ), priors AS (
+    SELECT CAST(sum(CASE WHEN is_hq THEN 1 ELSE 0 END) AS BIGINT) AS d_hq,
+           CAST(sum(CASE WHEN is_hq THEN 0 ELSE 1 END) AS BIGINT) AS d_lq
+    FROM labeled
+  ), lw AS (
+    SELECT bucket,
+           CAST(floor(ln((c_hq + 1) / (n_hq + {_CAL_BUCKETS_NB})) * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln((c_lq + 1) / (n_lq + {_CAL_BUCKETS_NB})) * 1000000 + 0.5) AS BIGINT)
+           AS lw_e6
+    FROM per_bucket CROSS JOIN totals
+  ), margins AS (
+    SELECT is_hq,
+           CAST(sum(lw_e6) AS BIGINT)
+           + CAST(floor(ln(d_hq / (d_hq + d_lq)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(d_lq / (d_hq + d_lq)) * 1000000 + 0.5) AS BIGINT)
+             AS margin_e6
+    FROM tok JOIN lw USING (bucket) CROSS JOIN priors
+    GROUP BY doc_id, is_hq, d_hq, d_lq
+  ), binned AS (
+    SELECT is_hq,
+           greatest(CAST(-{_CAL_BIN_CAP} AS BIGINT),
+                    least(CAST({_CAL_BIN_CAP} AS BIGINT),
+                          margin_e6 // {_CAL_BIN_E6})) AS bin
+    FROM margins
+  )
+  SELECT CAST(bin AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN is_hq THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST((sum(CASE WHEN is_hq THEN 1 ELSE 0 END) * 1000000)
+              // count(*) AS BIGINT) AS pos_rate_ppm
+  FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+PENDING: tuple[PendingQuery, ...] = (
+    PendingQuery(
+        "ml_gbdt_stump_boost",
+        ml_gbdt_stump_boost_query,
+        _gbt_oracle(),
+        tags=("ml", "boosting", "stumps", "unrolled", "decimal38",
+              "integer-exact"),
+    ),
+    PendingQuery(
+        "orders_haar_energy",
+        orders_haar_energy_query,
+        _HAAR_ORACLE,
+        tags=("orders", "wavelet", "haar", "multi-resolution",
+              "decimal38", "integer-exact"),
+    ),
+    PendingQuery(
+        "llm_curriculum_order",
+        llm_curriculum_order_query,
+        _CUR_ORACLE,
+        tags=("llmops", "curriculum", "manifest", "integer-exact"),
+    ),
+    PendingQuery(
+        "ml_nb_calibration_bins",
+        ml_nb_calibration_bins_query,
+        _CAL_ORACLE,
+        tags=("ml", "calibration", "reliability", "micro-nats",
+              "integer-exact"),
+    ),
+)
