@@ -81,6 +81,7 @@ def main() -> None:
     from test_roundtwentythree_pending import _BNLJ_OK as _OK23
     from test_roundtwentyfour_pending import _BNLJ_OK as _OK24
     from test_roundtwentyfive_pending import _BNLJ_OK as _OK25
+    from test_roundtwentysix_pending import _BNLJ_OK as _OK26
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
         PENDING as P14,
@@ -125,6 +126,9 @@ def main() -> None:
     from spotify_data_pipeline_spark.plans.roundtwentyfive_pending import (
         PENDING as P25,
     )
+    from spotify_data_pipeline_spark.plans.roundtwentysix_pending import (
+        PENDING as P26,
+    )
 
     declared = set(all_queries())
     for title, pending, wl in (
@@ -144,6 +148,7 @@ def main() -> None:
         ("round-23 staging", P23, _BNLJ_WHITELIST | _OK23),
         ("round-24 staging", P24, _BNLJ_WHITELIST | _OK24),
         ("round-25 staging", P25, _BNLJ_WHITELIST | _OK25),
+        ("round-26 staging", P26, _BNLJ_WHITELIST | _OK26),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
