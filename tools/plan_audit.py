@@ -82,6 +82,9 @@ def main() -> None:
     from test_roundtwentyfour_pending import _BNLJ_OK as _OK24
     from test_roundtwentyfive_pending import _BNLJ_OK as _OK25
     from test_roundtwentysix_pending import _BNLJ_OK as _OK26
+    from spotify_data_pipeline_spark.plans.roundtwentyseven_pending import (
+        PENDING as P27,
+    )
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
         PENDING as P14,
@@ -149,6 +152,7 @@ def main() -> None:
         ("round-24 staging", P24, _BNLJ_WHITELIST | _OK24),
         ("round-25 staging", P25, _BNLJ_WHITELIST | _OK25),
         ("round-26 staging", P26, _BNLJ_WHITELIST | _OK26),
+        ("round-27 staging", P27, _BNLJ_WHITELIST),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
