@@ -82,8 +82,12 @@ def main() -> None:
     from test_roundtwentyfour_pending import _BNLJ_OK as _OK24
     from test_roundtwentyfive_pending import _BNLJ_OK as _OK25
     from test_roundtwentysix_pending import _BNLJ_OK as _OK26
+    from test_roundtwentyeight_pending import _BNLJ_OK as _OK28
     from spotify_data_pipeline_spark.plans.roundtwentyseven_pending import (
         PENDING as P27,
+    )
+    from spotify_data_pipeline_spark.plans.roundtwentyeight_pending import (
+        PENDING as P28,
     )
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
@@ -153,6 +157,7 @@ def main() -> None:
         ("round-25 staging", P25, _BNLJ_WHITELIST | _OK25),
         ("round-26 staging", P26, _BNLJ_WHITELIST | _OK26),
         ("round-27 staging", P27, _BNLJ_WHITELIST),
+        ("round-28 staging", P28, _BNLJ_WHITELIST | _OK28),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
