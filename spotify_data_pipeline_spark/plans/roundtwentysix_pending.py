@@ -437,15 +437,16 @@ def events_session_gap_sweep_query(spark: SparkSession, sf_dir: str) -> DataFram
     min/max per session then a threshold agg.
     """
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("us")
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
     )
-    w = Window.partitionBy("user_id").orderBy("us", "user_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gaps = ev.withColumn(
         "gap_us",
         (F.col("us") - F.lag("us").over(w)).cast("long"),
     )
     swept = gaps.select(
         "user_id",
+        "event_id",
         "us",
         "gap_us",
         F.explode(
@@ -458,7 +459,7 @@ def events_session_gap_sweep_query(spark: SparkSession, sf_dir: str) -> DataFram
             | (F.col("gap_us") > F.col("gap_min") * 60000000)
         ).cast("long"),
     )
-    w2 = Window.partitionBy("gap_min", "user_id").orderBy("us", "user_id")
+    w2 = Window.partitionBy("gap_min", "user_id").orderBy("us", "event_id")
     sessions = swept.withColumn(
         "sid", F.sum("new_session").over(w2)
     )
@@ -488,14 +489,14 @@ _GAP_LIST = ", ".join(f"({m})" for m in _GAP_MINUTES)
 
 _GAP_ORACLE = f"""
   WITH gaps AS (
-    SELECT user_id, epoch_us(ts) AS us,
+    SELECT user_id, event_id, epoch_us(ts) AS us,
            epoch_us(ts)
              - lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                       ORDER BY epoch_us(ts), user_id)
+                                       ORDER BY epoch_us(ts), event_id)
              AS gap_us
     FROM events
   ), swept AS (
-    SELECT g.user_id, g.us, CAST(m.gap_min AS BIGINT) AS gap_min,
+    SELECT g.user_id, g.event_id, g.us, CAST(m.gap_min AS BIGINT) AS gap_min,
            CASE WHEN g.gap_us IS NULL
                   OR g.gap_us > CAST(m.gap_min AS BIGINT) * 60000000
                 THEN 1 ELSE 0 END AS new_session
@@ -503,7 +504,7 @@ _GAP_ORACLE = f"""
   ), sessions AS (
     SELECT gap_min, user_id, us,
            sum(new_session) OVER (PARTITION BY gap_min, user_id
-                                  ORDER BY us, user_id) AS sid
+                                  ORDER BY us, event_id) AS sid
     FROM swept
   ), per_session AS (
     SELECT gap_min, user_id, sid,
