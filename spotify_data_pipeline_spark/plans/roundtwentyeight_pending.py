@@ -68,7 +68,11 @@ def supplier_bradley_terry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-1; pairwise match rows are a part-keyed equi-join of
     the winner against the losers (bounded by per-part supplier
     counts, never corpus x corpus); each MM step is one pair-keyed
-    join + per-supplier agg over symmetric match rows.
+    join + per-supplier agg over symmetric match rows. The bounded
+    match matrix is lineage-cut with localCheckpoint (the PageRank /
+    k-means / components device) so the unrolled steps reference a
+    materialized table instead of re-deriving the corpus scan per
+    plan reference.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
@@ -117,7 +121,12 @@ def supplier_bradley_terry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["i", "j"],
     ).withColumn("n_pair", (F.col("w_ij") + F.col("w_ji")).cast("long"))
+    # lineage cut: the match matrix is bounded (supplier-pair count),
+    # and every unrolled MM step references it — without the cut the
+    # plan re-derives the corpus scan once per reference
+    totals = totals.localCheckpoint(eager=True)
     wins = pairs.groupBy("i").agg(F.sum("w_ij").cast("long").alias("n_wins"))
+    wins = wins.localCheckpoint(eager=True)
     strengths = wins.select("i", F.lit(1000000).cast("long").alias("w"))
     for _ in range(_BT_STEPS):
         s_j = strengths.select(
