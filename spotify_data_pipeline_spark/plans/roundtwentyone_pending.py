@@ -123,7 +123,10 @@ def sim_semdedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cell"))
     )
-    sided = cell.join(v, "vec_id")
+    # lineage cut: the assignment feeds BOTH sides of the cell pair
+    # join — materialize it once (the PageRank/k-means device) instead
+    # of recomputing the 8-centroid scoring per plan reference
+    sided = cell.join(v, "vec_id").localCheckpoint(eager=True)
     a = sided.select(
         F.col("vec_id").alias("id_a"), "cell", F.col("e").alias("ea")
     )

@@ -95,7 +95,11 @@ def graph_textrank_keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame
     edges = edges_ud.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionAll(edges_ud.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    # lineage cut: the vocabulary-bounded edge list feeds every
+    # unrolled iteration — materialize once (the PageRank device)
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg = deg.localCheckpoint(eager=True)
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(1000000).cast("long").alias("r")
     )

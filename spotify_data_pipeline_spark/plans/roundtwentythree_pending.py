@@ -89,10 +89,9 @@ def sim_pca_power_iteration_query(
     Scale shape: one vec_id equi-join builds the moment matrix
     (dim^2 = 4096 grouped rows — bounded by dimensionality, not
     corpus size); each unrolled step is a 4096x64 equi-join + 64-row
-    agg. The per-step 1-row max is the whitelisted broadcast. In
-    production the moment matrix would be cached once; the unrolled
-    plan recomputes it per step, which is the price of a pure
-    DataFrame contract (documented, bounded at 3 steps).
+    agg. The per-step 1-row max is the whitelisted broadcast. The
+    moment matrix is lineage-cut with localCheckpoint (bounded dim^2
+    rows), so the corpus is scanned once, not once per step.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     qarr = F.transform(
@@ -112,6 +111,11 @@ def sim_pca_power_iteration_query(
         a.join(b, "vec_id")
         .groupBy("i", "j")
         .agg(F.sum(F.col("qi") * F.col("qj")).cast("long").alias("s"))
+        # lineage cut (the PageRank/k-means device): the moment matrix
+        # is bounded at dim^2 = 4096 rows and every unrolled step
+        # references it — materialize once instead of recomputing the
+        # corpus scan per step
+        .localCheckpoint(eager=True)
     )
     v = spark.range(0, _PCA_DIM).select(
         F.col("id").alias("j"), F.lit(_PCA_VSCALE).cast("long").alias("v")

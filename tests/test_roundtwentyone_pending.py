@@ -107,11 +107,11 @@ def test_semdedup_pair_join_is_cell_equi_join(spark):
     nested = plan.count("BroadcastNestedLoopJoin") + plan.count(
         "CartesianProduct"
     )
-    # exactly the bounded 8-row quantizer broadcast, which appears
-    # twice because the assignment subtree feeds BOTH sides of the
-    # cell pair join (DataFrame reuse is plan duplication, not CTE
-    # reuse) — never a data×data nested loop
-    assert nested == 2, plan[:2000]
+    # the assignment subtree (holding the bounded 8-row quantizer
+    # broadcast) is lineage-cut with localCheckpoint, so the executed
+    # pair-join plan references the materialized assignment and shows
+    # ZERO nested loops — never a data×data nested loop either way
+    assert nested == 0, plan[:2000]
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan[:2000]
