@@ -84,6 +84,7 @@ def main() -> None:
     from test_roundtwentysix_pending import _BNLJ_OK as _OK26
     from test_roundtwentyeight_pending import _BNLJ_OK as _OK28
     from test_roundtwentynine_pending import _BNLJ_OK as _OK29
+    from test_roundthirty_pending import _BNLJ_OK as _OK30
     from spotify_data_pipeline_spark.plans.roundtwentyseven_pending import (
         PENDING as P27,
     )
@@ -92,6 +93,9 @@ def main() -> None:
     )
     from spotify_data_pipeline_spark.plans.roundtwentynine_pending import (
         PENDING as P29,
+    )
+    from spotify_data_pipeline_spark.plans.roundthirty_pending import (
+        PENDING as P30,
     )
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
@@ -163,6 +167,7 @@ def main() -> None:
         ("round-27 staging", P27, _BNLJ_WHITELIST),
         ("round-28 staging", P28, _BNLJ_WHITELIST | _OK28),
         ("round-29 staging", P29, _BNLJ_WHITELIST | _OK29),
+        ("round-30 staging", P30, _BNLJ_WHITELIST | _OK30),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
