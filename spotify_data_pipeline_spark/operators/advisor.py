@@ -50,6 +50,21 @@ LOCAL_CROSSOVER_RATIO = 30.0
 #: on a multi-node cluster the candidate exchange is network-bound, so
 #: the prefix path pays as soon as candidates rival the corpus-linear
 #: passes it adds (≈2 extra exchanges ⇒ ratio ≈ 2).
+#:
+#: ENGINEERING ESTIMATE, not a measurement (VERDICT r08 item 5): this
+#: environment is one 32-core host, so no network-bound run exists to
+#: calibrate against (LOCAL_CROSSOVER_RATIO *is* measured, from the
+#: BENCH_r07/r08 ppjoin probes). Derivation: the prefix path replaces
+#: the naive candidate exchange (``naive_candidate_pairs`` rows) with
+#: ~2 additional corpus-linear exchanges (the df-ranking pass and the
+#: prefix-posting re-shuffle, each ≈ ``posting_rows`` rows), so once
+#: rows shipped over the wire dominate cost — the multi-node regime —
+#: the crossover is candidates/posting ≈ 2. To recalibrate in
+#: production: ``ops_similarity_path_advice`` (and
+#: ``similarity_join_stats``) emit BOTH sides of that quotient —
+#: ``posting_rows`` and ``naive_candidate_pairs`` — so a user can time
+#: the two paths on their own cluster at a known density_ratio and
+#: adjust this constant to the observed break-even.
 NETWORK_CROSSOVER_RATIO = 2.0
 
 

@@ -20,8 +20,27 @@ queries from a partially-activated module can be declared ahead of
 their already-evidenced siblings to land inside the driver's first-50
 evidence window.
 
-Round 8 window (50 slots, all free — zero NEW/DRIFT after the round-
-start snapshot pinned the 50 round-7 rows):
+Round 9 window (50 slots, all free — zero NEW/DRIFT after the round-
+start snapshot pinned the 50 round-8 rows). Per VERDICT r08 item 1,
+the whole window burns staged backlog, on-mission first:
+  positions 0-1   roundtwenty_pending: the BPE merge-training pair
+                  (llm_bpe_phrase_merges, llm_bpe_compression_curve) —
+                  the LLM-native iterative op, highest-signal
+                  unevidenced pair, declared FIRST
+  positions 2-17  roundthirteen_pending: all 16
+  positions 18-28 roundfifteen_pending: all 11
+  positions 29-35 roundsixteen_pending: all 7
+  positions 36-39 roundseventeen_pending: all 4
+  positions 40-49 roundtwelve_pending: the 10 remainder — declared
+                  BEFORE their 4 round-8-evidenced siblings (tail
+                  50-53 on intact r08 pins), dissolving the
+                  shared-staging-file freeze (VERDICT r08 item 2)
+New staging is FROZEN this round (VERDICT r08 item 2): zero new
+round*_pending modules until the backlog fits one window. Backlog
+after this window: 51 (roundeighteen through roundthirty minus the
+roundtwenty pair) — the round-10 window takes it to ~zero.
+
+Round 8 window (for the record — 50 slots, all free):
   positions 0-1   roundfourteen_pending: both (the webtext pair FIRST —
                   VERDICT r07 item 3: the C4/RefinedWeb boilerplate
                   screen is the most-used never-hash-checked operator)
@@ -67,11 +86,16 @@ from __future__ import annotations
 from spotify_data_pipeline_spark.plans import (
     roundeight_pending,
     roundeleven_pending,
+    roundfifteen_pending,
     roundfourteen_pending,
     roundnine_pending,
     roundseven_pending,
+    roundseventeen_pending,
+    roundsixteen_pending,
     roundten_pending,
+    roundthirteen_pending,
     roundtwelve_pending,
+    roundtwenty_pending,
 )
 from spotify_data_pipeline_spark.plans.registry import declare
 
@@ -139,6 +163,26 @@ def _activate(pending, names=None) -> None:
         )(pq.fn)
 
 
+# ---- Round-9 window (50 slots, all free — zero NEW/DRIFT after the
+# round-start snapshot pinned the 50 round-8 rows). Order per VERDICT
+# r08 item 1: BPE merge-training pair first (highest-signal unevidenced
+# pair), then the roundtwelve remainder (dissolves the pin freeze),
+# then the r13/r15/r16/r17 waves. Global order comes from
+# registry._QUERY_MODULES (roundtwenty < roundthirteen < roundfifteen
+# < roundsixteen < roundseventeen < roundtwelve), so only the WITHIN-
+# roundtwelve sequence matters here: the 10 never-evidenced remainder
+# declare BEFORE the 4 round-8-evidenced siblings, which therefore sit
+# at tail positions 50-53 on intact r08 pins.
+_activate(roundtwenty_pending.PENDING)
+_activate(roundthirteen_pending.PENDING)
+_activate(roundfifteen_pending.PENDING)
+_activate(roundsixteen_pending.PENDING)
+_activate(roundseventeen_pending.PENDING)
+_R12_REMAINDER = tuple(
+    pq.name for pq in roundtwelve_pending.PENDING if pq.name not in _R12_ACTIVE
+)
+_activate(roundtwelve_pending.PENDING, _R12_REMAINDER)
+
 _activate(roundfourteen_pending.PENDING)
 _activate(roundeleven_pending.PENDING)
 _activate(roundtwelve_pending.PENDING, _R12_ACTIVE)
@@ -167,3 +211,21 @@ R10_REMAINDER: tuple[str, ...] = _R10_NEW  # the 23 activated round 8
 R11_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundeleven_pending.PENDING)
 R12_ACTIVATED: tuple[str, ...] = _R12_ACTIVE
 R14_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundfourteen_pending.PENDING)
+
+R12_REMAINDER: tuple[str, ...] = _R12_REMAINDER
+R13_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirteen_pending.PENDING)
+R15_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundfifteen_pending.PENDING)
+R16_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundsixteen_pending.PENDING)
+R17_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundseventeen_pending.PENDING)
+R20_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwenty_pending.PENDING)
+
+#: Round-9 window manifest: the 50 staged queries activated this round,
+#: in their exact window positions 0-49.
+R9_WINDOW: tuple[str, ...] = (
+    tuple(pq.name for pq in roundtwenty_pending.PENDING)
+    + tuple(pq.name for pq in roundthirteen_pending.PENDING)
+    + tuple(pq.name for pq in roundfifteen_pending.PENDING)
+    + tuple(pq.name for pq in roundsixteen_pending.PENDING)
+    + tuple(pq.name for pq in roundseventeen_pending.PENDING)
+    + _R12_REMAINDER
+)

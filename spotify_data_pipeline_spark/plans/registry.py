@@ -40,26 +40,35 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tools/snapshot_evidence.py) — both enforced by tests/test_registry.py,
 # so a silent edit to a tail query's body fails pytest.
 #
-# Round-8 front-loading: all 242 previously-declared queries entered
-# the round with valid evidence pins (zero NEW/DRIFT after the round-
-# start snapshot — tools/window_eligibility.py), so the whole 50-slot
-# window goes to staged activations: roundfourteen_pending's 2 (0–1,
-# the webtext pair first per VERDICT r07 item 3), roundeleven's 21
-# (2–22), roundtwelve's first 4 (23–26), then roundten_pending's 23
-# not-yet-evidenced queries (27–49) — the plans.active manifest
-# declares those 23 BEFORE the module's 8 round-7-evidenced siblings,
-# which therefore sit at tail positions 50–57 on their intact r07
-# pins (declare sequence orders queries within one module index).
-# Every prior block rotates further down the tail: roundnine(21) +
-# roundeight(28) + roundsix_tail(4) + roundseven(39) + roundfive(12) +
-# events_queries(6) + roundsix(32) + llmops(11) + aggregates(12) +
-# relational(19) + roundfour(17) + windows(9) + multimodal(3) +
-# dedup(6) + similarity(4) + text(11) — every one r01..r07-green and
-# hash-pinned by BOTH fn-source and import-closure hashes.
+# Round-9 front-loading (VERDICT r08 item 1 — whole window to staged
+# backlog, on-mission first): all 292 previously-declared queries
+# entered the round with valid evidence pins (0 NEW / 0 DRIFT after the
+# round-start snapshot — tools/window_eligibility.py), so the full
+# 50-slot window goes to activations: roundtwenty's BPE merge-training
+# pair FIRST (0–1, the highest-signal unevidenced pair per the
+# verdict), roundthirteen's 16 (2–17), roundfifteen's 11 (18–28),
+# roundsixteen's 7 (29–35), roundseventeen's 4 (36–39), then
+# roundtwelve_pending's 10 never-evidenced remainder (40–49) — the
+# plans.active manifest declares those 10 BEFORE the module's 4
+# round-8-evidenced siblings, which therefore sit at tail positions
+# 50–53 on their intact r08 pins; this dissolves the roundtwelve
+# shared-staging-file freeze (VERDICT r08 What's-wrong 2). Every prior
+# block rotates further down the tail: roundfourteen(2) +
+# roundeleven(21) + roundten(31) + roundnine(21) + roundeight(28) +
+# roundsix_tail(4) + roundseven(39) + roundfive(12) + events(6) +
+# roundsix(32) + llmops(11) + aggregates(12) + relational(19) +
+# roundfour(17) + windows(9) + multimodal(3) + dedup(6) +
+# similarity(4) + text(11) — every one r01..r08-green and hash-pinned
+# by BOTH fn-source and import-closure hashes.
 _QUERY_MODULES = (
+    "spotify_data_pipeline_spark.plans.roundtwenty_pending",
+    "spotify_data_pipeline_spark.plans.roundthirteen_pending",
+    "spotify_data_pipeline_spark.plans.roundfifteen_pending",
+    "spotify_data_pipeline_spark.plans.roundsixteen_pending",
+    "spotify_data_pipeline_spark.plans.roundseventeen_pending",
+    "spotify_data_pipeline_spark.plans.roundtwelve_pending",
     "spotify_data_pipeline_spark.plans.roundfourteen_pending",
     "spotify_data_pipeline_spark.plans.roundeleven_pending",
-    "spotify_data_pipeline_spark.plans.roundtwelve_pending",
     "spotify_data_pipeline_spark.plans.roundten_pending",
     "spotify_data_pipeline_spark.plans.roundnine_pending",
     "spotify_data_pipeline_spark.plans.roundeight_pending",

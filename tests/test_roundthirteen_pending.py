@@ -25,14 +25,16 @@ def test_pending_oracle_match(spark, pq):
     assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_not_registered(spark):
-    """Staged queries must NOT appear in the driver's view: the round-5
-    window is exactly full; an unevidenced tail entry is what the
-    registry invariants prevent."""
+def test_pending_registered(spark):
+    """Round-9 activated the whole module (window positions 2-17)."""
     from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.plans.active import R13_ACTIVATED
 
-    names = set(all_queries())
-    assert not names & {pq.name for pq in PENDING}
+    qs = all_queries()
+    assert set(R13_ACTIVATED) == {pq.name for pq in PENDING}
+    for pq in PENDING:
+        assert pq.name in qs and qs[pq.name].fn is pq.fn
+        assert qs[pq.name].oracle == pq.oracle
 
 
 def test_pending_names_unique_and_oracle_bearing():
@@ -50,7 +52,9 @@ def test_pending_names_unique_and_oracle_bearing():
     names = [pq.name for pq in PENDING]
     assert len(names) == len(set(names))
     assert all(pq.oracle for pq in PENDING)
-    taken = set(all_queries()) | {
+    # this module is registered since round 9 — exclude its own names
+    # from the registry side of the collision check
+    taken = (set(all_queries()) - set(names)) | {
         pq.name for mod in (P6, P7, P8, P9, P10, P11, P12) for pq in mod
     }
     assert not set(names) & taken

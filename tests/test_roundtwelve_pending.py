@@ -23,22 +23,25 @@ def test_pending_oracle_match(spark, pq):
     assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_partially_registered(spark):
+def test_pending_fully_registered(spark):
     """Round-8 activated 4 of 14 (plans/active.py _R12_ACTIVE, window
-    positions 23-26); the other 10 stay pending for round 9. The
-    manifest declares FROM this module so the pending file itself never
-    changes at activation. Membership-only assertions (rotation-safe)."""
+    positions 23-26); round 9 activated the 10 remainder (window
+    positions 40-49, declared BEFORE the 4 evidenced siblings so those
+    keep their r08 pins at tail 50-53) — the whole module is now
+    registered and the shared-staging-file freeze is dissolved
+    (VERDICT r08 item 2). Membership-only assertions (rotation-safe)."""
     from spotify_data_pipeline_spark.plans import all_queries
-    from spotify_data_pipeline_spark.plans.active import R12_ACTIVATED
+    from spotify_data_pipeline_spark.plans.active import (
+        R12_ACTIVATED,
+        R12_REMAINDER,
+    )
 
     qs = all_queries()
-    assert set(R12_ACTIVATED) <= {pq.name for pq in PENDING}
+    assert set(R12_ACTIVATED) | set(R12_REMAINDER) == {pq.name for pq in PENDING}
+    assert not set(R12_ACTIVATED) & set(R12_REMAINDER)
     for pq in PENDING:
-        if pq.name in R12_ACTIVATED:
-            assert pq.name in qs and qs[pq.name].fn is pq.fn
-            assert qs[pq.name].oracle == pq.oracle
-        else:
-            assert pq.name not in qs
+        assert pq.name in qs and qs[pq.name].fn is pq.fn
+        assert qs[pq.name].oracle == pq.oracle
 
 
 def test_pending_names_unique_and_oracle_bearing():
