@@ -1245,7 +1245,16 @@ def _webtext_prod_probe(spark, sf_dir: str) -> dict:
     Both paths are asserted row-identical before timings are reported
     (xxhash64 collisions across ~2e4 distinct paragraphs are
     vanishing, and a collision could only FALSELY mark a paragraph as
-    boilerplate — the equality assertion would catch it)."""
+    boilerplate — the equality assertion would catch it).
+
+    The synthesized pages are MATERIALIZED to parquet first and the
+    operator timed over the parquet read: a production corpus arrives
+    from storage, so folding the in-query synthesis expressions (the
+    correctness twin's fixture device) into the timed plan would
+    charge the screen for work it never does in production."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from spotify_data_pipeline_spark.operators.webtext import (
@@ -1253,10 +1262,6 @@ def _webtext_prod_probe(spark, sf_dir: str) -> dict:
         split_paragraphs,
     )
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import _synth_pages
-
-    pages = _synth_pages(spark, sf_dir).select("doc_id", "source", "text")
-    n_part = spark.sparkContext.defaultParallelism
-    pages = pages.repartition(n_part)
 
     def hashed_clean(df):
         paras = split_paragraphs(df, "text").withColumn("_h", F.xxhash64("para"))
@@ -1286,17 +1291,26 @@ def _webtext_prod_probe(spark, sf_dir: str) -> dict:
             .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
         )
 
-    raw = remove_boilerplate_paragraphs(
-        pages, "doc_id", "text", scope_cols=("source",), min_doc_freq=3
-    )
-    hashed = hashed_clean(pages)
-    a = sorted(map(tuple, raw.collect()))
-    b = sorted(map(tuple, hashed.collect()))
-    return {
-        "raw_para_sec": _median_timed(raw),
-        "hashed_para_sec": _median_timed(hashed),
-        "rows_equal": a == b,
-    }
+    n_part = spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="bench_webtext_pages_")
+    try:
+        _synth_pages(spark, sf_dir).select("doc_id", "source", "text").repartition(
+            n_part
+        ).write.mode("overwrite").parquet(tmp)
+        pages = spark.read.parquet(tmp)
+        raw = remove_boilerplate_paragraphs(
+            pages, "doc_id", "text", scope_cols=("source",), min_doc_freq=3
+        )
+        hashed = hashed_clean(pages)
+        a = sorted(map(tuple, raw.collect()))
+        b = sorted(map(tuple, hashed.collect()))
+        return {
+            "raw_para_sec": _median_timed(raw),
+            "hashed_para_sec": _median_timed(hashed),
+            "rows_equal": a == b,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _skew_guard(spark, sf_dir: str) -> dict:
