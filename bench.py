@@ -1018,6 +1018,8 @@ def _rotations(factor: int) -> list:
     vowels = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
     cons = ["bcdfg", "cdfgb", "dfgbc", "fgbcd", "gbcdf"]
     pairs = [(v, c) for c in cons for v in vowels]
+    if factor > len(pairs):
+        raise ValueError(f"factor {factor} > {len(pairs)} distinct transforms")
     return pairs[:factor]
 
 
@@ -1139,7 +1141,7 @@ def _passage_scale_probe(spark, sf_dir: str, factor: int = 16) -> dict:
     }
 
 
-def _graph_scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
+def _graph_scale_probe(spark, sf_dir: str, factor: int = 16) -> dict:
     """Scaling evidence for the degree-ordered triangle pipeline
     (operators/triangles.py): replicate the co-occurrence input
     ``factor``× with DISJOINT part-id spaces (each replica is an
@@ -1183,7 +1185,7 @@ def _graph_scale_probe(spark, sf_dir: str, factor: int = 4) -> dict:
     return {
         "factor": factor,
         "triangles_1x_sec": t1,
-        "triangles_4x_sec": tN,
+        f"triangles_{factor}x_sec": tN,
         "triangles_ratio": round(tN / max(t1, 1e-9), 2),
     }
 
