@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Simulate the driver's CORRECTNESS gate over the CURRENT evidence
+window — the one-command pre-flight for an activation round.
+
+The external driver records the first 50 keys of
+``__spark_entry__.queries()``; this tool runs exactly those 50 (or
+``--all-new``: every query without a prior green row, wherever it
+sits) through the driver-shaped comparison (rows + schema + value
+hash vs the DuckDB oracle) at one or more SFs. It is the registry-
+ordered twin of tools/dev_check_pending.py, which checks one staging
+module at a time BEFORE activation; this runs AFTER the manifest edit,
+against the exact window the driver will see.
+
+Usage: python tools/simulate_window.py [sf_dir ...] [--all-new]
+       (default SF: /root/testdata/sf0.01 — the driver's gate SF)
+
+Exit nonzero on any failure or on a vacuous (0-oracle-row) result.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+
+def _prior_green() -> set[str]:
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        for name, r in json.load(open(path)).items():
+            if r.get("err") in (None, "no_oracle"):
+                green.add(name)
+    return green
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    all_new = "--all-new" in args
+    sf_dirs = [a for a in args if not a.startswith("--")] or [
+        "/root/testdata/sf0.01"
+    ]
+
+    import __spark_entry__ as e
+    from pyspark.sql import SparkSession
+
+    from oracle_check import compare, run_oracle
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = list(qs)
+    if all_new:
+        green = _prior_green()
+        targets = [n for n in names if n not in green]
+    else:
+        targets = names[:50]
+
+    failures = 0
+    for sf in sf_dirs:
+        for name in targets:
+            t0 = time.time()
+            try:
+                if name not in osql:
+                    n = qs[name](spark, sf).count()
+                    status = "ok(rows-only)" if n >= 0 else "FAIL"
+                    print(f"{status:4s} {sf} {name} ({time.time()-t0:.1f}s, {n} rows)")
+                    continue
+                result = qs[name](spark, sf)
+                oracle = run_oracle(osql[name], sf)
+                errs = compare(result, oracle)
+                dt = time.time() - t0
+                if errs:
+                    failures += 1
+                    print(f"FAIL {sf} {name} ({dt:.1f}s): " + "; ".join(errs)[:400])
+                elif len(oracle) == 0:
+                    failures += 1
+                    print(f"FAIL {sf} {name}: vacuous (0 oracle rows)")
+                else:
+                    print(f"ok   {sf} {name} ({dt:.1f}s, {len(oracle)} rows)")
+            except Exception as exc:  # noqa: BLE001 — report and continue
+                failures += 1
+                print(f"FAIL {sf} {name}: {type(exc).__name__}: {exc}"[:400])
+    print(f"window queries checked: {len(targets)} x {len(sf_dirs)} SFs; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
