@@ -218,6 +218,53 @@ _BNLJ_WHITELIST = {
     # broadcast of the top pair (the kmeans/pagerank iteration pattern)
     "llm_bpe_phrase_merges",
     "llm_bpe_compression_curve",
+    # --- rounds 21-30 staged (pre-whitelisted for activation; each
+    # docstring states the bounded pattern, verified by plan triage in
+    # round 9 — zero CartesianProduct, every BNLJ builds a 1-row or
+    # schema/length-bounded side) ---
+    # two 1-row corpus-total broadcasts under the 64-bucket importance
+    # weights (the llm_tfidf_top_terms precedent)
+    "llm_dsir_weights",
+    # 1-row vocabulary-size broadcast under the bigram LM
+    "llm_bigram_doc_ppl",
+    # 10-query brute-force anchor broadcast ×2 (prefix vs full dims)
+    "sim_matryoshka_recall",
+    # 1-row totals/priors broadcasts under the bounded-bucket NB
+    "llm_nb_quality_filter",
+    # 1-row row-count broadcast pricing the 2-row z-order summary
+    "warehouse_zorder_audit",
+    # per-step 1-row max broadcast; moment matrix bounded by dim²
+    "sim_pca_power_iteration",
+    # bounded quantizer + 10-query set broadcasts (IVF sweep anchors)
+    "sim_ivf_nprobe_sweep",
+    # 1-row weight-total broadcast over the |sources|-row frame
+    "llm_mix_temperature",
+    # bounded (≤ m rows) bitmap state broadcast against the probe
+    # stream; the exact screen runs alongside
+    "llm_decontam_bloom",
+    # per-round 1-row stump broadcast (16 unrolled boosting rounds —
+    # the kmeans/pagerank iteration pattern; residuals never shuffle)
+    "ml_gbdt_stump_boost",
+    # 1-row doc-count broadcast ranking doc METADATA only
+    "llm_curriculum_order",
+    # same bounded-bucket aggs as the classifier + 1-row assembly
+    "ml_nb_calibration_bins",
+    # per-strategy 1-row assembly of block-keyed counts
+    "er_blocking_quality",
+    # bounded 128-row daily series self-join (8k sign pairs) + 1-row agg
+    "agg_mann_kendall_trend",
+    # source×source grid over a 30-row-per-source z-score table,
+    # vocabulary-keyed — never corpus×corpus
+    "text_burrows_delta",
+    # dimension-chain broadcasts in the semi-join reduction program
+    "join_yannakakis_reduction",
+    # bounded 101-row series self-join (5151 Walsh-average pairs)
+    "agg_hodges_lehmann",
+    # running-total over the bounded distinct-value table + 1-row
+    # assembly
+    "agg_kruskal_wallis",
+    # group medians via rank windows; 1-row assembly broadcast
+    "agg_levene_variance",
 }
 
 
@@ -232,4 +279,48 @@ def test_no_unwhitelisted_nested_loop(spark, name):
         f"{name}: unwhitelisted BroadcastNestedLoopJoin/CartesianProduct — "
         "either fix the plan (bin/bucket/broadcast the equi key) or, if this "
         "is a genuine broadcast-1-row pattern, whitelist it WITH the reason"
+    )
+
+
+def _staged_backlog():
+    """Every still-pending (name, fn) across the staged backlog modules
+    — hygiene applies BEFORE activation, while a fix costs an edit
+    instead of an evidence-window slot."""
+    import importlib
+
+    out = []
+    for mod in (
+        "roundeighteen_pending",
+        "roundnineteen_pending",
+        "roundtwentyone_pending",
+        "roundtwentytwo_pending",
+        "roundtwentythree_pending",
+        "roundtwentyfour_pending",
+        "roundtwentyfive_pending",
+        "roundtwentysix_pending",
+        "roundtwentyseven_pending",
+        "roundtwentyeight_pending",
+        "roundtwentynine_pending",
+        "roundthirty_pending",
+    ):
+        m = importlib.import_module(f"spotify_data_pipeline_spark.plans.{mod}")
+        out.extend((pq.name, pq.fn) for pq in m.PENDING)
+    return out
+
+
+_STAGED = _staged_backlog()
+
+
+@pytest.mark.parametrize(
+    "name,fn", _STAGED, ids=[n for n, _ in _STAGED]
+)
+def test_no_unwhitelisted_nested_loop_staged(spark, name, fn):
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    has_bnlj = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    if name in _BNLJ_WHITELIST:
+        return
+    assert not has_bnlj, (
+        f"staged {name}: unwhitelisted BroadcastNestedLoopJoin/"
+        "CartesianProduct — fix before activation (free now, a window "
+        "slot later), or whitelist the bounded pattern WITH the reason"
     )
