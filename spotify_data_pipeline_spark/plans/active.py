@@ -20,8 +20,41 @@ queries from a partially-activated module can be declared ahead of
 their already-evidenced siblings to land inside the driver's first-50
 evidence window.
 
-Round 9 window (50 slots, all free — zero NEW/DRIFT after the round-
-start snapshot pinned the 50 round-8 rows). Per VERDICT r08 item 1,
+Round 10 window (50 slots, all free — zero NEW/DRIFT after the round-
+start snapshot pinned the 50 round-9 rows). Executes NOTES_r09 §9
+verbatim (VERDICT r09 item 1), on-mission first:
+  positions 0-5   roundtwentyone: SemDeDup, DSIR, bigram-ppl filter,
+                  C4 screen, Matryoshka recall, NB quality filter —
+                  the on-mission LLM-curation trio + companions
+  positions 6-8   roundtwentyfour: Brandes betweenness, dHash
+                  near-dup, Bloom decontamination
+  positions 9-15  roundeighteen: unigram xent, JS divergence, n-gram
+                  novelty, 8-gram decontam overlap, char-bigram
+                  entropy, LTV deciles, similarity-path advisor
+  positions 16-21 roundnineteen: shingle containment, shard manifest,
+                  centroid drift, stopword profile, HHI, dispersion
+  positions 22-26 roundtwentytwo: warehouse/ops self-diagnosis wave
+  positions 27-31 roundtwentythree: PCA power iteration, nprobe
+                  sweep, PSI drift, mix temperature, Theil index
+  positions 32-35 roundtwentyfive: GBDT boosting, Haar energy,
+                  curriculum order, NB calibration
+  positions 36-39 roundtwentysix: TextRank, blocking quality, OOV,
+                  session-gap sweep
+  positions 40-42 roundtwentyseven: span corruption, randomized
+                  response, funnel-window sweep
+  positions 43-45 roundtwentyeight: Bradley-Terry, Mann-Kendall,
+                  entropy rate
+  positions 46-48 roundtwentynine: Burrows' Delta, Yannakakis,
+                  Hodges-Lehmann
+  position  49    roundthirty: agg_kruskal_wallis (sibling
+                  agg_levene_variance rides to round 11 — the only
+                  partial-module split; see the round-10 comment at
+                  the activation block)
+After this window the staged backlog is ONE query (agg_levene_variance);
+the staging freeze holds until it is zero (r11).
+
+Round 9 window (for the record — 50 slots, all free — zero NEW/DRIFT
+after the round-start snapshot pinned the 50 round-8 rows). Per VERDICT r08 item 1,
 the whole window burns staged backlog, on-mission first:
   positions 0-1   roundtwenty_pending: the BPE merge-training pair
                   (llm_bpe_phrase_merges, llm_bpe_compression_curve) —
@@ -85,17 +118,29 @@ from __future__ import annotations
 
 from spotify_data_pipeline_spark.plans import (
     roundeight_pending,
+    roundeighteen_pending,
     roundeleven_pending,
     roundfifteen_pending,
     roundfourteen_pending,
     roundnine_pending,
+    roundnineteen_pending,
     roundseven_pending,
     roundseventeen_pending,
     roundsixteen_pending,
     roundten_pending,
     roundthirteen_pending,
+    roundthirty_pending,
     roundtwelve_pending,
     roundtwenty_pending,
+    roundtwentyeight_pending,
+    roundtwentyfive_pending,
+    roundtwentyfour_pending,
+    roundtwentynine_pending,
+    roundtwentyone_pending,
+    roundtwentyseven_pending,
+    roundtwentysix_pending,
+    roundtwentythree_pending,
+    roundtwentytwo_pending,
 )
 from spotify_data_pipeline_spark.plans.registry import declare
 
@@ -163,6 +208,31 @@ def _activate(pending, names=None) -> None:
         )(pq.fn)
 
 
+# ---- Round-10 window (50 slots, all free — zero NEW/DRIFT after the
+# round-start snapshot pinned the 50 round-9 rows). Executes the
+# pre-planned NOTES_r09 §9 order verbatim (VERDICT r09 item 1),
+# on-mission first: roundtwentyone's SemDeDup/DSIR/C4 wave (0-5), then
+# Bloom-decontam/dHash/betweenness (6-8), the advisor-columns +
+# 8-gram-decontam wave (9-15), and the statistics/ops catalog
+# (16-49). roundthirty activates agg_kruskal_wallis ONLY — its sibling
+# agg_levene_variance rides to round 11 (the only partial-module
+# split; module is last in _QUERY_MODULES order, so the r11 edit puts
+# kruskal at tail position 50 on an intact r10 pin). After this window
+# the staged backlog is ONE query; the staging freeze (VERDICT r08
+# item 2, reaffirmed r09 item 6) holds until it is zero.
+_activate(roundtwentyone_pending.PENDING)
+_activate(roundtwentyfour_pending.PENDING)
+_activate(roundeighteen_pending.PENDING)
+_activate(roundnineteen_pending.PENDING)
+_activate(roundtwentytwo_pending.PENDING)
+_activate(roundtwentythree_pending.PENDING)
+_activate(roundtwentyfive_pending.PENDING)
+_activate(roundtwentysix_pending.PENDING)
+_activate(roundtwentyseven_pending.PENDING)
+_activate(roundtwentyeight_pending.PENDING)
+_activate(roundtwentynine_pending.PENDING)
+_activate(roundthirty_pending.PENDING, ("agg_kruskal_wallis",))
+
 # ---- Round-9 window (50 slots, all free — zero NEW/DRIFT after the
 # round-start snapshot pinned the 50 round-8 rows). Order per VERDICT
 # r08 item 1: BPE merge-training pair first (highest-signal unevidenced
@@ -218,6 +288,21 @@ R15_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundfifteen_pending.PE
 R16_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundsixteen_pending.PENDING)
 R17_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundseventeen_pending.PENDING)
 R20_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwenty_pending.PENDING)
+
+# Round-10 window manifests (tests + tools read these).
+R21_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentyone_pending.PENDING)
+R24_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentyfour_pending.PENDING)
+R18_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundeighteen_pending.PENDING)
+R19_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundnineteen_pending.PENDING)
+R22_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentytwo_pending.PENDING)
+R23_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentythree_pending.PENDING)
+R25_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentyfive_pending.PENDING)
+R26_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentysix_pending.PENDING)
+R27_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentyseven_pending.PENDING)
+R28_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentyeight_pending.PENDING)
+R29_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentynine_pending.PENDING)
+R30_ACTIVATED: tuple[str, ...] = ("agg_kruskal_wallis",)
+R30_REMAINDER: tuple[str, ...] = ("agg_levene_variance",)
 
 #: Round-9 window manifest: the 50 staged queries activated this round,
 #: in their exact window positions 0-49.

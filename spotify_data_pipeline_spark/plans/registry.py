@@ -40,6 +40,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tools/snapshot_evidence.py) — both enforced by tests/test_registry.py,
 # so a silent edit to a tail query's body fails pytest.
 #
+# Round-10 front-loading (VERDICT r09 item 1 — execute the pre-planned
+# NOTES_r09 §9 window, on-mission first): all 342 previously-declared
+# queries entered the round with valid evidence pins (0 NEW / 0 DRIFT
+# after the round-start snapshot), so the full 50-slot window goes to
+# the final backlog wave: roundtwentyone's SemDeDup/DSIR/C4 trio-
+# carrying 6 (0–5), roundtwentyfour's Bloom-decontam/dHash/betweenness
+# 3 (6–8), roundeighteen's 7 (9–15, incl. the advisor-columns query and
+# 8-gram decontam), roundnineteen's 6 (16–21), roundtwentytwo's 5
+# (22–26), roundtwentythree's 5 (27–31), roundtwentyfive's 4 (32–35),
+# roundtwentysix's 4 (36–39), roundtwentyseven's 3 (40–42),
+# roundtwentyeight's 3 (43–45), roundtwentynine's 3 (46–48), and
+# roundthirty's agg_kruskal_wallis (49). roundthirty's second query
+# (agg_levene_variance) stays pending one more round — the only
+# partial-module split; its module is LAST in the order so next round's
+# activation edit sits at tail position 50 on an intact r10 pin.
+# After this window the staged backlog is ONE query; after r11, zero.
+#
 # Round-9 front-loading (VERDICT r08 item 1 — whole window to staged
 # backlog, on-mission first): all 292 previously-declared queries
 # entered the round with valid evidence pins (0 NEW / 0 DRIFT after the
@@ -61,6 +78,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # similarity(4) + text(11) — every one r01..r08-green and hash-pinned
 # by BOTH fn-source and import-closure hashes.
 _QUERY_MODULES = (
+    "spotify_data_pipeline_spark.plans.roundtwentyone_pending",
+    "spotify_data_pipeline_spark.plans.roundtwentyfour_pending",
+    "spotify_data_pipeline_spark.plans.roundeighteen_pending",
+    "spotify_data_pipeline_spark.plans.roundnineteen_pending",
+    "spotify_data_pipeline_spark.plans.roundtwentytwo_pending",
+    "spotify_data_pipeline_spark.plans.roundtwentythree_pending",
+    "spotify_data_pipeline_spark.plans.roundtwentyfive_pending",
+    "spotify_data_pipeline_spark.plans.roundtwentysix_pending",
+    "spotify_data_pipeline_spark.plans.roundtwentyseven_pending",
+    "spotify_data_pipeline_spark.plans.roundtwentyeight_pending",
+    "spotify_data_pipeline_spark.plans.roundtwentynine_pending",
+    "spotify_data_pipeline_spark.plans.roundthirty_pending",
     "spotify_data_pipeline_spark.plans.roundtwenty_pending",
     "spotify_data_pipeline_spark.plans.roundthirteen_pending",
     "spotify_data_pipeline_spark.plans.roundfifteen_pending",

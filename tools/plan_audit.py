@@ -59,9 +59,24 @@ def main() -> None:
             f"| {plan.count('ShuffledHashJoin')} "
             f"| {plan.count('BroadcastHashJoin')} "
             f"| {flag} "
-            f"| {'y' if 'PushedFilters' in plan else '-'} "
+            f"| {_pushed(plan)} "
             f"| {plan.count('Window') - plan.count('WindowGroupLimit')} |"
         )
+
+    def _pushed(plan: str) -> str:
+        """'y' if any scan reports pushed filters; 'cut' if the FINAL
+        plan contains no file scan at all (an operator checkpointed /
+        localCheckpointed mid-pipeline — e.g. connected_components —
+        so the parquet scan and its pushdown live UPSTREAM of the
+        lineage cut and are invisible here, not absent: the
+        er_customer_entities '-' row VERDICT r09 item 5 asked about
+        was exactly this case); '-' only when a file scan is present
+        with nothing pushed."""
+        if "PushedFilters" in plan:
+            return "y"
+        if "FileScan" not in plan and "BatchScan" not in plan:
+            return "cut"
+        return "-"
 
     header = "| query | shuffles | bcast | SMJ | SHJ | BHJ | BNLJ | pushed | windows |"
     sep = "|---|---|---|---|---|---|---|---|---|"

@@ -33,10 +33,48 @@ sys.path.insert(0, os.path.join(_REPO, "tests"))
 def _prior_green() -> set[str]:
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
-        for name, r in json.load(open(path)).items():
+        with open(path) as f:
+            rows = json.load(f)
+        for name, r in rows.items():
             if r.get("err") in (None, "no_oracle"):
                 green.add(name)
     return green
+
+
+def _covered(names, queries) -> set[str]:
+    """Prior-green names whose CURRENT code still matches the snapshot
+    (tests/evidence_hashes.json) — a green row by name only covers the
+    code the driver actually ran, so --all-new must NOT skip a query
+    whose body or import closure drifted since its last green round
+    (ADVICE r09). Names missing from the snapshot (e.g. run before the
+    snapshot tool existed) fall back to green-by-name."""
+    import importlib.util
+
+    green = _prior_green()
+    snap_path = os.path.join(_REPO, "tests", "evidence_hashes.json")
+    if not os.path.isfile(snap_path):
+        return green
+    with open(snap_path) as f:
+        snap = json.load(f).get("queries", {})
+    spec = importlib.util.spec_from_file_location(
+        "snapshot_evidence", os.path.join(_REPO, "tools", "snapshot_evidence.py")
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    covered: set[str] = set()
+    for name in names:
+        if name not in green:
+            continue
+        pin = snap.get(name)
+        if pin is None:
+            covered.add(name)  # pre-snapshot evidence: name-only
+            continue
+        fn = queries[name]
+        if tool.source_hash(fn) == pin["sha256"] and tool.deps_hash(fn) == pin.get(
+            "deps_sha256", tool.deps_hash(fn)
+        ):
+            covered.add(name)
+    return covered
 
 
 def main() -> int:
@@ -63,8 +101,8 @@ def main() -> int:
     qs, osql = e.queries(), e.oracle_sql()
     names = list(qs)
     if all_new:
-        green = _prior_green()
-        targets = [n for n in names if n not in green]
+        covered = _covered(names, qs)
+        targets = [n for n in names if n not in covered]
     else:
         targets = names[:50]
 
@@ -75,8 +113,14 @@ def main() -> int:
             try:
                 if name not in osql:
                     n = qs[name](spark, sf).count()
-                    status = "ok(rows-only)" if n >= 0 else "FAIL"
-                    print(f"{status:4s} {sf} {name} ({time.time()-t0:.1f}s, {n} rows)")
+                    # 0 rows is vacuous for a rows-only query too — the
+                    # driver's weak check would "pass" it having proven
+                    # nothing (ADVICE r09: `n >= 0` was always true).
+                    if n == 0:
+                        failures += 1
+                        print(f"FAIL {sf} {name}: vacuous (0 rows, rows-only)")
+                    else:
+                        print(f"ok(rows-only) {sf} {name} ({time.time()-t0:.1f}s, {n} rows)")
                     continue
                 result = qs[name](spark, sf)
                 oracle = run_oracle(osql[name], sf)
