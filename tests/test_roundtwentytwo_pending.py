@@ -36,11 +36,17 @@ def test_pending_oracle_match(spark, pq):
     assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_not_registered(spark):
+def test_pending_registered(spark):
+    """Round-10 activated the whole module (plans/active.py,
+    NOTES_r09 §9 order)."""
     from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.plans.active import R22_ACTIVATED
 
-    names = set(all_queries())
-    assert not names & {pq.name for pq in PENDING}
+    qs = all_queries()
+    assert set(R22_ACTIVATED) == {pq.name for pq in PENDING}
+    for pq in PENDING:
+        assert pq.name in qs and qs[pq.name].fn is pq.fn
+        assert qs[pq.name].oracle == pq.oracle
 
 
 def test_pending_names_unique_and_oracle_bearing():
