@@ -1182,9 +1182,18 @@ def _passage_scale_probe(spark, sf_dir: str, factor: int = 16) -> dict:
         # to name the cause — a GC/host-pressure blow-up shows up as
         # one outlier run with a large gc_ms delta; a real plan
         # blow-up shows up in all three runs with flat gc.
+        # Median-of-5 (this probe only): today's instrumented runs
+        # caught the r09-style stall live — one 16x run at 76.9 s
+        # among 3.2-3.5 s siblings, gc_ms 284 (NOT GC), zero spill in
+        # the REST stage metrics, and 22 follow-up runs across three
+        # JVM-lifecycle configurations all clean. A rare transient
+        # host stall on a 3-run median needs only 2 bad draws to
+        # poison the official record (r09: median 112 s); with 5 runs
+        # it needs 3, and the full runs array is on the record either
+        # way so a poisoned median is self-diagnosing.
         g0 = _jvm_telemetry(spark)
         warm = timed(df)
-        runs = [timed(df) for _ in range(3)]
+        runs = [timed(df) for _ in range(5)]
         g1 = _jvm_telemetry(spark)
         tele.update(
             warm_sec=warm,
@@ -1193,7 +1202,7 @@ def _passage_scale_probe(spark, sf_dir: str, factor: int = 16) -> dict:
             heap_used_mb=g1["heap_used_mb"],
             loadavg1=round(os.getloadavg()[0], 2),
         )
-        return sorted(runs)[1]
+        return sorted(runs)[len(runs) // 2]
 
     # Equalize input parallelism: at bench SF the 1x corpus is a single
     # parquet row-group (1 task) while the Nx union fans out to N — the
