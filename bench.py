@@ -304,6 +304,8 @@ def main() -> None:
         ("ppjoin_probe", _ppjoin_probe),
         ("webtext_scale_probe", _webtext_scale_probe),
         ("webtext_prod_probe", _webtext_prod_probe),
+        ("semdedup_probe", _semdedup_probe),
+        ("decontam_probe", _decontam_probe),
     ):
         try:
             out[key] = probe(spark, sf_dir)
@@ -385,6 +387,11 @@ def main() -> None:
         "web_ratio": _p("webtext_scale_probe", "webtext_ratio"),
         "web_prod": _p("webtext_prod_probe", "raw_para_sec", "hashed_para_sec"),
         "web_prod_eq": _p("webtext_prod_probe", "rows_equal"),
+        # on-mission flagship numbers (round-10 activations): SemDeDup
+        # wall time + candidate-pair reduction; Bloom-decontam probe
+        # path vs exact-join path (full detail in bench_full.json)
+        "sem": _p("semdedup_probe", "semdedup_sec", "cand_reduction_x"),
+        "dcn": _p("decontam_probe", "bloom_probe_sec", "exact_join_sec"),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1500:  # belt-and-braces: never hand the driver a torn line
@@ -1405,6 +1412,141 @@ def _webtext_prod_probe(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _semdedup_probe(spark, sf_dir: str) -> dict:
+    """Bench number + crossover statement for the on-mission SemDeDup
+    flagship (plans/roundtwentyone_pending.py:93, activated this
+    round): wall-time of the full query (median-of-3), plus the
+    load-robust candidate-pair arithmetic the 100 TB story rests on —
+    SemDeDup's pair join is a CELL equi-join, so candidates are
+    sum(|cell| choose 2), never (n choose 2). The cell sizes come
+    from the same frozen-quantizer assignment the query uses
+    (recomputed bench-side; the operator module stays untouched —
+    it is inside this round's evidence-window closure)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.functions.vectors import cosine_similarity
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundtwentyone_pending import (
+        _SEM_N_CENTROIDS,
+        sim_semdedup_query,
+    )
+
+    sec = _median_timed(sim_semdedup_query(spark, sf_dir))
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    cents = v.where(F.col("vec_id") < _SEM_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    sizes = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cosine_similarity(F.col("e"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("cand"),
+            F.sum("c").cast("long").alias("n"),
+        )
+        .collect()[0]
+    )
+    all_pairs = sizes["n"] * (sizes["n"] - 1) // 2
+    return {
+        "semdedup_sec": sec,
+        "n_vectors": sizes["n"],
+        "cell_cand_pairs": sizes["cand"],
+        "all_pairs": all_pairs,
+        "cand_reduction_x": round(all_pairs / max(sizes["cand"], 1), 2),
+    }
+
+
+def _decontam_probe(spark, sf_dir: str) -> dict:
+    """Bench number for the on-mission Bloom decontamination flagship
+    (plans/roundtwentyfour_pending.py:438, activated this round):
+    separates the costs the query's one-row report prices — the
+    Bloom-bitmap probe path (bounded <=m-row broadcast, three bit
+    semi-joins) vs the exact shingle equi-join — over the SAME
+    distinct-shingle corpus stream, median-of-3 counts each, plus the
+    flagged/true gram rows the false-positive ppm derives from.
+    Composed bench-side from the module's own constants/helpers; the
+    module file stays untouched (evidence-window closure)."""
+    from pyspark.sql import functions as F
+
+    from spotify_data_pipeline_spark.functions.text import (
+        is_nonblank,
+        shingles,
+        tokens,
+    )
+    from spotify_data_pipeline_spark.io import load_table
+    from spotify_data_pipeline_spark.plans.roundtwentyfour_pending import (
+        _BLOOM_EVAL_MOD,
+        _BLOOM_K,
+        _BLOOM_M,
+        _md5_mod,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    sh = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % _BLOOM_EVAL_MOD == 0).alias("is_eval"),
+            F.explode(shingles(tokens(F.col("text")), 8)).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # shared scan priced out of both paths
+    )
+    eval_grams = sh.where(F.col("is_eval")).select("g").distinct()
+    bits = eval_grams.select(
+        F.explode(
+            F.array(
+                *[
+                    _md5_mod(F.concat(F.lit(f"b{k}:"), F.col("g")), _BLOOM_M)
+                    for k in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    corpus = sh.where(~F.col("is_eval")).select("doc_id", "g")
+    probed = corpus
+    for k in range(_BLOOM_K):
+        pk = _md5_mod(F.concat(F.lit(f"b{k}:"), F.col("g")), _BLOOM_M)
+        probed = probed.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"p{k}")),
+            pk == F.col(f"p{k}"),
+            "left_semi",
+        )
+    exact = corpus.join(eval_grams, "g", "left_semi")
+
+    bloom_sec, flagged = _median_timed_fn(probed.count)
+    exact_sec, true_hits = _median_timed_fn(exact.count)
+    fp = flagged - true_hits
+    bits_set = bits.count()
+    return {
+        "bloom_probe_sec": bloom_sec,
+        "exact_join_sec": exact_sec,
+        "flagged_grams": flagged,
+        "true_grams": true_hits,
+        "false_positives": fp,
+        "fp_ppm": round(fp * 1_000_000 / max(flagged, 1)),
+        # saturation context: the query's m=16384 is sized for exact
+        # oracle-checkability at gate SF, not as a production bitmap —
+        # when bits_set -> m the filter is saturated and fp_ppm -> 1e6
+        # (sf0.1 floods it; production sizes m at 10-20 bits/element).
+        # The crossover the times state: at fixture scale the ONE exact
+        # semi-join against a small eval set beats THREE bit-position
+        # probes; the Bloom path wins when eval grams are too many to
+        # broadcast but the KB-scale bitmap is not.
+        "bloom_bits_set": bits_set,
+        "bloom_m": _BLOOM_M,
+    }
 
 
 def _skew_guard(spark, sf_dir: str) -> dict:

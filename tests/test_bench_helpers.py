@@ -41,3 +41,43 @@ def test_rotations_transform_outputs_pairwise_distinct():
 def test_rotations_overflow_raises():
     with pytest.raises(ValueError):
         bench._rotations(26)
+
+
+def test_jvm_telemetry_error_path_returns_sentinels():
+    """Telemetry must never fail a record: a broken/absent gateway
+    yields -1 sentinels, and _gc_delta propagates them instead of
+    computing a nonsense difference."""
+
+    class _Boom:
+        @property
+        def _jvm(self):
+            raise RuntimeError("no gateway")
+
+    t = bench._jvm_telemetry(_Boom())
+    assert t == {"gc_ms": -1, "heap_used_mb": -1}
+    ok = {"gc_ms": 100, "heap_used_mb": 1}
+    assert bench._gc_delta(t, ok) == -1
+    assert bench._gc_delta(ok, t) == -1
+    assert bench._gc_delta({"gc_ms": 40, "heap_used_mb": 1}, ok) == 60
+
+
+def test_passage_probe_runs_first_in_probes_session():
+    """VERDICT r09 item 2: the passage probe runs on the fresh probes
+    session BEFORE any other probe's allocations, so a repeat of the
+    r09 137x print cannot be blamed on inherited memory pressure.
+    Pinned on the source since the probes tuple is local to main()."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    first = src.index('("passage_scale_probe", _passage_scale_probe)')
+    assert first < src.index('("skew_guard", _skew_guard)')
+
+
+def test_flagship_probes_registered():
+    """The on-mission SemDeDup / Bloom-decontam flagships carry bench
+    numbers (round-10): both probes exist and are wired into main()."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert '("semdedup_probe", _semdedup_probe)' in src
+    assert '("decontam_probe", _decontam_probe)' in src
