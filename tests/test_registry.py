@@ -41,17 +41,28 @@ def _driver_view() -> list[str]:
 
 
 def _prior_green() -> set[str]:
-    """Names with a non-ERR driver row in any prior CORRECTNESS file
-    (hash-match, or rows-only recorded without error)."""
+    """Names with a GREEN driver row in any prior CORRECTNESS file.
+
+    Green means the value hash actually matched (``hash_match is True``),
+    or the row is a documented rows-only check (``err == "no_oracle"``).
+    A row with ``err: None`` but ``hash_match: false`` is a driver FAIL —
+    the r10 ``ml_gbdt_stump_boost`` row had exactly that shape and must
+    NOT qualify the query for the pinned tail (VERDICT r10 item 3)."""
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             rows = json.load(f)
         for name, r in rows.items():
-            err = r.get("err")
-            if err is None or err == "no_oracle":
+            if _row_green(r):
                 green.add(name)
     return green
+
+
+def _row_green(r: dict) -> bool:
+    err = r.get("err")
+    if err == "no_oracle":
+        return True
+    return err is None and r.get("hash_match") is True
 
 
 def test_entry_view_matches_registry_order():
@@ -202,6 +213,41 @@ def test_plan_audit_doc_covers_every_query():
         f"PLAN_AUDIT.md missing {len(missing)} queries (e.g. "
         f"{sorted(missing)[:5]}) — run python tools/plan_audit.py"
     )
+
+
+def test_green_predicate_rejects_hash_fail_rows():
+    """Pin the evidence-green predicate (VERDICT r10 item 3): a driver
+    row with err None but hash_match false is a FAIL and must never
+    qualify a query for the pinned tail. The r10 ml_gbdt_stump_boost
+    row had exactly this shape."""
+    fail_row = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": False,
+        "spark_rows": 2,
+        "oracle_rows": 2,
+        "err": None,
+    }
+    green_row = dict(fail_row, hash_match=True)
+    rows_only = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": 3,
+        "oracle_rows": None,
+        "err": "no_oracle",
+    }
+    err_row = dict(fail_row, err="boom")
+    assert not _row_green(fail_row)
+    assert _row_green(green_row)
+    assert _row_green(rows_only)
+    assert not _row_green(err_row)
+    # And the real r10 artifact must classify its one FAIL correctly.
+    r10 = os.path.join(_REPO, "CORRECTNESS_r10.json")
+    if os.path.isfile(r10):
+        with open(r10) as f:
+            rows = json.load(f)
+        assert not _row_green(rows["ml_gbdt_stump_boost"])
 
 
 def test_headline_queries_driver_evidenced():

@@ -36,7 +36,12 @@ def _prior_green() -> set[str]:
         with open(path) as f:
             rows = json.load(f)
         for name, r in rows.items():
-            if r.get("err") in (None, "no_oracle"):
+            # Green = hash actually matched, or documented rows-only
+            # (err == "no_oracle"). A row with err None but a failed
+            # hash is a driver FAIL and must not count (VERDICT r10).
+            if r.get("err") == "no_oracle" or (
+                r.get("err") is None and r.get("hash_match") is True
+            ):
                 green.add(name)
     return green
 
@@ -70,9 +75,14 @@ def _covered(names, queries) -> set[str]:
             covered.add(name)  # pre-snapshot evidence: name-only
             continue
         fn = queries[name]
-        if tool.source_hash(fn) == pin["sha256"] and tool.deps_hash(fn) == pin.get(
-            "deps_sha256", tool.deps_hash(fn)
-        ):
+        # A pin lacking deps_sha256 must count as NOT covered — defaulting
+        # to a self-match would silently skip import-closure drift
+        # detection for a partially-written snapshot (ADVICE r10).
+        pinned_deps = pin.get("deps_sha256")
+        if pinned_deps is None:
+            print(f"warning: pin for {name} lacks deps_sha256 — treating as not covered")
+            continue
+        if tool.source_hash(fn) == pin["sha256"] and tool.deps_hash(fn) == pinned_deps:
             covered.add(name)
     return covered
 

@@ -124,16 +124,21 @@ def deps_hash(fn) -> str:
 
 
 def green_rounds() -> dict[str, list[str]]:
-    """name -> sorted rounds with a non-ERR driver row (hash-match or
-    rows-only recorded without error)."""
+    """name -> sorted rounds with a GREEN driver row: the value hash
+    matched (``hash_match is True``), or the row is a documented
+    rows-only check (``err == "no_oracle"``). A row with ``err: None``
+    but ``hash_match: false`` is a driver FAIL and must NOT pin
+    evidence (VERDICT r10 item 3: the r10 ml_gbdt_stump_boost row had
+    exactly that shape and would otherwise become "driver-proven")."""
     out: dict[str, set[str]] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         rnd = os.path.basename(path).removeprefix("CORRECTNESS_").removesuffix(".json")
         with open(path) as f:
             rows = json.load(f)
         for name, r in rows.items():
-            err = r.get("err")
-            if err is None or err == "no_oracle":
+            if r.get("err") == "no_oracle" or (
+                r.get("err") is None and r.get("hash_match") is True
+            ):
                 out.setdefault(name, set()).add(rnd)
     return {k: sorted(v) for k, v in out.items()}
 

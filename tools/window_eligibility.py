@@ -46,7 +46,12 @@ def main() -> None:
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         for name, r in json.load(open(path)).items():
-            if r.get("err") in (None, "no_oracle"):
+            # Green = hash actually matched, or documented rows-only
+            # (err == "no_oracle"). err None + hash_match false is a
+            # driver FAIL row and must not count (VERDICT r10 item 3).
+            if r.get("err") == "no_oracle" or (
+                r.get("err") is None and r.get("hash_match") is True
+            ):
                 green.add(name)
 
     with open(os.path.join(_REPO, "tests", "evidence_hashes.json")) as f:
