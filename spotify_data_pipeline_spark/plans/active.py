@@ -130,6 +130,10 @@ from spotify_data_pipeline_spark.plans import (
     roundten_pending,
     roundthirteen_pending,
     roundthirty_pending,
+    roundthirtyfour_pending,
+    roundthirtyone_pending,
+    roundthirtythree_pending,
+    roundthirtytwo_pending,
     roundtwelve_pending,
     roundtwenty_pending,
     roundtwentyeight_pending,
@@ -220,6 +224,21 @@ def _activate(pending, names=None) -> None:
 # kruskal at tail position 50 on an intact r10 pin). After this window
 # the staged backlog is ONE query; the staging freeze (VERDICT r08
 # item 2, reaffirmed r09 item 6) holds until it is zero.
+# ---- Round-11 window (VERDICT r10 items 1-4; NOTES_r10 §9). Module
+# order in registry._QUERY_MODULES puts roundtwentyfive FIRST
+# (ml_gbdt_stump_boost's oracle fix: 1 NEW + 3 sibling deps-DRIFT at
+# positions 0-3), then the round-31..34 staging waves (positions
+# 4-48), then roundthirty: agg_levene_variance declared BEFORE its
+# r10-green sibling agg_kruskal_wallis, which therefore sits at tail
+# position 50 on an intact r10 pin. Staged backlog after this window:
+# ZERO — the staging freeze (VERDICT r08 item 2) lifts, and the
+# round-31..34 modules are the first post-backlog-era staging.
+_activate(roundthirtyone_pending.PENDING)
+_activate(roundthirtytwo_pending.PENDING)
+_activate(roundthirtythree_pending.PENDING)
+_activate(roundthirtyfour_pending.PENDING)
+_activate(roundthirty_pending.PENDING, ("agg_levene_variance",))
+
 _activate(roundtwentyone_pending.PENDING)
 _activate(roundtwentyfour_pending.PENDING)
 _activate(roundeighteen_pending.PENDING)
@@ -302,7 +321,15 @@ R27_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentyseven_pendin
 R28_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentyeight_pending.PENDING)
 R29_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundtwentynine_pending.PENDING)
 R30_ACTIVATED: tuple[str, ...] = ("agg_kruskal_wallis",)
-R30_REMAINDER: tuple[str, ...] = ("agg_levene_variance",)
+R30_REMAINDER: tuple[str, ...] = ()  # agg_levene_variance activated r11
+
+# Round-11 window manifests: backlog closure + the first
+# post-backlog-era staging waves.
+R30B_ACTIVATED: tuple[str, ...] = ("agg_levene_variance",)
+R31_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyone_pending.PENDING)
+R32_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtytwo_pending.PENDING)
+R33_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtythree_pending.PENDING)
+R34_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyfour_pending.PENDING)
 
 #: Round-9 window manifest: the 50 staged queries activated this round,
 #: in their exact window positions 0-49.

@@ -78,18 +78,31 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # similarity(4) + text(11) — every one r01..r08-green and hash-pinned
 # by BOTH fn-source and import-closure hashes.
 _QUERY_MODULES = (
+    # ---- Round-11 window (first 50 positions) ----
+    # roundtwentyfive first: ml_gbdt_stump_boost re-proves its r10
+    # hash-FAIL (VERDICT r10 item 1) and the oracle fix drifted its 3
+    # module siblings' deps pins — 4 mandatory slots at 0-3. Then the
+    # round-11 staging wave (round31+, positions 4-48), then
+    # roundthirty: agg_levene_variance (position 49 — staged backlog
+    # ZERO, the staging freeze lifts) with its r10-green sibling
+    # agg_kruskal_wallis at tail position 50 on an intact pin.
+    "spotify_data_pipeline_spark.plans.roundtwentyfive_pending",
+    "spotify_data_pipeline_spark.plans.roundthirtyone_pending",
+    "spotify_data_pipeline_spark.plans.roundthirtytwo_pending",
+    "spotify_data_pipeline_spark.plans.roundthirtythree_pending",
+    "spotify_data_pipeline_spark.plans.roundthirtyfour_pending",
+    "spotify_data_pipeline_spark.plans.roundthirty_pending",
+    # ---- Round-10 window and earlier (tail, all hash-pinned) ----
     "spotify_data_pipeline_spark.plans.roundtwentyone_pending",
     "spotify_data_pipeline_spark.plans.roundtwentyfour_pending",
     "spotify_data_pipeline_spark.plans.roundeighteen_pending",
     "spotify_data_pipeline_spark.plans.roundnineteen_pending",
     "spotify_data_pipeline_spark.plans.roundtwentytwo_pending",
     "spotify_data_pipeline_spark.plans.roundtwentythree_pending",
-    "spotify_data_pipeline_spark.plans.roundtwentyfive_pending",
     "spotify_data_pipeline_spark.plans.roundtwentysix_pending",
     "spotify_data_pipeline_spark.plans.roundtwentyseven_pending",
     "spotify_data_pipeline_spark.plans.roundtwentyeight_pending",
     "spotify_data_pipeline_spark.plans.roundtwentynine_pending",
-    "spotify_data_pipeline_spark.plans.roundthirty_pending",
     "spotify_data_pipeline_spark.plans.roundtwenty_pending",
     "spotify_data_pipeline_spark.plans.roundthirteen_pending",
     "spotify_data_pipeline_spark.plans.roundfifteen_pending",
