@@ -345,9 +345,13 @@ def main() -> None:
         "warm_total": out["warm_total"],
         # total JVM GC millis across all warm timed runs: a high value
         # with a slow warm_total says host/JVM pressure; per-query
-        # breakdown lives in bench_full.json warm_telemetry.
-        "gc_warm_ms": sum(
-            t["gc_ms"] for t in warm_telemetry.values() if t["gc_ms"] >= 0
+        # breakdown lives in bench_full.json warm_telemetry. -1 when
+        # JVM telemetry was unavailable for EVERY query (ADVICE r10:
+        # all-sentinel must not read as a genuinely GC-free round).
+        "gc_warm_ms": (
+            sum(t["gc_ms"] for t in warm_telemetry.values() if t["gc_ms"] >= 0)
+            if any(t["gc_ms"] >= 0 for t in warm_telemetry.values())
+            else -1
         ),
         # per-query WARM medians — the series the judge compares
         # round-over-round; cold per-query lives in bench_full.json
@@ -1434,7 +1438,15 @@ def _semdedup_probe(spark, sf_dir: str) -> dict:
         sim_semdedup_query,
     )
 
-    sec = _median_timed(sim_semdedup_query(spark, sf_dir))
+    # Time the full BUILD+EXECUTE: sim_semdedup_query localCheckpoints
+    # the centroid assignment eagerly at construction, so timing only
+    # the final DataFrame's write would exclude that stage (ADVICE r10).
+    def _run():
+        sim_semdedup_query(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    sec, _ = _median_timed_fn(_run)
 
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("e")
@@ -1529,13 +1541,21 @@ def _decontam_probe(spark, sf_dir: str) -> dict:
     exact_sec, true_hits = _median_timed_fn(exact.count)
     fp = flagged - true_hits
     bits_set = bits.count()
+    corpus_grams = corpus.count()
+    non_members = corpus_grams - true_hits
     return {
         "bloom_probe_sec": bloom_sec,
         "exact_join_sec": exact_sec,
         "flagged_grams": flagged,
         "true_grams": true_hits,
         "false_positives": fp,
-        "fp_ppm": round(fp * 1_000_000 / max(flagged, 1)),
+        # precision complement: FP per FLAGGED row (ADVICE r10: the old
+        # name fp_ppm read as the standard FPR, which it is not)
+        "fp_per_flagged_ppm": round(fp * 1_000_000 / max(flagged, 1)),
+        # conventional Bloom FPR: FP per probed NON-MEMBER row — the
+        # quantity the (1-e^{-kn/m})^k sizing formula predicts
+        "fpr_ppm": round(fp * 1_000_000 / max(non_members, 1)),
+        "corpus_grams_probed": corpus_grams,
         # saturation context: the query's m=16384 is sized for exact
         # oracle-checkability at gate SF, not as a production bitmap —
         # when bits_set -> m the filter is saturated and fp_ppm -> 1e6

@@ -166,6 +166,14 @@ _HEADLINE = {
     "text_url_domain_stats",
     "etl_merge_upsert",
     "join_salted_skew",
+    # round 11 (NOTES_r10 §9 item 2): the on-mission Bloom
+    # decontamination screen — cheap (1.85 s warm at sf0.1) and the
+    # r10-green flagship whose plan shape (≤m-row bitmap broadcast +
+    # 3 semi-joins) is the 100 TB decontamination story. Its heavier
+    # r10 siblings sim_semdedup (3.88 s) and text_c4_screen (3.08 s)
+    # carry production-path probes in bench.py (semdedup_probe,
+    # webtext_prod_probe) instead of headline weight.
+    "llm_decontam_bloom",
 }
 
 _R8_ROUND6 = (
