@@ -265,6 +265,13 @@ _BNLJ_WHITELIST = {
     "agg_kruskal_wallis",
     # group medians via rank windows; 1-row assembly broadcast
     "agg_levene_variance",
+    # k-domain table x 1-row totals/level broadcasts (water-filling
+    # assembly — corpus side is a single group agg)
+    "llm_domain_mix_waterfill",
+    # 8-row curve x 1-row total broadcast
+    "llm_shard_ngram_saturation",
+    # 1-row weight + accuracy broadcasts (Fisher-step assembly)
+    "ml_logit_fisher_step",
 }
 
 

@@ -28,23 +28,24 @@ def test_pending_oracle_match(spark, pq):
 
 def test_pending_registered(spark):
     """Round-10 activated agg_kruskal_wallis (window position 49);
-    agg_levene_variance rides to round 11 - the documented
-    partial-module split (module is last in _QUERY_MODULES, so the
-    r11 edit lands kruskal at tail position 50 on an intact pin)."""
+    round 11 activated agg_levene_variance (the backlog-zero slot) —
+    both queries of this module are now registered, kruskal on its
+    intact r10 pin at the tail, levene inside the r11 window."""
     from spotify_data_pipeline_spark.plans import all_queries
     from spotify_data_pipeline_spark.plans.active import (
         R30_ACTIVATED,
         R30_REMAINDER,
+        R30B_ACTIVATED,
     )
 
     qs = all_queries()
     by_name = {pq.name: pq for pq in PENDING}
-    assert set(R30_ACTIVATED) | set(R30_REMAINDER) == set(by_name)
-    for name in R30_ACTIVATED:
+    assert set(R30_ACTIVATED) | set(R30B_ACTIVATED) == set(by_name)
+    assert R30_REMAINDER == ()
+    for name in (*R30_ACTIVATED, *R30B_ACTIVATED):
         pq = by_name[name]
         assert name in qs and qs[name].fn is pq.fn
         assert qs[name].oracle == pq.oracle
-    assert not set(R30_REMAINDER) & set(qs)
 
 
 def test_pending_names_unique_and_oracle_bearing():
