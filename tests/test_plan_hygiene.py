@@ -272,6 +272,13 @@ _BNLJ_WHITELIST = {
     "llm_shard_ngram_saturation",
     # 1-row weight + accuracy broadcasts (Fisher-step assembly)
     "ml_logit_fisher_step",
+    # 5-query x corpus brute-force scoring (the exact MIPS baseline —
+    # the IVF rows carry the scale path) + 1-row max-norm broadcast
+    "sim_mips_norm_transform",
+    # 8-row frozen-centroid broadcast (the semdedup/IVF assign shape)
+    "sim_hard_negative_mining",
+    # 3-row lambda-path weight broadcast (ridge scoring pass)
+    "ml_ridge_cramer",
 }
 
 
