@@ -279,6 +279,14 @@ _BNLJ_WHITELIST = {
     "sim_hard_negative_mining",
     # 3-row lambda-path weight broadcast (ridge scoring pass)
     "ml_ridge_cramer",
+    # round-33 nonparametric wave: 1-row assembly broadcasts onto the
+    # tiny rank/cell tables (the kruskal/levene shape)
+    "agg_friedman_test",
+    "agg_page_trend",
+    "agg_cochran_q",
+    "agg_jonckheere_terpstra",
+    # 1-row grand-median broadcast + 1-row chi2 assembly
+    "agg_mood_median",
 }
 
 
