@@ -287,6 +287,10 @@ _BNLJ_WHITELIST = {
     "agg_jonckheere_terpstra",
     # 1-row grand-median broadcast + 1-row chi2 assembly
     "agg_mood_median",
+    # 1-row training-vocabulary broadcast (the bigram-ppl shape)
+    "llm_bigram_heldout_gap",
+    # 32-row shard table x 1-row global straggler broadcast
+    "ops_shard_balance_audit",
 }
 
 
