@@ -130,6 +130,7 @@ from spotify_data_pipeline_spark.plans import (
     roundten_pending,
     roundthirteen_pending,
     roundthirty_pending,
+    roundthirtyfive_pending,
     roundthirtyfour_pending,
     roundthirtyone_pending,
     roundthirtythree_pending,
@@ -245,6 +246,7 @@ _activate(roundthirtyone_pending.PENDING)
 _activate(roundthirtytwo_pending.PENDING)
 _activate(roundthirtythree_pending.PENDING)
 _activate(roundthirtyfour_pending.PENDING)
+_activate(roundthirtyfive_pending.PENDING)
 _activate(roundthirty_pending.PENDING, ("agg_levene_variance",))
 
 _activate(roundtwentyone_pending.PENDING)
@@ -338,6 +340,7 @@ R31_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyone_pending.
 R32_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtytwo_pending.PENDING)
 R33_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtythree_pending.PENDING)
 R34_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyfour_pending.PENDING)
+R35_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyfive_pending.PENDING)
 
 #: Round-9 window manifest: the 50 staged queries activated this round,
 #: in their exact window positions 0-49.

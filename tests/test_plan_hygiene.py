@@ -291,6 +291,12 @@ _BNLJ_WHITELIST = {
     "llm_bigram_heldout_gap",
     # 32-row shard table x 1-row global straggler broadcast
     "ops_shard_balance_audit",
+    # 1-row moment broadcast + integer-deviation argmax
+    "agg_grubbs_outlier",
+    # 1-row Q assembly broadcast onto the 5-lag table
+    "events_ljung_box",
+    # <=4-row chosen-center broadcast per unrolled farthest-point round
+    "sim_kmeanspp_farthest_init",
 }
 
 
