@@ -133,6 +133,7 @@ from spotify_data_pipeline_spark.plans import (
     roundthirtyfive_pending,
     roundthirtyfour_pending,
     roundthirtyone_pending,
+    roundthirtysix_pending,
     roundthirtythree_pending,
     roundthirtytwo_pending,
     roundtwelve_pending,
@@ -247,6 +248,7 @@ _activate(roundthirtytwo_pending.PENDING)
 _activate(roundthirtythree_pending.PENDING)
 _activate(roundthirtyfour_pending.PENDING)
 _activate(roundthirtyfive_pending.PENDING)
+_activate(roundthirtysix_pending.PENDING)
 _activate(roundthirty_pending.PENDING, ("agg_levene_variance",))
 
 _activate(roundtwentyone_pending.PENDING)
@@ -341,6 +343,7 @@ R32_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtytwo_pending.
 R33_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtythree_pending.PENDING)
 R34_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyfour_pending.PENDING)
 R35_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyfive_pending.PENDING)
+R36_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtysix_pending.PENDING)
 
 #: Round-9 window manifest: the 50 staged queries activated this round,
 #: in their exact window positions 0-49.

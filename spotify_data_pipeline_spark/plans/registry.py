@@ -92,6 +92,7 @@ _QUERY_MODULES = (
     "spotify_data_pipeline_spark.plans.roundthirtythree_pending",
     "spotify_data_pipeline_spark.plans.roundthirtyfour_pending",
     "spotify_data_pipeline_spark.plans.roundthirtyfive_pending",
+    "spotify_data_pipeline_spark.plans.roundthirtysix_pending",
     "spotify_data_pipeline_spark.plans.roundthirty_pending",
     # ---- Round-10 window and earlier (tail, all hash-pinned) ----
     "spotify_data_pipeline_spark.plans.roundtwentyone_pending",

@@ -297,6 +297,8 @@ _BNLJ_WHITELIST = {
     "events_ljung_box",
     # <=4-row chosen-center broadcast per unrolled farthest-point round
     "sim_kmeanspp_farthest_init",
+    # 1-row distilled-weight broadcast (the Fisher-step shape)
+    "ml_logit_calibration_bins",
 }
 
 
