@@ -100,6 +100,7 @@ def main() -> None:
     from test_roundtwentyeight_pending import _BNLJ_OK as _OK28
     from test_roundtwentynine_pending import _BNLJ_OK as _OK29
     from test_roundthirty_pending import _BNLJ_OK as _OK30
+    from test_roundthirtyseven_pending import _BNLJ_OK as _OK37
     from spotify_data_pipeline_spark.plans.roundtwentyseven_pending import (
         PENDING as P27,
     )
@@ -111,6 +112,9 @@ def main() -> None:
     )
     from spotify_data_pipeline_spark.plans.roundthirty_pending import (
         PENDING as P30,
+    )
+    from spotify_data_pipeline_spark.plans.roundthirtyseven_pending import (
+        PENDING as P37,
     )
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
@@ -183,6 +187,7 @@ def main() -> None:
         ("round-28 staging", P28, _BNLJ_WHITELIST | _OK28),
         ("round-29 staging", P29, _BNLJ_WHITELIST | _OK29),
         ("round-30 staging", P30, _BNLJ_WHITELIST | _OK30),
+        ("round-37 staging (round-12 window material)", P37, _BNLJ_WHITELIST | _OK37),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
