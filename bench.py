@@ -354,8 +354,27 @@ def main() -> None:
             else -1
         ),
         # per-query WARM medians — the series the judge compares
-        # round-over-round; cold per-query lives in bench_full.json
+        # round-over-round; cold per-query lives in bench_full.json.
+        # queries_series makes the labeling unambiguous IN the artifact
+        # (VERDICT r11 item 1: the r11 record's per-query values were
+        # read as cold; the record must say what it is).
+        "queries_series": "warm_median_of_3",
         "queries": warm,
+        # 1-min loadavg sampled DURING the warm series, one sample per
+        # query (from warm_telemetry): [min, median, max]. A poisoned
+        # series names itself — warm_total up with load flat is a code
+        # signal; warm_total up with load/gc up is host contention
+        # (VERDICT r11 item 1: the warm series must self-diagnose like
+        # the cold series already does via env.loadavg_end).
+        "warm_load": (
+            [
+                min(_loads := sorted(t["loadavg1"] for t in warm_telemetry.values())),
+                _loads[len(_loads) // 2],
+                max(_loads),
+            ]
+            if warm_telemetry
+            else []
+        ),
         "failed_queries": failed,
     }
 
@@ -1445,6 +1464,14 @@ def _semdedup_probe(spark, sf_dir: str) -> dict:
         sim_semdedup_query(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        # ADVICE r11: every build eagerly localCheckpoints the centroid
+        # assignment, and checkpointed RDDs pin executor memory — without
+        # cleanup, runs 2-3 execute under accumulated cached-RDD pressure
+        # and the median prices memory pressure, not the query. Unpersist
+        # between runs (non-blocking; negligible vs the multi-second run)
+        # so each timed run rebuilds from the same clean cache state.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     sec, _ = _median_timed_fn(_run)
 

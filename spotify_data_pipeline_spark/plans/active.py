@@ -237,12 +237,13 @@ def _activate(pending, names=None) -> None:
 # ---- Round-11 window (VERDICT r10 items 1-4; NOTES_r10 §9). Module
 # order in registry._QUERY_MODULES puts roundtwentyfive FIRST
 # (ml_gbdt_stump_boost's oracle fix: 1 NEW + 3 sibling deps-DRIFT at
-# positions 0-3), then the round-31..34 staging waves (positions
-# 4-48), then roundthirty: agg_levene_variance declared BEFORE its
+# positions 0-3), then the round-31..36 staging waves (positions
+# 4-48; ADVICE r11: the window spans rounds 31-36, not 31-34), then
+# roundthirty: agg_levene_variance declared BEFORE its
 # r10-green sibling agg_kruskal_wallis, which therefore sits at tail
 # position 50 on an intact r10 pin. Staged backlog after this window:
 # ZERO — the staging freeze (VERDICT r08 item 2) lifts, and the
-# round-31..34 modules are the first post-backlog-era staging.
+# round-31..36 modules are the first post-backlog-era staging.
 _activate(roundthirtyone_pending.PENDING)
 _activate(roundthirtytwo_pending.PENDING)
 _activate(roundthirtythree_pending.PENDING)

@@ -82,7 +82,7 @@ _QUERY_MODULES = (
     # roundtwentyfive first: ml_gbdt_stump_boost re-proves its r10
     # hash-FAIL (VERDICT r10 item 1) and the oracle fix drifted its 3
     # module siblings' deps pins — 4 mandatory slots at 0-3. Then the
-    # round-11 staging wave (round31+, positions 4-48), then
+    # round-31..36 staging waves (positions 4-48; ADVICE r11), then
     # roundthirty: agg_levene_variance (position 49 — staged backlog
     # ZERO, the staging freeze lifts) with its r10-green sibling
     # agg_kruskal_wallis at tail position 50 on an intact pin.

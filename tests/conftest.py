@@ -28,7 +28,10 @@ if os.path.isdir(_VENDOR):
 from spotify_data_pipeline_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# The driver's gate SF — shared named constant (ADVICE r11), so the
+# tests, tools/simulate_window.py, and any future driver shim all agree
+# by construction instead of by string coincidence.
+from spotify_data_pipeline_spark.gatesf import GATE_SF_DIR as SF_ORACLE  # noqa: E402
 
 
 @pytest.fixture(scope="session")

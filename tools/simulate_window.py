@@ -29,6 +29,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
+from spotify_data_pipeline_spark.gatesf import GATE_SF_DIR, is_gate_sf  # noqa: E402
+
 
 def _prior_green() -> set[str]:
     green: set[str] = set()
@@ -90,9 +92,7 @@ def _covered(names, queries) -> set[str]:
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     all_new = "--all-new" in args
-    sf_dirs = [a for a in args if not a.startswith("--")] or [
-        "/root/testdata/sf0.01"
-    ]
+    sf_dirs = [a for a in args if not a.startswith("--")] or [GATE_SF_DIR]
 
     import __spark_entry__ as e
     from pyspark.sql import SparkSession
@@ -129,8 +129,10 @@ def main() -> int:
                     # Hard-FAIL only at the driver's gate SF (sf0.01);
                     # at other spot-check SFs a legitimately-empty small
                     # result is a warning, not a failure (ADVICE r10).
+                    # Gate detection is the shared named constant, not a
+                    # path-suffix match (ADVICE r11).
                     if n == 0:
-                        if sf.rstrip("/").endswith("sf0.01"):
+                        if is_gate_sf(sf):
                             failures += 1
                             print(f"FAIL {sf} {name}: vacuous (0 rows, rows-only)")
                         else:
