@@ -130,9 +130,12 @@ from spotify_data_pipeline_spark.plans import (
     roundten_pending,
     roundthirteen_pending,
     roundthirty_pending,
+    roundthirtyeight_pending,
     roundthirtyfive_pending,
     roundthirtyfour_pending,
+    roundthirtynine_pending,
     roundthirtyone_pending,
+    roundthirtyseven_pending,
     roundthirtysix_pending,
     roundthirtythree_pending,
     roundthirtytwo_pending,
@@ -244,6 +247,20 @@ def _activate(pending, names=None) -> None:
 # position 50 on an intact r10 pin. Staged backlog after this window:
 # ZERO — the staging freeze (VERDICT r08 item 2) lifts, and the
 # round-31..36 modules are the first post-backlog-era staging.
+# ---- Round-12 window (VERDICT r11 items 2-4; NOTES_r11 §7). Module
+# order in registry._QUERY_MODULES puts the two pre-staged waves first
+# (roundthirtyseven 0-4, roundthirtyeight 5-9 — all oracle-green at 2
+# SFs since round 11), then the round-39 closing wave (10-13: SimHash
+# merge==rebuild, LSH band cost census, bin-fill packing balance, BPE
+# lang divergence), then roundsix (14-45) + roundsix_tail (46-49):
+# every roundsix-closure query deps-DRIFTed by the orders_rfm_segments
+# global-ntile scale fix (VERDICT r11 item 3) and re-proving on the
+# fixed tree. 14 NEW + 36 DRIFT = exactly 50; staged backlog after
+# this window: ZERO.
+_activate(roundthirtyseven_pending.PENDING)
+_activate(roundthirtyeight_pending.PENDING)
+_activate(roundthirtynine_pending.PENDING)
+
 _activate(roundthirtyone_pending.PENDING)
 _activate(roundthirtytwo_pending.PENDING)
 _activate(roundthirtythree_pending.PENDING)
@@ -345,6 +362,12 @@ R33_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtythree_pendin
 R34_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyfour_pending.PENDING)
 R35_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyfive_pending.PENDING)
 R36_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtysix_pending.PENDING)
+
+# Round-12 window manifests: the two r11-staged waves plus the round-39
+# closing wave (tests + tools read these).
+R37_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyseven_pending.PENDING)
+R38_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtyeight_pending.PENDING)
+R39_ACTIVATED: tuple[str, ...] = tuple(pq.name for pq in roundthirtynine_pending.PENDING)
 
 #: Round-9 window manifest: the 50 staged queries activated this round,
 #: in their exact window positions 0-49.

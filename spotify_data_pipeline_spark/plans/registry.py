@@ -78,14 +78,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # similarity(4) + text(11) — every one r01..r08-green and hash-pinned
 # by BOTH fn-source and import-closure hashes.
 _QUERY_MODULES = (
-    # ---- Round-11 window (first 50 positions) ----
-    # roundtwentyfive first: ml_gbdt_stump_boost re-proves its r10
-    # hash-FAIL (VERDICT r10 item 1) and the oracle fix drifted its 3
-    # module siblings' deps pins — 4 mandatory slots at 0-3. Then the
-    # round-31..36 staging waves (positions 4-48; ADVICE r11), then
-    # roundthirty: agg_levene_variance (position 49 — staged backlog
-    # ZERO, the staging freeze lifts) with its r10-green sibling
-    # agg_kruskal_wallis at tail position 50 on an intact pin.
+    # ---- Round-12 window (first 50 positions) ----
+    # VERDICT r11 items 2-4: the 10 staged round-37/38 queries first
+    # (positions 0-9), the round-39 closing wave (10-13), then
+    # roundsix (14-45) + roundsix_tail (46-49) — ALL 36 of those are
+    # deps-DRIFT re-proofs forced by the orders_rfm_segments scale fix
+    # (VERDICT r11 item 3): editing roundsix.py invalidates the
+    # deps_sha256 pin of every query whose closure contains it, which
+    # is the whole module plus roundsix_tail (it imports roundsix).
+    # The window is therefore exactly 14 NEW + 36 DRIFT = 50.
+    "spotify_data_pipeline_spark.plans.roundthirtyseven_pending",
+    "spotify_data_pipeline_spark.plans.roundthirtyeight_pending",
+    "spotify_data_pipeline_spark.plans.roundthirtynine_pending",
+    "spotify_data_pipeline_spark.plans.roundsix",
+    "spotify_data_pipeline_spark.plans.roundsix_tail",
+    # ---- Round-11 window (now tail, all hash-pinned) ----
     "spotify_data_pipeline_spark.plans.roundtwentyfive_pending",
     "spotify_data_pipeline_spark.plans.roundthirtyone_pending",
     "spotify_data_pipeline_spark.plans.roundthirtytwo_pending",
@@ -117,11 +124,9 @@ _QUERY_MODULES = (
     "spotify_data_pipeline_spark.plans.roundnine_pending",
     "spotify_data_pipeline_spark.plans.roundeight_pending",
     "spotify_data_pipeline_spark.plans.active",
-    "spotify_data_pipeline_spark.plans.roundsix_tail",
     "spotify_data_pipeline_spark.plans.roundseven_pending",
     "spotify_data_pipeline_spark.plans.roundfive",
     "spotify_data_pipeline_spark.plans.events_queries",
-    "spotify_data_pipeline_spark.plans.roundsix",
     "spotify_data_pipeline_spark.plans.llmops_queries",
     "spotify_data_pipeline_spark.plans.aggregates",
     "spotify_data_pipeline_spark.plans.relational",

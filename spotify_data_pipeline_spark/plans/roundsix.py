@@ -1128,15 +1128,78 @@ _WALLET_ORACLE = """
 """
 
 
+def _ntile5_scaled(df: DataFrame, value_col: str, asc: bool, bucket_width: int,
+                   out_name: str) -> DataFrame:
+    """Exact global ntile(5) over (``value_col`` asc/desc, o_custkey)
+    WITHOUT a single-partition global window (VERDICT r11 item 3: the
+    old three `Window.orderBy(...)` ntiles funnel every per-customer row
+    through one partition — fine at 15k customers, ~10^9 rows through
+    one task at 100 TB).
+
+    Device (the distributed sort-rank shape): (1) range-bucket each row
+    by ``floor(key / bucket_width)`` where key is the sort value made
+    ascending — bucketing by a monotone function of the sort key means
+    bucket order IS value order and ties (same value) can never straddle
+    buckets; (2) the bucket census is a BOUNDED table (value-range /
+    bucket_width rows), so its running-offset window is over a bounded
+    input and the offsets broadcast; (3) row_number PARTITIONED by
+    bucket (parallel) + bucket offset = the exact global row number i;
+    (4) ntile(5) is then pure arithmetic on (i, n): the first n%5
+    buckets take ceil(n/5) rows, the rest floor(n/5) — identical to the
+    window function's SQL-standard definition, so the oracle's global
+    `ntile(5) OVER (ORDER BY ...)` matches bit-for-bit. 100 TB: the
+    only global structure is the bounded bucket-offset table; per-bucket
+    windows scale out; a skewed value distribution concentrates buckets
+    exactly as it would concentrate any range partitioner — tune
+    bucket_width (or pre-split hot buckets with AQE) as with
+    repartitionByRange."""
+    key = F.col(value_col) if asc else (-F.col(value_col))
+    d = df.withColumn("_b", F.floor(key / F.lit(bucket_width)).cast("long"))
+    offs = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = offs.select(
+        "_b", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy(key.asc(), F.col("o_custkey").asc())
+    ranked = (
+        d.join(F.broadcast(offs), "_b")
+        .withColumn("_i", F.row_number().over(w_in) + F.col("_off"))
+        .drop("_b", "_off")
+    )
+    # ntile arithmetic: q = n div 5, r = n mod 5; rows 1..r*(q+1) land in
+    # the first r buckets of size q+1, the rest in buckets of size q.
+    # All operands are positive, so BIGINT DIV (truncation) == floor.
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("_q", F.expr("_n DIV 5"))
+        .withColumn("_r", F.expr("_n % 5"))
+        .withColumn(
+            out_name,
+            F.expr(
+                "CAST(CASE WHEN _i <= _r * (_q + 1)"
+                "     THEN (_i + _q) DIV (_q + 1)"
+                "     ELSE _r + (_i - _r * (_q + 1) + greatest(_q, 1) - 1)"
+                "              DIV greatest(_q, 1) END AS INT)"
+            ),
+        )
+        .drop("_i", "_n", "_q", "_r")
+    )
+
+
 def orders_rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the classic warehouse marketing
     analysis: per customer, Recency (days from last order to the corpus
     max date), Frequency (order count) and Monetary (total spend in
-    exact cents), each scored into ntile(5) quintiles with unique-key
-    tiebreaks so every quintile edge is deterministic cross-engine;
-    output is the per-(r,f,m)-cell census. One scan, one per-customer
-    agg, three cheap 1500-row windows — the heavy lifting is the agg,
-    which is map-side combinable."""
+    exact cents), each scored into exact ntile(5) quintiles with
+    unique-key tiebreaks so every quintile edge is deterministic
+    cross-engine; output is the per-(r,f,m)-cell census. One scan, one
+    map-side-combinable per-customer agg, then three applications of
+    the bucketed global-rank device (`_ntile5_scaled`) — no
+    unpartitioned window over the per-customer table (VERDICT r11
+    item 3). Bucket widths: recency in days (width 64 ≈ dozens of
+    buckets over a multi-year corpus), order count (width 4), spend in
+    cents (width 2^19 ≈ $5.2k per bucket)."""
     o = load_table(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("_maxd"))
     per_cust = (
@@ -1154,15 +1217,9 @@ def orders_rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_cents",
         )
     )
-    w_r = Window.orderBy("_rec", "o_custkey")  # smaller recency = better
-    w_f = Window.orderBy(F.desc("_freq"), "o_custkey")
-    w_m = Window.orderBy(F.desc("_cents"), "o_custkey")
-    scored = per_cust.select(
-        "o_custkey",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
-    )
+    scored = _ntile5_scaled(per_cust, "_rec", True, 64, "r_score")
+    scored = _ntile5_scaled(scored, "_freq", False, 4, "f_score")
+    scored = _ntile5_scaled(scored, "_cents", False, 1 << 19, "m_score")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("long").alias("n_customers")
     )
