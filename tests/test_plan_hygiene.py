@@ -299,6 +299,24 @@ _BNLJ_WHITELIST = {
     "sim_kmeanspp_farthest_init",
     # 1-row distilled-weight broadcast (the Fisher-step shape)
     "ml_logit_calibration_bins",
+    # --- round-12 window activations (migrated from the staged test
+    # files' _BNLJ_OK at activation, as documented there) ---
+    # 5-row group self theta-join (g < h) + 1-row MSE broadcast
+    "agg_tukey_pairwise",
+    # <=4-row chosen-center broadcasts per unrolled seeding round
+    "sim_ann_ivf_kpp_recall",
+    # 1-row distilled-weight broadcast (the Fisher-step shape)
+    "llm_contamination_by_quality",
+    # 1-row totals/assembly broadcasts onto the 5-row group table
+    "agg_welch_anova",
+    # <=4-row chosen-center broadcasts per seeding round
+    "sim_quantizer_balance_audit",
+    # 1-row training-vocabulary broadcast (the bigram-ppl shape)
+    "llm_bigram_xent_by_source",
+    # round-39 wave: 1-row total-tokens broadcast (bin count) under the
+    # round-robin deal; the distinct-value and top-100 joins are
+    # broadcast EQUI-joins, not BNLJ
+    "llm_pack_binfill_balance",
 }
 
 

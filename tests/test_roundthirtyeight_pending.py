@@ -39,11 +39,18 @@ def test_pending_oracle_match(spark, pq):
     assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_not_yet_registered(spark):
+def test_pending_registered(spark):
+    """Activated in the round-12 window (positions 5-9)."""
     from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.plans.active import R38_ACTIVATED
 
     qs = all_queries()
-    assert not {pq.name for pq in PENDING} & set(qs)
+    by_name = {pq.name: pq for pq in PENDING}
+    assert set(R38_ACTIVATED) == set(by_name)
+    for name in R38_ACTIVATED:
+        pq = by_name[name]
+        assert name in qs and qs[name].fn is pq.fn
+        assert qs[name].oracle == pq.oracle
 
 
 def test_pending_names_unique_and_oracle_bearing():

@@ -43,14 +43,18 @@ def test_pending_oracle_match(spark, pq):
     assert len(oracle) > 0, f"{pq.name}: vacuous (0 oracle rows) at {SF_DIR}"
 
 
-def test_pending_not_yet_registered(spark):
-    """The round-11 window is full (50/50): this module activates in
-    round 12. An accidental early activation would strand these past
-    position 50 without driver evidence."""
+def test_pending_registered(spark):
+    """Activated in the round-12 window (positions 0-4)."""
     from spotify_data_pipeline_spark.plans import all_queries
+    from spotify_data_pipeline_spark.plans.active import R37_ACTIVATED
 
     qs = all_queries()
-    assert not {pq.name for pq in PENDING} & set(qs)
+    by_name = {pq.name: pq for pq in PENDING}
+    assert set(R37_ACTIVATED) == set(by_name)
+    for name in R37_ACTIVATED:
+        pq = by_name[name]
+        assert name in qs and qs[name].fn is pq.fn
+        assert qs[name].oracle == pq.oracle
 
 
 def test_pending_names_unique_and_oracle_bearing():
