@@ -1152,7 +1152,8 @@ def _ntile5_scaled(df: DataFrame, value_col: str, asc: bool, bucket_width: int,
     windows scale out; a skewed value distribution concentrates buckets
     exactly as it would concentrate any range partitioner — tune
     bucket_width (or pre-split hot buckets with AQE) as with
-    repartitionByRange."""
+    repartitionByRange. The caller pre-joins a 1-row `_n` total-rows
+    column (one broadcast shared by all score dimensions)."""
     key = F.col(value_col) if asc else (-F.col(value_col))
     d = df.withColumn("_b", F.floor(key / F.lit(bucket_width)).cast("long"))
     offs = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
@@ -1169,9 +1170,11 @@ def _ntile5_scaled(df: DataFrame, value_col: str, asc: bool, bucket_width: int,
     # ntile arithmetic: q = n div 5, r = n mod 5; rows 1..r*(q+1) land in
     # the first r buckets of size q+1, the rest in buckets of size q.
     # All operands are positive, so BIGINT DIV (truncation) == floor.
-    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    # The caller supplies the total as a pre-joined `_n` column (one
+    # 1-row broadcast for all three scores — re-aggregating here would
+    # re-scan the whole upstream chain per application).
     return (
-        ranked.crossJoin(F.broadcast(n))
+        ranked
         .withColumn("_q", F.expr("_n DIV 5"))
         .withColumn("_r", F.expr("_n % 5"))
         .withColumn(
@@ -1183,7 +1186,7 @@ def _ntile5_scaled(df: DataFrame, value_col: str, asc: bool, bucket_width: int,
                 "              DIV greatest(_q, 1) END AS INT)"
             ),
         )
-        .drop("_i", "_n", "_q", "_r")
+        .drop("_i", "_q", "_r")
     )
 
 
@@ -1217,7 +1220,9 @@ def orders_rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_cents",
         )
     )
-    scored = _ntile5_scaled(per_cust, "_rec", True, 64, "r_score")
+    n = per_cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    scored = per_cust.crossJoin(F.broadcast(n))
+    scored = _ntile5_scaled(scored, "_rec", True, 64, "r_score")
     scored = _ntile5_scaled(scored, "_freq", False, 4, "f_score")
     scored = _ntile5_scaled(scored, "_cents", False, 1 << 19, "m_score")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
