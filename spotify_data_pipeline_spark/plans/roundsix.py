@@ -1221,10 +1221,23 @@ def orders_rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = per_cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    scored = per_cust.crossJoin(F.broadcast(n))
-    scored = _ntile5_scaled(scored, "_rec", True, 64, "r_score")
-    scored = _ntile5_scaled(scored, "_freq", False, 4, "f_score")
-    scored = _ntile5_scaled(scored, "_cents", False, 1 << 19, "m_score")
+    base = per_cust.crossJoin(F.broadcast(n))
+    # Score each dimension off the SAME base and join on the key —
+    # chaining device applications would nest each one's bucket-census
+    # subtree inside the next (the plan doubles per dimension); flat
+    # scoring keeps every census over the identical base subtree, which
+    # AQE's exchange reuse dedups, and the 3 equi-joins shuffle on the
+    # per-customer key.
+    r = _ntile5_scaled(
+        base.select("o_custkey", "_rec", "_n"), "_rec", True, 64, "r_score"
+    ).select("o_custkey", "r_score")
+    f = _ntile5_scaled(
+        base.select("o_custkey", "_freq", "_n"), "_freq", False, 4, "f_score"
+    ).select("o_custkey", "f_score")
+    m = _ntile5_scaled(
+        base.select("o_custkey", "_cents", "_n"), "_cents", False, 1 << 19, "m_score"
+    ).select("o_custkey", "m_score")
+    scored = r.join(f, "o_custkey").join(m, "o_custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("long").alias("n_customers")
     )
