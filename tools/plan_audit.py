@@ -115,6 +115,7 @@ def main() -> None:
     from test_roundthirtyseven_pending import _BNLJ_OK as _OK37
     from test_roundthirtyeight_pending import _BNLJ_OK as _OK38
     from test_roundforty_pending import _BNLJ_OK as _OK40
+    from test_roundfortyone_pending import _BNLJ_OK as _OK41
     from spotify_data_pipeline_spark.plans.roundtwentyseven_pending import (
         PENDING as P27,
     )
@@ -135,6 +136,9 @@ def main() -> None:
     )
     from spotify_data_pipeline_spark.plans.roundforty_pending import (
         PENDING as P40,
+    )
+    from spotify_data_pipeline_spark.plans.roundfortyone_pending import (
+        PENDING as P41,
     )
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
@@ -210,6 +214,7 @@ def main() -> None:
         ("round-37 staging (round-12 window material)", P37, _BNLJ_WHITELIST | _OK37),
         ("round-38 staging (round-12 window material)", P38, _BNLJ_WHITELIST | _OK38),
         ("round-40 staging (round-13 window material)", P40, _BNLJ_WHITELIST | _OK40),
+        ("round-41 staging (round-13 window material)", P41, _BNLJ_WHITELIST | _OK41),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
