@@ -116,6 +116,7 @@ def main() -> None:
     from test_roundthirtyeight_pending import _BNLJ_OK as _OK38
     from test_roundforty_pending import _BNLJ_OK as _OK40
     from test_roundfortyone_pending import _BNLJ_OK as _OK41
+    from test_roundfortytwo_pending import _BNLJ_OK as _OK42
     from spotify_data_pipeline_spark.plans.roundtwentyseven_pending import (
         PENDING as P27,
     )
@@ -139,6 +140,9 @@ def main() -> None:
     )
     from spotify_data_pipeline_spark.plans.roundfortyone_pending import (
         PENDING as P41,
+    )
+    from spotify_data_pipeline_spark.plans.roundfortytwo_pending import (
+        PENDING as P42,
     )
     from spotify_data_pipeline_spark.plans.roundeleven_pending import PENDING as P11
     from spotify_data_pipeline_spark.plans.roundfourteen_pending import (
@@ -215,6 +219,7 @@ def main() -> None:
         ("round-38 staging (round-12 window material)", P38, _BNLJ_WHITELIST | _OK38),
         ("round-40 staging (round-13 window material)", P40, _BNLJ_WHITELIST | _OK40),
         ("round-41 staging (round-13 window material)", P41, _BNLJ_WHITELIST | _OK41),
+        ("round-42 staging (round-13 window material)", P42, _BNLJ_WHITELIST | _OK42),
     ):
         # only the NOT-yet-declared remainder: declared entries already
         # have a row in the main table above
