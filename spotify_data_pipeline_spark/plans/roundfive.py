@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from spotify_data_pipeline_spark.plans.registry import declare
 
 
@@ -68,10 +69,21 @@ def exact_passage_pairs(
     (fingerprint → collect_set of ids), pairs generated in-array per
     bucket, then one pair-count agg. No self-join, no all-pairs."""
     s_expr = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    # r12 optimization (guide §2.5 input skew / §2.6 idle capacity): the
+    # per-offset md5 fingerprint scan is the engine's densest map stage,
+    # and a one-row-group parquet input feeds it exactly ONE task — the
+    # whole stage serialized on one core (measured 3.5 s warm at sf0.1
+    # on local[32]; ~0.5 s spread). The guard repartitions only the
+    # (id, normalized-text) projection of qualifying docs — a few bytes
+    # per doc cross the exchange, the L·md5 work fans out — and is a
+    # no-op on well-split (production-scale) inputs.
+    normalized = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.expr(s_expr).alias("_s")).where(
+            F.length("_s") >= window
+        )
+    )
     fingerprinted = (
-        docs.select(F.col(id_col), F.expr(s_expr).alias("_s"))
-        .where(F.length("_s") >= window)
-        .select(
+        normalized.select(
             id_col,
             "_s",
             F.explode(

@@ -450,17 +450,45 @@ def llm_decontam_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin is a shingle-keyed equi-join. At 100 TB the bitmap
     ships to every executor in KB while the exact join shuffles the
     full corpus — the trade this query quantifies.
+
+    r12 optimization (guide §2.4 remove shuffles / §1.2 algorithm
+    first): the original formulation computed flagged / exact / corpus
+    stats as THREE separate aggregate subtrees crossJoined into the
+    report, each re-deriving the doc→8-gram→global-distinct pipeline
+    from the scan (21 Exchanges, 10 Generates, 7 scans in the
+    before-plan — plans/r12/llm_decontam_bloom_before.txt). Three
+    rewrites, result pinned byte-identical to the unchanged oracle at
+    sf0.001/sf0.01:
+
+    - the global ``distinct()`` on (doc_id, g) is semantically a
+      PER-DOCUMENT distinct (grams are doc-local), so the corpus gram
+      stream is now ``explode(array_distinct(shingles(...)))`` — a
+      map-only pass, the full-corpus dedup Exchange is gone outright;
+    - eval grams derive from the 1/29 eval-doc subset directly (the
+      filter reaches the scan) instead of filtering the corpus-wide
+      relation — the bits table and the exact-membership side never
+      touch non-eval documents;
+    - the three bit-position probes are nullable-marker broadcast LEFT
+      joins (bits is distinct, so no fan-out) and exact membership is a
+      fourth marker join, so ALL seven report columns come from one
+      doc-keyed pre-aggregate + one 1-row aggregate — one corpus pass,
+      and the two corpus-wide count-distinct Expands are gone (a 100 TB
+      win on its own).
     """
-    docs = load_table(spark, sf_dir, "documents").where(
-        is_nonblank(F.col("text"))
+    from spotify_data_pipeline_spark.operators.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
     )
     is_eval = F.col("doc_id") % _BLOOM_EVAL_MOD == 0
-    sh = docs.select(
-        "doc_id",
-        is_eval.alias("is_eval"),
-        F.explode(shingles(tokens(F.col("text")), 8)).alias("g"),
-    ).distinct()
-    eval_grams = sh.where(F.col("is_eval")).select("g").distinct()
+    doc_grams = F.explode(
+        F.array_distinct(shingles(tokens(F.col("text")), 8))
+    ).alias("g")
+    eval_grams = (
+        docs.where(is_eval).select(doc_grams).distinct()
+    )
     bits = (
         eval_grams.select(
             F.explode(
@@ -476,47 +504,54 @@ def llm_decontam_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    corpus = sh.where(~F.col("is_eval")).select("doc_id", "g")
+    corpus = docs.where(~is_eval).select("doc_id", doc_grams)
     probed = corpus
     for k in range(_BLOOM_K):
         pk = _md5_mod(F.concat(F.lit(f"b{k}:"), F.col("g")), _BLOOM_M)
-        probed = probed.join(
-            F.broadcast(bits.withColumnRenamed("pos", f"p{k}")),
-            pk == F.col(f"p{k}"),
-            "left_semi",
+        # bits is distinct on pos, so the LEFT join matches at most one
+        # row: no fan-out, and a non-null marker == the old semi-join
+        # hit. The broadcast side is aliased, not re-projected, so all
+        # three broadcast subtrees stay canonically identical and AQE
+        # builds the bitmap ONCE (ReusedExchange) instead of three times.
+        b = bits.alias(f"_b{k}")
+        probed = (
+            probed.join(F.broadcast(b), pk == F.col(f"_b{k}.pos"), "left")
+            .withColumn(f"_p{k}", F.col(f"_b{k}.pos"))
+            .drop(F.col(f"_b{k}.pos"))
         )
-    flagged = probed.select("doc_id", "g")
-    exact = corpus.join(eval_grams, "g", "left_semi").select("doc_id", "g")
-    f_stats = flagged.agg(
-        F.count(F.lit(1)).cast("long").alias("flagged_grams"),
-        F.countDistinct("doc_id").cast("long").alias("flagged_docs"),
+    flagged = F.lit(True)
+    for k in range(_BLOOM_K):
+        flagged = flagged & F.col(f"_p{k}").isNotNull()
+    marked = probed.join(
+        eval_grams.select("g", F.lit(True).alias("_ex")), "g", "left"
     )
-    e_stats = exact.agg(
-        F.count(F.lit(1)).cast("long").alias("exact_grams"),
-        F.countDistinct("doc_id").cast("long").alias("exact_docs"),
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(F.when(flagged, 1)).alias("_nf"),
+        F.count("_ex").alias("_ne"),
     )
-    c_stats = corpus.agg(
-        F.count(F.lit(1)).cast("long").alias("corpus_grams")
+    stats = per_doc.agg(
+        F.sum("_n").cast("long").alias("corpus_grams"),
+        F.sum("_nf").cast("long").alias("flagged_grams"),
+        F.sum("_ne").cast("long").alias("exact_grams"),
+        F.count(F.when(F.col("_nf") > 0, 1)).cast("long").alias("flagged_docs"),
+        F.count(F.when(F.col("_ne") > 0, 1)).cast("long").alias("exact_docs"),
     )
-    return (
-        f_stats.crossJoin(F.broadcast(e_stats))
-        .crossJoin(F.broadcast(c_stats))
-        .select(
-            "corpus_grams",
-            "flagged_grams",
-            "exact_grams",
-            (F.col("flagged_grams") - F.col("exact_grams"))
-            .cast("long")
-            .alias("false_positive_grams"),
-            F.expr(
-                "((flagged_grams - exact_grams) * 1000000)"
-                " DIV corpus_grams"
-            )
-            .cast("long")
-            .alias("fp_ppm"),
-            "flagged_docs",
-            "exact_docs",
+    return stats.select(
+        "corpus_grams",
+        "flagged_grams",
+        "exact_grams",
+        (F.col("flagged_grams") - F.col("exact_grams"))
+        .cast("long")
+        .alias("false_positive_grams"),
+        F.expr(
+            "((flagged_grams - exact_grams) * 1000000)"
+            " DIV corpus_grams"
         )
+        .cast("long")
+        .alias("fp_ppm"),
+        "flagged_docs",
+        "exact_docs",
     )
 
 

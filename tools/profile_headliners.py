@@ -39,6 +39,11 @@ def main() -> None:
 
     spark = get_spark(app_name=f"profile-{tag}")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # same session warm-up as bench._cold_pass: compile noop/codegen/AQE
+    # infra so the first profiled query isn't charged for it
+    spark.range(100_000).selectExpr("id % 7 AS k", "id AS v").groupBy(
+        "k"
+    ).sum("v").write.format("noop").mode("overwrite").save()
     from spotify_data_pipeline_spark.io import TABLES, load_table
 
     for t in TABLES:
