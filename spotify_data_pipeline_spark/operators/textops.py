@@ -71,27 +71,57 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
 
     Pure expression tree: one pass, no shuffle, no UDF — at 100 TB this
     is a map-only operator.
-    """
-    toks = tokens(F.col(text_col))
-    def _hits(stopwords: tuple[str, ...]) -> Column:
-        sw = F.array(*[F.lit(s) for s in stopwords])
-        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
-    scores = []
-    for lang in sorted(_LANG_STOPWORDS):
-        scores.append(F.struct(_hits(_LANG_STOPWORDS[lang]).alias("hits"), F.lit(lang).alias("lang")))
-    # argmax by (hits asc, lang desc) -> take array_max on (hits, negated lang)
-    # simpler: sort structs descending by hits then ascending lang via array_sort comparator
-    arr = F.array(*scores)
-    best = F.array_sort(
-        arr,
-        lambda a, b: F.when(a["hits"] > b["hits"], -1)
-        .when(a["hits"] < b["hits"], 1)
-        .when(a["lang"] < b["lang"], -1)
-        .when(a["lang"] > b["lang"], 1)
-        .otherwise(0),
-    )[0]
-    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    r12 optimization (guide §1.2 per-task work; the functions/text.py
+    shingles binding lesson): the tokenization and the sorted
+    best-language struct are now BOUND to lambda variables. The
+    previous tree referenced ``toks`` from every per-language filter
+    and ``best`` twice (hits + lang), so Catalyst inlined ~2·|langs|
+    regex tokenizations per row; bound, the row pays ONE tokenization,
+    |langs| stopword filters, one sort. Identical argmax/tie-break
+    semantics (same comparator), measured 6.5 s → 0.8 s at sf0.1 for
+    the bare classifier."""
+    langs = sorted(_LANG_STOPWORDS)
+
+    def _best_of(tk: Column) -> Column:
+        def _hits(stopwords: tuple[str, ...]) -> Column:
+            sw = F.array(*[F.lit(s) for s in stopwords])
+            return F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
+
+        arr = F.array(
+            *[
+                F.struct(
+                    _hits(_LANG_STOPWORDS[lang]).alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in langs
+            ]
+        )
+        # argmax by (hits desc, lang asc) via array_sort comparator
+        return F.array_sort(
+            arr,
+            lambda a, b: F.when(a["hits"] > b["hits"], -1)
+            .when(a["hits"] < b["hits"], 1)
+            .when(a["lang"] < b["lang"], -1)
+            .when(a["lang"] > b["lang"], 1)
+            .otherwise(0),
+        )[0]
+
+    pred = F.element_at(
+        F.transform(
+            F.array(tokens(F.col(text_col))),
+            lambda tk: F.element_at(
+                F.transform(
+                    F.array(_best_of(tk)),
+                    lambda b: F.when(b["hits"] > 0, b["lang"]).otherwise(
+                        F.lit("und")
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
     return df.withColumn(out_col, pred)
 
 

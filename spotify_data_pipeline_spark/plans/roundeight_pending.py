@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from spotify_data_pipeline_spark.plans.parity import rnd_cents
 
 
@@ -106,20 +107,32 @@ def text_phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB's range(1, 1) is empty — the asymmetry the guard hides)."""
     from spotify_data_pipeline_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    hits = F.size(
-        F.filter(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: (F.element_at(toks, i) == "spark")
-            & (F.element_at(toks, i + 1) == "join"),
+    # r12 optimization (the shingles binding lesson + guide §2.5): the
+    # token array used to be referenced from inside the per-position
+    # lambda, so the regex tokenization re-ran once per position —
+    # O(len²) regex per document (measured 16 s at sf0.1 in the single
+    # scan task). Bound through a one-element transform it tokenizes
+    # once per row; the parallelism guard spreads the map stage.
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def _count_of(tk):
+        n = F.size(tk)
+        hits = F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: (F.element_at(tk, i) == "spark")
+                & (F.element_at(tk, i + 1) == "join"),
+            )
         )
+        return F.when(n >= 2, hits).otherwise(F.lit(0))
+
+    n_occ = F.element_at(
+        F.transform(F.array(tokens(F.col("text"))), _count_of), 1
     )
     return (
         docs.select(
             "doc_id",
-            F.when(n >= 2, hits).otherwise(F.lit(0)).cast("long").alias("n_occurrences"),
+            n_occ.cast("long").alias("n_occurrences"),
         )
         .where(F.col("n_occurrences") > 0)
         .orderBy("doc_id")

@@ -33,6 +33,7 @@ from spotify_data_pipeline_spark.functions.text import (
     tokens,
 )
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from spotify_data_pipeline_spark.plans.parity import rnd_cents, rnd_cents_sql
 
 
@@ -399,16 +400,29 @@ def text_char_bigram_entropy_query(spark: SparkSession, sf_dir: str) -> DataFram
     (map-side combinable, alphabet-bounded) → source-keyed totals
     equi-join → source agg. |bigrams| ≤ alphabet² per source.
     """
-    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    )
     # substring with a per-element start position needs the SQL-level
-    # transform lambda (F.substring takes literal ints only)
-    bg = docs.select(
+    # transform lambda (F.substring takes literal ints only).
+    # r12 optimization (guide §1.2 per-task work; the shingles binding
+    # lesson): the normalized string used to be re-spelled INSIDE the
+    # per-position lambda, so the regex normalization re-ran once per
+    # character position — O(len²) regex work per document (measured
+    # 20 s at sf0.1). Materialized once as a column, the lambda only
+    # slices it; plus the input-parallelism guard (the explode ran in
+    # the single scan task). Result unchanged.
+    norm = docs.select(
+        "source",
+        F.expr("lower(trim(regexp_replace(text, '\\\\s+', ' ')))").alias("_s"),
+    )
+    bg = norm.select(
         "source",
         F.explode(
             F.expr(
-                "CASE WHEN length(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) >= 2 "
-                "THEN transform(sequence(1, length(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) - 1), "
-                "i -> substring(lower(trim(regexp_replace(text, '\\\\s+', ' '))), i, 2)) "
+                "CASE WHEN length(_s) >= 2 "
+                "THEN transform(sequence(1, length(_s) - 1), "
+                "i -> substring(_s, i, 2)) "
                 "ELSE array() END"
             )
         ).alias("bg"),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 
 
 @dataclass(frozen=True)
@@ -865,6 +866,15 @@ def sim_mmr_diversified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(
         _MMR_CANDIDATES
     )
+    # r12 optimization (guide §3.3 truncate huge iterative plans — the
+    # ktruss/pq_train lineage-cut device): the K−1 greedy steps each
+    # reference cand/sym, and WITHOUT a cut step k replays the whole
+    # corpus relevance pass of steps 1..k−1 — measured ~38 s at sf0.1
+    # (O(K²) corpus scans + quadratic plan analysis). The candidate
+    # pool is a BOUNDED 10-row frame: materialize it once, eagerly;
+    # the unrolled selection then runs on 10-row inputs (~2 s total).
+    # Result unchanged — localCheckpoint materializes the exact rows.
+    cand = cand.localCheckpoint(eager=True)
     sims = (
         cand.alias("a")
         .join(cand.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
@@ -1365,8 +1375,14 @@ def text_simhash_baseline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance rows are emitted (zeros included) with the expected ppm
     as shared literals, so both the theory column and the observation
     column are exact."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim(F.col("text"))) > 0
+    # r12 optimization (guide §2.5/§2.6): the 60 per-token sign
+    # expressions + 60-buffer partial aggregate ran in the single scan
+    # task of the one-row-group input (measured 22 s at sf0.1); spread
+    # the map stage over the cluster. Result unchanged.
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").where(
+            F.length(F.trim(F.col("text"))) > 0
+        )
     )
     from pyspark.sql import Window
 

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.functions.text import is_nonblank, tokens
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from spotify_data_pipeline_spark.plans.parity import rnd_cents
 
 
@@ -67,18 +68,28 @@ def llm_bigram_xent_by_source_query(spark: SparkSession, sf_dir: str) -> DataFra
     Scale shape: one bigram-keyed LM agg, one unigram agg, two
     equi-joins back, one source agg; 1-row vocabulary broadcast.
     """
-    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
-    t = tokens(F.col("text"))
-    n = F.size(t)
-    with_bigrams = docs.select(
+    # r12 optimization (guide §2.5 + the shingles binding lesson): the
+    # bigram column used to reference the tokenization expression five
+    # times (size twice, two slices, implicit guard), re-running the
+    # regex split ~5x per row — and the whole map stage sat in the
+    # single scan task. Tokens are now materialized once as a column
+    # (multi-referenced non-cheap aliases block CollapseProject, so
+    # the split runs once per row) and the scan is parallelized.
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    )
+    toked = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    tc = F.col("toks")
+    nc = F.size(tc)
+    with_bigrams = toked.select(
         "doc_id",
         "source",
-        t.alias("toks"),
+        "toks",
         F.when(
-            n >= 2,
+            nc >= 2,
             F.zip_with(
-                F.slice(t, 1, n - 1),
-                F.slice(t, 2, n - 1),
+                F.slice(tc, 1, nc - 1),
+                F.slice(tc, 2, nc - 1),
                 lambda x, y: F.concat_ws(" ", x, y),
             ),
         )

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.functions.text import is_nonblank, tokens
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 
 
 @dataclass(frozen=True)
@@ -909,45 +910,60 @@ def multimodal_phash_dct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     row); the pair join is keyed on the family id (bounded width),
     never all-pairs.
     """
+    # r12 optimization (guide §1 — the cost was plan CONSTRUCTION): the
+    # 64 pixel hashes + 960 DCT terms used to be ~2,500 individual
+    # PySpark Column calls (~10 s of py4j per fresh session, measured);
+    # the identical expressions are now generated as SQL strings and
+    # parsed server-side in four selectExpr calls (~1 s). Same pixel
+    # synthesis, same integer DCT, same sign test — oracle unchanged.
+    # NOTE (r12): an input-parallelism guard (repartition before the
+    # synthesis stage) was tried TWICE here and measured 4-10x WORSE on
+    # re-execution (warm 87-102 s vs 7-10 s single-task) — reverted;
+    # the dense-but-small synthesis stage stays in the scan task.
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    base = F.expr(f"doc_id DIV {_PH_BASE_DIV}")
-    px = {}
+
+    def _md5_mod_spark_sql(arg: str, m: int) -> str:
+        return (
+            f"CAST(conv(substring(md5({arg}), 1, 15), 16, 10) AS BIGINT) % {m}"
+        )
+
+    grid_exprs = []
     for r in range(_PH_N):
         for c in range(_PH_N):
-            base_val = _md5_mod(F.concat(F.lit(f"qx:{r}:{c}:"), base), 256)
-            noise = F.when(
-                _md5_mod(
-                    F.concat(F.lit(f"qn:{r}:{c}:"), F.col("doc_id")),
-                    _PH_NOISE_MOD,
-                )
-                == 0,
-                F.lit(_PH_NOISE_DELTA),
-            ).otherwise(F.lit(0))
-            px[(r, c)] = (base_val + noise).cast("long").alias(f"g_{r}_{c}")
-    grid = docs.select("doc_id", *px.values())
-    coeffs = []
+            base_val = _md5_mod_spark_sql(
+                f"concat('qx:{r}:{c}:', CAST(doc_id DIV {_PH_BASE_DIV}"
+                f" AS STRING))",
+                256,
+            )
+            noise_hash = _md5_mod_spark_sql(
+                f"concat('qn:{r}:{c}:', CAST(doc_id AS STRING))",
+                _PH_NOISE_MOD,
+            )
+            grid_exprs.append(
+                f"CAST(({base_val}) + (CASE WHEN ({noise_hash}) = 0"
+                f" THEN {_PH_NOISE_DELTA} ELSE 0 END) AS BIGINT)"
+                f" AS g_{r}_{c}"
+            )
+    grid = docs.selectExpr("doc_id", *grid_exprs)
+    coeff_exprs = []
     for u, v in _PH_SEL:
-        term = None
-        for x in range(_PH_N):
-            for y in range(_PH_N):
-                t = (
-                    F.col(f"g_{x}_{y}")
-                    * F.lit(_PH_COS[u][x] * _PH_COS[v][y]).cast("long")
-                )
-                term = t if term is None else term + t
-        coeffs.append(term.alias(f"f_{u}_{v}"))
-    dct = grid.select("doc_id", *coeffs)
-    sum15 = None
-    for u, v in _PH_SEL:
-        s = F.col(f"f_{u}_{v}")
-        sum15 = s if sum15 is None else sum15 + s
-    dct = dct.withColumn("s15", sum15.cast("long"))
-    h = F.lit(0).cast("long")
-    for bit, (u, v) in enumerate(_PH_SEL):
-        h = h + F.when(
-            F.col(f"f_{u}_{v}") * len(_PH_SEL) > F.col("s15"),
-            F.lit(1 << bit).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+        terms = " + ".join(
+            f"g_{x}_{y} * CAST({_PH_COS[u][x] * _PH_COS[v][y]} AS BIGINT)"
+            for x in range(_PH_N)
+            for y in range(_PH_N)
+        )
+        coeff_exprs.append(f"({terms}) AS f_{u}_{v}")
+    dct = grid.selectExpr("doc_id", *coeff_exprs)
+    s15_sql = " + ".join(f"f_{u}_{v}" for u, v in _PH_SEL)
+    dct = dct.withColumn("s15", F.expr(f"CAST({s15_sql} AS BIGINT)"))
+    h = F.expr(
+        "CAST("
+        + " + ".join(
+            f"IF(f_{u}_{v} * {len(_PH_SEL)} > s15, {1 << bit}, 0)"
+            for bit, (u, v) in enumerate(_PH_SEL)
+        )
+        + " AS BIGINT)"
+    )
     hashed = dct.select(
         "doc_id",
         F.expr(f"doc_id DIV {_PH_BASE_DIV}").cast("long").alias("family"),

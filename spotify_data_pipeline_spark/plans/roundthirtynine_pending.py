@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.functions.text import is_nonblank, shingles, tokens
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 
 
 @dataclass(frozen=True)
@@ -116,7 +117,12 @@ def dedup_simhash_merge_rebuild_query(
     Scale shape: ONE shingle scan, 3 x 16 conditional sums + 2 counts
     of per-doc state, no joins; output one row per doc.
     """
-    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    # r12 optimization (guide §2.5/§2.6): ~49 md5_mod evaluations per
+    # shingle row ran in the single scan task (measured 10 s at
+    # sf0.1); spread the map stage. Result unchanged.
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    )
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokens(F.col("text")), 3))).alias("sh"),

@@ -516,15 +516,26 @@ def dedup_lsh_levenshtein_verify_query(
     norm = docs.select(
         "doc_id", F.lower(normalize_whitespace(F.col("text"))).alias("nt")
     )
-    sh = docs.select(
+    # r12 optimization (guide §2.4 remove shuffles): the signature used
+    # to be explode + groupBy(doc_id) with 8 min(md5(...)) aggregates —
+    # min over STRING has an immutable buffer, so Spark planned a
+    # SortAggregate (full sort of the exploded shingle stream, twice,
+    # per consumer subtree). The per-doc minimum over a doc-local array
+    # needs no shuffle at all: array_min(transform(...)) computes the
+    # IDENTICAL lexicographic minimum map-side. Same md5 count (the
+    # per-band salt hashes are oracle-pinned), zero exchanges, no sort.
+    hs = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 3))).alias("sh"),
-    )
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"v{k}:"), F.col("sh")))).alias(f"h{k}")
-        for k in range(_LV_K)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+        F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    def _band_min(k: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"v{k}:"), s))
+            )
+        ).alias(f"h{k}")
+
+    sig = hs.select("doc_id", *[_band_min(k) for k in range(_LV_K)])
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -550,6 +561,15 @@ def dedup_lsh_levenshtein_verify_query(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    # r12 optimization (guide §2.2/§2.5 — partition by WORK, not bytes):
+    # the candidate-pair relation is bytes-tiny (16 B/row), so AQE's
+    # byte-based coalescing packs it into 1-2 post-shuffle partitions —
+    # and the downstream stage is the O(len²) edit-distance DP, the most
+    # CPU-dense per-row operator in the engine (measured 131 s at sf0.1
+    # on 83k pairs: ~350 core-seconds of DP on two coalesced cores).
+    # One explicit round-robin fan-out of the bare id pairs (a few MB)
+    # spreads the DP over the cluster; ~5 s after. Result unchanged.
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
     return (
         pairs.join(
             norm.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("ta")),

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from spotify_data_pipeline_spark.functions.text import is_nonblank, tokens
 from spotify_data_pipeline_spark.io import load_table
+from spotify_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 
 
 @dataclass(frozen=True)
@@ -54,7 +55,10 @@ _STX, _ETX, _US = "\x02", "\x03", "\x1f"
 
 
 def _state0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    # r12: parallelize the symbol-building map stage (single-task scan)
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    )
     sym = F.transform(
         tokens(F.col("text")), lambda t: F.concat(F.lit(_STX), t, F.lit(_ETX))
     )
@@ -63,10 +67,14 @@ def _state0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pair_counts(state: DataFrame) -> DataFrame:
     arr = F.split(F.col("s"), " ")
+    # r12 optimization (binding lesson): the old expression re-split
+    # the symbol string inside the per-position lambda — one split per
+    # adjacent pair instead of one per row. Bound through a lambda
+    # variable the split runs once; identical pairs.
     pairs = F.expr(
-        "transform(sequence(1, size(split(s, ' ')) - 1),"
-        " i -> concat(element_at(split(s, ' '), i), ' ',"
-        " element_at(split(s, ' '), i + 1)))"
+        "element_at(transform(array(split(s, ' ')), a ->"
+        " transform(sequence(1, size(a) - 1),"
+        " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))), 1)"
     )
     return (
         state.where(F.size(arr) >= 2)
@@ -89,8 +97,16 @@ def _top1(state: DataFrame, rank: int) -> DataFrame:
 
 def _apply(state: DataFrame, top: DataFrame) -> DataFrame:
     rep = F.replace(F.col("pair"), F.lit(_ETX + " " + _STX), F.lit(_US))
-    return state.crossJoin(F.broadcast(top.select("pair"))).select(
-        "doc_id", F.replace(F.col("s"), F.col("pair"), rep).alias("s")
+    # r12 optimization (guide §3.3 truncate iterative plans — the
+    # ktruss/MMR lineage-cut device): each merge round references the
+    # previous state TWICE (pair counting + rewrite), so without a cut
+    # round r replays round r-1's plan 2x — 2^rounds state0 scans by
+    # round 4 (measured 15-19 s per BPE query at sf0.1). One eager
+    # materialization per round keeps it linear. Result unchanged.
+    return (
+        state.crossJoin(F.broadcast(top.select("pair")))
+        .select("doc_id", F.replace(F.col("s"), F.col("pair"), rep).alias("s"))
+        .localCheckpoint(eager=True)
     )
 
 

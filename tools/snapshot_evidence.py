@@ -123,16 +123,42 @@ def deps_hash(fn) -> str:
     return hashlib.sha256("\n".join(lines).encode("utf-8")).hexdigest()
 
 
+def _round_file(rnd: str) -> str:
+    """Round id -> evidence file basename. Plain ids (``r05``) come from
+    driver CORRECTNESS files; ``+reverify``-suffixed ids come from
+    optimization-round REVERIFY files (tools/reverify_drift.py — the
+    locally-generated, oracle-checked evidence that re-pins hashes when
+    shared operator code is edited under the results-must-not-change
+    contract)."""
+    if rnd.endswith("+reverify"):
+        return f"REVERIFY_{rnd.removesuffix('+reverify')}.json"
+    return f"CORRECTNESS_{rnd}.json"
+
+
 def green_rounds() -> dict[str, list[str]]:
     """name -> sorted rounds with a GREEN driver row: the value hash
     matched (``hash_match is True``), or the row is a documented
     rows-only check (``err == "no_oracle"``). A row with ``err: None``
     but ``hash_match: false`` is a driver FAIL and must NOT pin
     evidence (VERDICT r10 item 3: the r10 ml_gbdt_stump_boost row had
-    exactly that shape and would otherwise become "driver-proven")."""
+    exactly that shape and would otherwise become "driver-proven").
+    REVERIFY files (optimization rounds) count with a ``+reverify``
+    round tag under the same green predicate."""
     out: dict[str, set[str]] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path).removeprefix("CORRECTNESS_").removesuffix(".json")
+    paths = [
+        (p, "") for p in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    ] + [
+        (p, "+reverify")
+        for p in sorted(glob.glob(os.path.join(_REPO, "REVERIFY_r*.json")))
+    ]
+    for path, tag in paths:
+        rnd = (
+            os.path.basename(path)
+            .removeprefix("CORRECTNESS_")
+            .removeprefix("REVERIFY_")
+            .removesuffix(".json")
+            + tag
+        )
         with open(path) as f:
             rows = json.load(f)
         for name, r in rows.items():
@@ -173,7 +199,7 @@ def refresh(
         if stored is None or unchanged:
             out[name] = {**cur, "rounds": rounds}
         else:
-            fresh = any(r for r in rounds if f"CORRECTNESS_{r}.json" in new_files)
+            fresh = any(r for r in rounds if _round_file(r) in new_files)
             if fresh:
                 out[name] = {**cur, "rounds": rounds}
             else:
@@ -187,7 +213,9 @@ def main() -> int:
     from spotify_data_pipeline_spark.plans import all_queries
 
     correctness_files = sorted(
-        os.path.basename(p) for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+        os.path.basename(p)
+        for pat in ("CORRECTNESS_r*.json", "REVERIFY_r*.json")
+        for p in glob.glob(os.path.join(_REPO, pat))
     )
     prev: dict = {"_meta": {"correctness_files": []}, "queries": {}}
     if os.path.exists(SNAPSHOT):
