@@ -96,9 +96,16 @@ def dbscan_labels(pts: DataFrame, minpts: int = 5) -> DataFrame:
         connected_components,
     )
 
-    nbr = epsilon_neighbors(pts)
+    # r13 (guide §5): dbscan_labels is already eager (components
+    # checkpoints per round), but ``nbr`` was referenced 5× and
+    # ``core`` 3× across deg/ce/border — each reference replayed the
+    # full grid ε-join. Eager lineage cuts make every later reference
+    # an in-memory scan; values unchanged (exact integer pipeline).
+    # Scale note: |nbr| is O(points × expected neighborhood) — the
+    # calibrated-ε contract keeps it linear in the input.
+    nbr = epsilon_neighbors(pts).localCheckpoint(eager=True)
     deg = nbr.groupBy(F.col("ia").alias("id")).agg(F.count("*").alias("_d"))
-    core = deg.where(F.col("_d") >= minpts).select("id")
+    core = deg.where(F.col("_d") >= minpts).select("id").localCheckpoint(eager=True)
     ce = (
         nbr.join(core.select(F.col("id").alias("ia")), "ia")
         .join(core.select(F.col("id").alias("ib")), "ib")
@@ -109,6 +116,7 @@ def dbscan_labels(pts: DataFrame, minpts: int = 5) -> DataFrame:
     core_lab = (
         core.join(lab, core.id == lab.id, "left")
         .select(core.id, F.coalesce(F.col("component"), core.id).alias("cluster"))
+        .localCheckpoint(eager=True)  # referenced by labeled + border
     )
     border = (
         nbr.join(core_lab.select(F.col("id").alias("ib"), "cluster"), "ib")
@@ -129,7 +137,9 @@ def dbscan_labels(pts: DataFrame, minpts: int = 5) -> DataFrame:
 def dbscan_summary(pts: DataFrame, minpts: int = 5) -> DataFrame:
     """The 1-row audit surface: point/kind counts, cluster count, and
     the largest cluster's size (core+border members)."""
-    lab = dbscan_labels(pts, minpts)
+    # r13: one materialization feeds both aggregates below — without it
+    # the whole labeling pipeline (grid join + components) ran twice.
+    lab = dbscan_labels(pts, minpts).localCheckpoint(eager=True)
     sizes = (
         lab.where(F.col("cluster").isNotNull())
         .groupBy("cluster")

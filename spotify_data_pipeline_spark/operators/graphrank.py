@@ -38,12 +38,30 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` damped power-method rounds.
     Nodes = every id appearing as src or dst; duplicate edges count
     with multiplicity (pre-``distinct()`` at the call site if not
-    wanted)."""
+    wanted).
+
+    r13 (guide §5/§2.4): two round-cost cuts, values unchanged.
+
+    1. The dangling-mass term was a per-round ANTI-JOIN of the rank
+       vector against the outdegree table — two exchanges per round
+       replayed ~2^(rounds since last cut) times. The node frame now
+       carries a static ``_has_out`` flag (outdegree join done ONCE,
+       before the loop), so dangling mass is a map-side filter+agg
+       over the rank state. Same row set (node has no out-edge ⟺
+       _has_out is false), same sum.
+    2. ``checkpoint_every`` default 4 → 2, from a measured cadence
+       sweep at sf0.1 (see OPTIMIZATION_r13.md): one eager
+       localCheckpoint has a FIXED ~2-2.5 s cost locally (plan→RDD
+       conversion + job round-trip) — far above one round's compute —
+       so per-round cuts lose to sparse cuts, while cadence 2 caps
+       lineage replay at 2² and measured best end-to-end (build 6.8 /
+       warm 0.72 s vs 10.6 / 1.83 s for the old anti-join body at
+       cadence 4)."""
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -57,14 +75,20 @@ def pagerank(
     outdeg = e.groupBy("_s").agg(F.count("*").alias("_out"))
     # contribution edges with sender outdegree attached, reused each round
     contrib_edges = e.join(outdeg, "_s").localCheckpoint(eager=True)
+    # static node state with the dangling flag attached once
+    nodes_deg = (
+        nodes.join(outdeg, nodes["node"] == outdeg["_s"], "left")
+        .select("node", F.col("_out").isNotNull().alias("_has_out"))
+        .localCheckpoint(eager=True)
+    )
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for i in range(iterations):
-        # rank mass on dangling nodes (no out-edges) this round
-        dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["_s"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        # rank mass on dangling nodes (no out-edges) this round —
+        # a map-side filter+agg over the state, no join
+        dangling = ranks.where(~F.col("_has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
         inflow = (
             contrib_edges.join(ranks, contrib_edges["_s"] == ranks["node"])
@@ -73,10 +97,11 @@ def pagerank(
             .agg(F.sum("_c").alias("_in"))
         )
         ranks = (
-            nodes.join(inflow, "node", "left")
+            nodes_deg.join(inflow, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_has_out",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -86,4 +111,4 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)  # cut the iteration lineage
-    return ranks
+    return ranks.select("node", "rank")

@@ -120,10 +120,17 @@ def kmeans_exact(
         .where(F.col("_rn") <= k)
         .select((F.col("_rn") - 1).cast("long").alias("cluster"), F.col("q").alias("c"))
     )
-    assigned = None
+    # r13 (guide §5, the iterative-operator lineage device): each
+    # round's centroid frame references the previous one TWICE
+    # (assign's broadcast + update's emptied-cluster coalesce), so an
+    # unrolled loop replays the whole history ~2^t times — the same
+    # pathology fixed for BPE/MMR in r12. The centroid frame is k rows;
+    # an eager localCheckpoint per round makes every later reference a
+    # k-row in-memory scan. Values are unchanged (checkpoint is a
+    # materialization, not a computation).
     for _ in range(iterations):
         assigned = _assign(vecs, centroids)
-        centroids = _update(assigned, centroids, dims)
+        centroids = _update(assigned, centroids, dims).localCheckpoint(eager=True)
     # final labels against the post-update centroids
     return _assign(vecs, centroids).select("vec_id", "cluster", "dist")
 

@@ -68,29 +68,60 @@ def bm25_topk(
     exact ×10⁶ integer score, the oracle anchor — and score, 4dp)."""
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
-    dl, post = _postings(docs, id_col, text_col)
-    tf = (
-        post.where(F.col("term").isin(*terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    terms = list(dict.fromkeys(terms))  # the old isin+groupBy deduped too
+
+    # r13 single-pass restructure (guide §2.3/§2.4 — VERDICT r12 item
+    # 4): the old shape tokenized the corpus THREE times (tf postings,
+    # the dl join side, and the totals aggregate) and relied on AQE
+    # ReuseExchange to dedupe the clones. For a FIXED small term set,
+    # per-doc tf is |terms| conditional counters in the SAME doc-keyed
+    # aggregate that yields dl — one tokenization pass, one exchange —
+    # and df/N/T all come from ONE 1-row broadcast aggregate over that
+    # frame. Per-(doc,term) contributions keep the exact expression
+    # trees (idf_s, tf_w, ×10⁶ floor) of the old form, summed as a ≤
+    # |terms|-ary long addition instead of a hash-agg sum of the same
+    # longs — integer-identical, oracle unchanged.
+    # explode_outer, not explode: a doc whose trimmed text is non-blank
+    # but whose token array is empty (tab/newline-only text — F.trim is
+    # space-only) must still count toward n_docs/t_tokens(+0), exactly
+    # as the old size()-based dl frame did. count("term") gives dl=0
+    # for its single null row; the tf conditionals are null-safe 0s.
+    base = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    totals = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens")
+    post = base.select("doc_id", F.explode_outer("_toks").alias("term"))
+    per_doc = post.groupBy("doc_id").agg(
+        F.count("term").cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == F.lit(tm), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_tf{i}")
+            for i, tm in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("t_tokens"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
     n, t = F.col("n_docs"), F.col("t_tokens")
-    idf_s = (2 * n - 2 * F.col("df") + 1) / (2 * F.col("df") + 1)
-    tf_w = (22 * F.col("tf")) / (
-        10 * F.col("tf") + 3 + 9 * ((F.col("dl") * n) / t)
-    )
-    contrib = F.floor(idf_s * tf_w * 1000000).cast("long")
+    score = F.lit(0).cast("long")
+    for i in range(len(terms)):
+        tf_c, df_c = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        idf_s = (2 * n - 2 * df_c + 1) / (2 * df_c + 1)
+        tf_w = (22 * tf_c) / (10 * tf_c + 3 + 9 * ((F.col("dl") * n) / t))
+        score = score + F.when(
+            tf_c > 0, F.floor(idf_s * tf_w * 1000000).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(totals))
-        .withColumn("_c", contrib)
-        .groupBy("doc_id")
-        .agg(F.sum("_c").alias("score_scaled"))
+        per_doc.where(
+            F.greatest(*[F.col(f"_tf{i}") for i in range(len(terms))]) > 0
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score_scaled"))
     )
     return (
         scored.select(

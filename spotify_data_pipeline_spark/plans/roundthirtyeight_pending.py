@@ -191,6 +191,11 @@ def graph_ktruss_2round_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cuts between peeling rounds (the iterative-operator
     # device: without them the round-2 support join replays the whole
     # round-1 plan — 231 shuffles at the audit, vs 14 with the cuts)
+    # r13: explicit fan-out before each checkpoint — the support stage
+    # below is CPU-dense but bytes-tiny (~16 B/edge), so AQE coalesces
+    # it to 1-4 tasks without the repartition (the r12
+    # dedup_lsh_levenshtein lesson, guide §2.5).
+    par = spark.sparkContext.defaultParallelism
     pairs = (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
@@ -199,33 +204,70 @@ def graph_ktruss_2round_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
         .distinct()
+        .repartition(par)
         .localCheckpoint(eager=True)
     )
 
     def support(edges: DataFrame) -> DataFrame:
-        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-        wedges = e1.join(e2, "b").where(F.col("a") < F.col("c"))
-        tri = wedges.join(
-            edges.select(F.col("u").alias("a"), F.col("v").alias("c")),
-            ["a", "c"],
-            "left_semi",
+        # r13 restructure (guide §1.1 first-principles + §2.3/§2.4):
+        # edge support = |N(u) ∩ N(v)| over the round's edge set — the
+        # same number the previous a<b<c wedge enumeration credited to
+        # each edge (every triangle {u,v,w} contributes its third
+        # vertex to exactly this intersection; verified 0 mismatching
+        # (u,v,sup) rows at sf0.1 and the unchanged DuckDB oracle). The
+        # wedge join materialized Ω(#wedges) rows (~10⁸ on this
+        # near-complete projection — 126-190 s at sf0.1); here each
+        # node's neighborhood is a fixed-width BIGINT bitmap (suppkeys
+        # are a dense bounded id space; width = max_id/64 words rides a
+        # 1-row broadcast), support is Σ bit_count(a&b) per edge —
+        # map-side, no per-row hash-set allocation (an array_intersect
+        # variant measured 20-60 s/round on allocation churn; the
+        # bitmap round is ~3-6 s). Scale trade stated: bitmap bytes
+        # grow with max node id, the right shape for dense projections
+        # like this one; for sparse billion-node graphs the wedge join
+        # remains the general formulation.
+        ext = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
         )
-        # each triangle (a<b<c) supports its three edges
-        sup = (
-            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
-            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        nw = ext.agg((F.floor(F.max("nbr") / 64) + 1).cast("int").alias("_nw"))
+        wordmaps = (
+            ext.select(
+                "node",
+                F.expr("CAST(nbr DIV 64 AS INT)").alias("_w"),
+                F.expr("shiftleft(1L, CAST(nbr % 64 AS INT))").alias("_b"),
+            )
+            .groupBy("node", "_w")
+            .agg(F.expr("bit_or(_b)").alias("_bits"))
+            .groupBy("node")
+            .agg(F.map_from_entries(F.collect_list(F.struct("_w", "_bits"))).alias("_m"))
         )
-        return edges.join(sup, ["u", "v"], "left").select(
-            "u", "v", F.coalesce("sup", F.lit(0)).cast("long").alias("sup")
+        adj = wordmaps.crossJoin(F.broadcast(nw)).select(
+            "node",
+            F.expr("transform(sequence(0, _nw - 1), i -> coalesce(_m[i], 0L))").alias(
+                "nbm"
+            ),
+        )
+        inter = F.aggregate(
+            F.zip_with(
+                F.col("_nu"), F.col("_nv"), lambda x, y: F.bit_count(x.bitwiseAND(y))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c,
+        )
+        return (
+            edges.join(
+                adj.select(F.col("node").alias("u"), F.col("nbm").alias("_nu")), "u"
+            )
+            .join(adj.select(F.col("node").alias("v"), F.col("nbm").alias("_nv")), "v")
+            .select("u", "v", inter.cast("long").alias("sup"))
         )
 
     s1 = support(pairs).localCheckpoint(eager=True)
-    kept1 = s1.where(F.col("sup") >= _KT_K - 2).select("u", "v").localCheckpoint(
-        eager=True
+    kept1 = (
+        s1.where(F.col("sup") >= _KT_K - 2)
+        .select("u", "v")
+        .repartition(par)  # fan the round-2 support stage out too
+        .localCheckpoint(eager=True)
     )
     s2 = support(kept1)
     kept2 = s2.where(F.col("sup") >= _KT_K - 2)

@@ -107,12 +107,19 @@ def graph_betweenness_brandes_query(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # r13 (guide §5, same device as the BPE/MMR fixes): the frontier
+    # frames are referenced by multiple later phases (edges 5×, l1 3×,
+    # l2 3×, d2 2×) — uncut, every reference replayed the whole
+    # upstream plan (the orders⋈lineitem projection alone 5×). Eager
+    # per-phase lineage cuts make each reference an in-memory scan;
+    # all values are exact integers, unchanged by materialization.
     edges = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     seeds = (
@@ -125,12 +132,14 @@ def graph_betweenness_brandes_query(
         edges.join(seeds, edges.s == seeds.src)
         .select("src", "c")
         .withColumn("sig1", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
     )
     l2 = (
         l1.join(edges, "c")
         .where(F.col("s") != F.col("src"))
         .groupBy("src", "s")
         .agg(F.sum("sig1").cast("long").alias("sig2"))
+        .localCheckpoint(eager=True)
     )
     l3 = (
         l2.join(edges, "s")
@@ -161,11 +170,15 @@ def graph_betweenness_brandes_query(
         .groupBy("src", "s")
         .agg(F.sum("term").cast("long").alias("d2"))
     )
-    d2 = l2.join(d2_terms, ["src", "s"], "left").select(
-        "src",
-        "s",
-        "sig2",
-        F.coalesce(F.col("d2"), F.lit(0)).cast("long").alias("d2"),
+    d2 = (
+        l2.join(d2_terms, ["src", "s"], "left")
+        .select(
+            "src",
+            "s",
+            "sig2",
+            F.coalesce(F.col("d2"), F.lit(0)).cast("long").alias("d2"),
+        )
+        .localCheckpoint(eager=True)  # referenced by d1 and bc
     )
     d1 = (
         l1.join(edges, "c")
