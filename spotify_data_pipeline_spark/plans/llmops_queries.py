@@ -561,7 +561,21 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # r13 (guide §2.4 — VERDICT r12 item 4): the r12 claim that AQE
+    # ReuseExchange dedupes the tf/df clones was checked against the
+    # EXECUTED final plan and is FALSE here: column pruning strips the
+    # count from the df branch's partial aggregate (distinct-only), so
+    # the two (doc_id, term) exchanges are not canonically equal and
+    # the corpus was tokenized twice. The no-op ``tf >= 1`` filter
+    # (count(*) ≥ 1 by construction) makes the df branch consume tf's
+    # count column, the partial aggregates identical, and the executed
+    # plan shows 1 ReusedExchange — one tokenization pass, result rows
+    # unchanged.
+    dfreq = (
+        tf.where(F.col("tf") >= 1)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
     n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
