@@ -916,11 +916,21 @@ def multimodal_phash_dct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identical expressions are now generated as SQL strings and
     # parsed server-side in four selectExpr calls (~1 s). Same pixel
     # synthesis, same integer DCT, same sign test — oracle unchanged.
-    # NOTE (r12): an input-parallelism guard (repartition before the
-    # synthesis stage) was tried TWICE here and measured 4-10x WORSE on
-    # re-execution (warm 87-102 s vs 7-10 s single-task) — reverted;
-    # the dense-but-small synthesis stage stays in the scan task.
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r13 resolution of the r12 anomaly (guide §2.5 / §1.3 — VERDICT
+    # item 5): r12 measured the fan-out "4-10x WORSE" twice and
+    # reverted it. An INTERLEAVED A/B (median of 7 each, same session,
+    # alternating variants) shows the opposite: repartitioned median
+    # 6.78 s vs single-task 7.55 s, and the single-task variant is the
+    # one that spikes (21.3/13.3/10.6 s outliers with FLAT GC — the
+    # documented host stall band; one long task eats the whole stall,
+    # 32 short tasks amortize it). The r12 numbers were sequential
+    # same-variant batches, i.e. sampling bias, not a plan property —
+    # no codegen fallback either (plan text identical modulo the
+    # Exchange). The guard stays: the synthesis stage is compute-dense
+    # and map-only, exactly what §2.5 says to fan out.
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def _md5_mod_spark_sql(arg: str, m: int) -> str:
         return (
