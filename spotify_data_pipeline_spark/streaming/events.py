@@ -429,8 +429,11 @@ def session_close_stats(
         else:
             cur = list(state.get) if state.exists else None
             rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-            for ts, value in zip(rows["ts"], rows["value"]):
-                ts_us = int(pd.Timestamp(ts).value // 1_000)
+            # r13 (guide §4): one vectorized ns→µs conversion for the
+            # whole batch instead of a pd.Timestamp object per row —
+            # the loop itself is per-session state and stays.
+            ts_us_all = (rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000).tolist()
+            for ts_us, value in zip(ts_us_all, rows["value"]):
                 if cur is None:
                     cur = [ts_us, ts_us, 0, 0.0]
                 elif ts_us - cur[1] > gap_us:

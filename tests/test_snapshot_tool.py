@@ -144,3 +144,67 @@ def test_deps_change_with_fresh_green_row_rehashes():
     )
     assert refused == []
     assert out["q1"]["deps_sha256"] == "NEW"
+
+
+def test_reverify_pin_is_provisional():
+    """r13 (ADVICE r12): a hash re-pinned on locally-generated REVERIFY
+    evidence alone is tagged provisional — it must not read as
+    driver-proven until a driver CORRECTNESS file confirms it."""
+    prev = _prev(["CORRECTNESS_r01.json"], {"q1": {"sha256": "aaa", "rounds": ["r01"]}})
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01", "r02+reverify"]},
+        {"q1": "NEWHASH"},
+        ["CORRECTNESS_r01.json", "REVERIFY_r02.json"],
+    )
+    assert refused == []
+    assert out["q1"]["sha256"] == "NEWHASH"
+    assert out["q1"]["provisional"] is True
+
+
+def test_driver_row_clears_provisional():
+    """The next driver CORRECTNESS green row confirms a provisional
+    entry: the flag is dropped."""
+    prev = _prev(
+        ["CORRECTNESS_r01.json", "REVERIFY_r02.json"],
+        {"q1": {"sha256": "bbb", "rounds": ["r01", "r02+reverify"], "provisional": True}},
+    )
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01", "r02+reverify", "r03"]},
+        {"q1": "bbb"},
+        ["CORRECTNESS_r01.json", "REVERIFY_r02.json", "CORRECTNESS_r03.json"],
+    )
+    assert refused == []
+    assert "provisional" not in out["q1"]
+
+
+def test_provisional_carries_without_driver_confirmation():
+    """No new driver file: the provisional flag persists across
+    snapshot runs (a second reverify must not clear it either)."""
+    prev = _prev(
+        ["CORRECTNESS_r01.json", "REVERIFY_r02.json"],
+        {"q1": {"sha256": "bbb", "rounds": ["r01", "r02+reverify"], "provisional": True}},
+    )
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01", "r02+reverify", "r03+reverify"]},
+        {"q1": "bbb"},
+        ["CORRECTNESS_r01.json", "REVERIFY_r02.json", "REVERIFY_r03.json"],
+    )
+    assert refused == []
+    assert out["q1"]["provisional"] is True
+
+
+def test_fresh_driver_and_reverify_pin_is_not_provisional():
+    """When BOTH a new driver file and a new reverify file carry green
+    rows, the driver evidence wins: no provisional tag."""
+    prev = _prev(["CORRECTNESS_r01.json"], {"q1": {"sha256": "aaa", "rounds": ["r01"]}})
+    out, refused = refresh(
+        prev,
+        {"q1": ["r01", "r02", "r02+reverify"]},
+        {"q1": "NEWHASH"},
+        ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "REVERIFY_r02.json"],
+    )
+    assert refused == []
+    assert "provisional" not in out["q1"]

@@ -197,11 +197,28 @@ def refresh(
             k not in stored or stored[k] == v for k, v in cur.items()
         )
         if stored is None or unchanged:
-            out[name] = {**cur, "rounds": rounds}
+            entry = {**cur, "rounds": rounds}
+            # r13 (ADVICE r12): a provisional (reverify-pinned) entry
+            # stays provisional until a NEW driver CORRECTNESS file
+            # carries a green row for it — local reverify evidence can
+            # re-pin a hash but never launders it into "driver-proven".
+            if stored is not None and stored.get("provisional"):
+                confirmed = any(
+                    not r.endswith("+reverify") and _round_file(r) in new_files
+                    for r in rounds
+                )
+                if not confirmed:
+                    entry["provisional"] = True
+            out[name] = entry
         else:
-            fresh = any(r for r in rounds if _round_file(r) in new_files)
-            if fresh:
-                out[name] = {**cur, "rounds": rounds}
+            fresh_rounds = [r for r in rounds if _round_file(r) in new_files]
+            if fresh_rounds:
+                entry = {**cur, "rounds": rounds}
+                if all(r.endswith("+reverify") for r in fresh_rounds):
+                    # re-pinned on local evidence only: tag it so the
+                    # next driver CORRECTNESS green row must confirm it
+                    entry["provisional"] = True
+                out[name] = entry
             else:
                 refused.append(name)
                 out[name] = stored  # keep the evidenced hash
