@@ -116,10 +116,11 @@ def bm25_topk(
         score = score + F.when(
             tf_c > 0, F.floor(idf_s * tf_w * 1000000).cast("long")
         ).otherwise(F.lit(0).cast("long"))
+    # greatest() needs >= 2 columns; a 1-term query filters on it alone
+    tf_cols = [F.col(f"_tf{i}") for i in range(len(terms))]
+    any_tf = tf_cols[0] if len(tf_cols) == 1 else F.greatest(*tf_cols)
     scored = (
-        per_doc.where(
-            F.greatest(*[F.col(f"_tf{i}") for i in range(len(terms))]) > 0
-        )
+        per_doc.where(any_tf > 0)
         .crossJoin(F.broadcast(stats))
         .select("doc_id", score.alias("score_scaled"))
     )
