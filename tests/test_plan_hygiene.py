@@ -165,6 +165,11 @@ _BNLJ_WHITELIST = {
     "sim_lsh_recall",
     # 1-row broadcast max-date anchor (trending/aging precedent)
     "events_decayed_topk",
+    # --- round-13 optimization ---
+    # 1-row bitmap-width aggregate (max suppkey DIV 64 + 1) broadcast
+    # onto the per-node adjacency frame in each support round — the
+    # r13 wedge-join → neighborhood-bitmap restructure
+    "graph_ktruss_2round",
     # --- round-13 staged (pre-whitelisted for activation) ---
     # brute-force exact-oracle anchor: bounded query subset (every
     # 20th vector) broadcast over one corpus scan, the
