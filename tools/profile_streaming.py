@@ -30,6 +30,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main() -> None:
+    _load_protobuf_shim()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = (
@@ -90,12 +91,52 @@ def main() -> None:
 
         from spotify_data_pipeline_spark.streaming.tws_counts import type_counts_tws
 
-        run("type_counts_tws", type_counts_tws)
-        run("running_user_totals_tws", sev.running_user_totals_tws)
+        # transformWithStateInPandas requires the RocksDB state store
+        # (multiple column families) — same per-run conf the tests set
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            from spotify_data_pipeline_spark.streaming.tws_sessions import (
+                gap_sessions_tws,
+            )
+
+            run("type_counts_tws", type_counts_tws)
+            run("running_user_totals_tws", sev.running_user_totals_tws)
+            run("gap_sessions_tws", gap_sessions_tws)
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
     except ImportError:
         print(json.dumps({"op": "tws_family", "skipped": "google.protobuf not installed"}))
 
     spark.stop()
+
+
+def _load_protobuf_shim() -> None:
+    """The TWS state protocol needs google.protobuf; this container
+    ships it only via the test shim (vendor/sitecustomize.py — same
+    aliasing tests/conftest.py does). Must run before any SparkSession
+    exists so PYTHONPATH reaches the JVM-spawned Python workers."""
+    import runpy
+
+    vendor = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor"
+    )
+    if not os.path.isdir(vendor):
+        return
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    pp = os.environ.get("PYTHONPATH", "")
+    if vendor not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = vendor + (os.pathsep + pp if pp else "")
+    if "google.protobuf" not in sys.modules:
+        runpy.run_path(os.path.join(vendor, "sitecustomize.py"))
 
 
 if __name__ == "__main__":
