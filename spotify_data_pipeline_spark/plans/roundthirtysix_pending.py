@@ -180,7 +180,17 @@ def dedup_cross_snapshot_simhash_query(
     the pair join rides two (band, key) equi-buckets — never
     all-pairs, and never NEW x NEW / OLD x OLD.
     """
-    docs = load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    from spotify_data_pipeline_spark.operators.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    # r13 (guide §2.5): the shingle explode + 16 md5 bit-channel sums
+    # below are compute-dense over a one-row-group scan (1 task) —
+    # the same guard r12 applied to text_simhash_baseline /
+    # dedup_simhash_merge_rebuild; this sibling was missed.
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").where(is_nonblank(F.col("text")))
+    )
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokens(F.col("text")), 3))).alias("sh"),

@@ -311,7 +311,18 @@ def multimodal_dhash_neardup_query(
     band-bucket equi-join (union of 4 bands, distinct pairs), never
     all-pairs; Hamming is a single xor+popcount per candidate.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from spotify_data_pipeline_spark.operators.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    # r13 (guide §2.5): same compute-dense single-task synthesis shape
+    # as multimodal_phash_dct — the interleaved A/B there (see
+    # OPTIMIZATION_r13.md §9) settled that the fan-out belongs on
+    # these md5-grid stages; one-file scans otherwise serialize the
+    # whole grid+hash computation on one core.
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     base = F.expr(f"doc_id DIV {_DH_BASE_DIV}")
     px = []
     for r in range(_DH_ROWS):
